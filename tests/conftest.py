@@ -1,0 +1,63 @@
+"""Shared test configuration.
+
+Forces JAX onto a virtual 8-device CPU mesh so multi-chip sharding tests run
+without TPU hardware (the standard JAX trick; SURVEY.md §4).  Must run
+before jax is imported anywhere.
+"""
+
+import os
+import pathlib
+import subprocess
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+REFERENCE_SRC = pathlib.Path("/root/reference")
+REF_BIN = pathlib.Path("/tmp/x3ref-test/x3")
+
+# Golden fixture parameter sets: name -> CLI args of the reference binary.
+PARAMSETS = {
+    "t15_w8": dict(max_match_count=15, window=8 * 1024),
+    "t4_w1": dict(max_match_count=4, window=1024),
+    "t2_w1_x": dict(max_match_count=2, window=1024, nl_remap=True),
+    "t8_w2_m0": dict(max_match_count=8, window=2 * 1024, magic_factor1=0),
+}
+
+
+def golden_cases():
+    """(input_name, paramset_name) pairs for which a golden .x3 exists."""
+    cases = []
+    for x3 in sorted(GOLDEN.glob("*.x3")):
+        name, pname = x3.name[: -len(".x3")].rsplit(".", 1)
+        cases.append((name, pname))
+    return cases
+
+
+@pytest.fixture(scope="session")
+def ref_binary():
+    """Build the reference binary from /root/reference at test time (never
+    vendored into the repo); skip reference cross-tests if no toolchain."""
+    if REF_BIN.exists():
+        return REF_BIN
+    builddir = REF_BIN.parent
+    builddir.mkdir(parents=True, exist_ok=True)
+    for f in REFERENCE_SRC.glob("*.[ch]"):
+        (builddir / f.name).write_bytes(f.read_bytes())
+    (builddir / "Makefile").write_bytes((REFERENCE_SRC / "Makefile").read_bytes())
+    try:
+        subprocess.run(
+            ["make", "BUILD=release", "-j4"],
+            cwd=builddir,
+            check=True,
+            capture_output=True,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        pytest.skip(f"cannot build reference binary: {e}")
+    return REF_BIN
