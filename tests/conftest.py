@@ -9,12 +9,21 @@ import os
 import pathlib
 import subprocess
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The container's sitecustomize registers the TPU ('axon') backend at
+# interpreter startup, so env vars alone don't reach jax; flip the platform
+# explicitly before any computation runs.  Set X3TPU_TEST_TPU=1 to keep the
+# real TPU for the (slow-compile) hardware tests.
+if os.environ.get("X3TPU_TEST_TPU") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
