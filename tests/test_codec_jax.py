@@ -1,0 +1,84 @@
+"""Differential tests: the lane-batched JAX codec vs the spec oracle and
+vs reference golden streams."""
+
+import numpy as np
+import pytest
+
+from x3tpu import codec, spec
+from x3tpu.config import CodecCaps, X3Params
+
+from conftest import GOLDEN, PARAMSETS, golden_cases
+
+SMALL_CAPS = CodecCaps(
+    dict_cap=1 << 10,
+    pair_cap=1 << 13,
+    ctx_items_cap=192,
+    block_bytes=1 << 15,
+)
+SMALL_PARAMS = X3Params(max_match_count=4, window=1024)
+
+
+def _inputs():
+    return [
+        b"",
+        b"A",
+        b"abracadabra " * 40,
+        bytes(range(256)) * 3,
+        np.random.default_rng(0).integers(0, 256, 1500, dtype=np.uint8).tobytes(),
+        (GOLDEN / "text_small.bin").read_bytes(),
+    ]
+
+
+def test_encode_matches_spec_batch():
+    """All inputs encoded in ONE lane batch must equal per-input spec
+    streams bit-for-bit."""
+    blocks = _inputs()
+    ours = codec.encode_blocks(blocks, SMALL_PARAMS, SMALL_CAPS)
+    for i, b in enumerate(blocks):
+        want = spec.encode(b, SMALL_PARAMS)
+        assert ours[i] == want, f"block {i} ({len(b)}B): {len(ours[i])} vs {len(want)}"
+
+
+def test_decode_matches_spec_batch():
+    blocks = _inputs()
+    streams = [spec.encode(b, SMALL_PARAMS) for b in blocks]
+    outs = codec.decode_blocks(streams, SMALL_PARAMS, SMALL_CAPS)
+    for i, b in enumerate(blocks):
+        assert outs[i] == b, f"block {i}"
+
+
+def test_roundtrip_high_ratio():
+    # >64:1 ratio input (crashes the reference decoder; ours must not)
+    data = b"\x00" * 8192
+    [stream] = codec.encode_blocks([data], SMALL_PARAMS, SMALL_CAPS)
+    [out] = codec.decode_blocks([stream], SMALL_PARAMS, SMALL_CAPS)
+    assert out == data
+
+
+@pytest.mark.parametrize("name,pname", [c for c in golden_cases() if c[1] == "t4_w1"])
+def test_golden_bit_exact(name, pname):
+    """Encode matches the reference binary's stream; decode consumes it."""
+    data = (GOLDEN / f"{name}.bin").read_bytes()
+    golden = (GOLDEN / f"{name}.{pname}.x3").read_bytes()
+    params = X3Params(**PARAMSETS[pname])
+    [ours] = codec.encode_blocks([data], params, SMALL_CAPS)
+    assert ours == golden, f"{name}: {len(ours)} vs {len(golden)}"
+    [out] = codec.decode_blocks([golden], params, SMALL_CAPS)
+    assert out == data
+
+
+def test_nl_remap_and_factors():
+    """-x remap and magic-factor paths against the spec."""
+    data = (GOLDEN / "text_tiny.bin").read_bytes()
+    for pname in ("t2_w1_x", "t8_w2_m0"):
+        params = X3Params(**PARAMSETS[pname])
+        [ours] = codec.encode_blocks([data], params, SMALL_CAPS)
+        want = spec.encode(data, params)
+        assert ours == want, pname
+
+
+def test_capacity_overflow_raises():
+    caps = CodecCaps(dict_cap=4, pair_cap=8, ctx_items_cap=4, block_bytes=4096)
+    data = (GOLDEN / "text_tiny.bin").read_bytes()
+    with pytest.raises(codec.X3CapacityError):
+        codec.encode_blocks([data], SMALL_PARAMS, caps)
