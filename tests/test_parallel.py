@@ -1,0 +1,93 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded codec
+execution, container format, wave scheduling, auto-retry."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from x3tpu import codec, spec
+from x3tpu.config import CodecCaps, X3Params
+from x3tpu.parallel import blocks as blk
+from x3tpu.parallel import mesh as meshmod
+from x3tpu.parallel import runtime
+
+PARAMS = X3Params(max_match_count=4, window=1024)
+CAPS = CodecCaps(dict_cap=512, pair_cap=4096, ctx_items_cap=128, block_bytes=4096)
+
+
+def _blocks(n, size=1800, seed=0):
+    rng = np.random.default_rng(seed)
+    base = (b"the quick brown fox jumps over the lazy dog. " * 200)
+    out = []
+    for i in range(n):
+        start = int(rng.integers(0, 100))
+        out.append(base[start : start + size])
+    return out
+
+
+def test_container_roundtrip():
+    payloads = [b"abc", b"", b"payload-two"]
+    lens = [10, 0, 22]
+    c = blk.pack_container(payloads, lens, 4096)
+    assert blk.is_container(c)
+    p2, l2, bs = blk.unpack_container(c)
+    assert p2 == payloads and l2 == lens and bs == 4096
+
+
+def test_split_blocks():
+    data = bytes(range(10))
+    assert blk.split_blocks(data, 4) == [data[0:4], data[4:8], data[8:10]]
+    assert blk.split_blocks(b"", 4) == [b""]
+
+
+def test_sharded_encode_matches_unsharded():
+    """8 blocks sharded over the 8-device CPU mesh produce bit-identical
+    streams to the single-device path."""
+    mesh = meshmod.make_mesh()
+    assert mesh.devices.size == 8, "conftest should provide 8 CPU devices"
+    blocks = _blocks(8)
+    text, tlen = codec.pack_blocks(blocks, PARAMS, CAPS)
+    w_s, l_s, _, _, of_s = meshmod.encode_sharded(text, tlen, PARAMS, CAPS, mesh)
+    w_u, l_u, _, _, of_u = codec.encode_blocks_jit(
+        jax.numpy.asarray(text), jax.numpy.asarray(tlen), PARAMS, CAPS
+    )
+    assert not bool(of_s.any_flag().any())
+    np.testing.assert_array_equal(np.asarray(l_s), np.asarray(l_u))
+    np.testing.assert_array_equal(np.asarray(w_s), np.asarray(w_u))
+
+
+def test_runtime_compress_decompress_container():
+    data = b"".join(_blocks(5, 1500))
+    mesh = meshmod.make_mesh()
+    out = runtime.compress(data, PARAMS, block_bytes=2048, caps=CAPS, mesh=mesh)
+    assert blk.is_container(out)
+    back = runtime.decompress(out, PARAMS, caps=CAPS, mesh=mesh)
+    assert back == data
+
+
+def test_runtime_single_block_is_reference_format():
+    data = _blocks(1, 1200)[0]
+    out = runtime.compress(data, PARAMS, caps=CAPS)
+    assert not blk.is_container(out)
+    assert out == spec.encode(data, PARAMS)
+    assert runtime.decompress(out, PARAMS, caps=CAPS) == data
+
+
+def test_runtime_capacity_autoretry():
+    tiny = CodecCaps(dict_cap=8, pair_cap=16, ctx_items_cap=8, block_bytes=4096)
+    data = _blocks(1, 3000)[0]
+    out = runtime.compress(data, PARAMS, caps=tiny)
+    assert out == spec.encode(data, PARAMS)
+
+
+def test_runtime_stats():
+    data = _blocks(1, 2000)[0]
+    stats_box = []
+    out = runtime.compress(data, PARAMS, caps=CAPS, stats_out=stats_box)
+    st = stats_box[0]
+    assert st.dict_hits + int(st.events[3]) > 0
+    est = st.estimated_bytes
+    assert abs(est - len(out)) / len(out) < 0.05
+    rep = st.report(len(data), len(out), 0.1)
+    assert "compression ratio" in rep

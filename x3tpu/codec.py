@@ -82,6 +82,7 @@ class EncCarry(NamedTuple):
     enc: acm.AcEnc
     sink: bitio.BitSink
     counts: jax.Array   # i32 [L, 5] event counters (stats, x3.c:42)
+    sizes: jax.Array    # f32 [L, 5] estimated coded bits (stats, x3.c:43)
     pair_of: jax.Array  # bool [L]
 
 
@@ -94,6 +95,11 @@ def _init_shared(lanes: int, caps: CodecCaps):
     ch = jnp.ones((lanes, 256), I32)
     ix = jnp.zeros((lanes, caps.dict_cap), I32)
     return d, ctx0, ctx1, ev, ms, ch, ix
+
+
+def _bits(prob: jax.Array) -> jax.Array:
+    """prob_to_bits (x3.c:52-55): f32 -log2."""
+    return -jnp.log2(jnp.maximum(prob, jnp.float32(1e-38)))
 
 
 def _nl(dlen: jax.Array, params: X3Params) -> jax.Array:
@@ -143,8 +149,10 @@ def _hit_mode_stats(carry: EncCarry, tag: jax.Array, rank: jax.Array):
     take1 = prob1 > best
     mode = jnp.where(take1, E_CTX1, mode)
 
+    best = jnp.where(take1, prob1, best)
+
     return dict(
-        mode=mode,
+        mode=mode, best_prob=best,
         v0=v0, f0=f0, pos0=pos0, low0=low0, span0=span0, tot0=tot0,
         v1=v1, f1=f1, pos1=pos1, low1=low1, span1=span1, tot1=tot1,
         ixlow=ixlow, ixspan=ixspan, ixtot=ixtot,
@@ -158,23 +166,26 @@ def _literal_encode_loop(carry, miss, mlen):
     lane = jnp.arange(lanes, dtype=I32)
 
     def cond(c):
-        k, _, _, _ = c
+        k = c[0]
         return jnp.any(miss & (k < mlen))
 
     def body(c):
-        k, ch, enc, sink = c
+        k, ch, enc, sink, nbits = c
         act = miss & (k < mlen)
         byte = carry.text[lane, jnp.minimum(carry.p + k, carry.text.shape[1] - 1)]
         sym = byte.astype(I32)
         low, span, tot = am.model_encode_stats(ch, sym)
         enc, sink = acm.ac_encode(enc, sink, low, low + span, tot, act)
         ch = am.model_inc(ch, sym, act)
-        return k + 1, ch, enc, sink
+        nbits = nbits + jnp.where(act, _bits(am.f32_prob(span, tot)), 0.0)
+        return k + 1, ch, enc, sink, nbits
 
-    _, ch, enc, sink = jax.lax.while_loop(
-        cond, body, (jnp.zeros((), I32), carry.ch, carry.enc, carry.sink)
+    _, ch, enc, sink, nbits = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((), I32), carry.ch, carry.enc, carry.sink,
+         jnp.zeros((miss.shape[0],), jnp.float32)),
     )
-    return ch, enc, sink
+    return ch, enc, sink, nbits
 
 
 def _enc_body(carry: EncCarry, params: X3Params) -> EncCarry:
@@ -227,8 +238,17 @@ def _enc_body(carry: EncCarry, params: X3Params) -> EncCarry:
     ms = am.model_inc(carry.ms, mlen - 1, miss)
 
     # (6) literal bytes (miss lanes)
-    ch, enc, sink = _literal_encode_loop(
+    ch, enc, sink, lit_bits = _literal_encode_loop(
         carry._replace(enc=enc, sink=sink), miss, mlen
+    )
+
+    # stats: hit events log the product probability once (x3.c:192-193);
+    # E_NEW logs event + length + byte bits separately (x3.c:253-264)
+    ev_bits = _bits(am.f32_prob(espan, etot))
+    ms_bits = _bits(am.f32_prob(msspan, mstot))
+    hit_bits = _bits(st["best_prob"])
+    sizes = carry.sizes.at[lane, esym].add(
+        jnp.where(hit, hit_bits, jnp.where(miss, ev_bits + ms_bits + lit_bits, 0.0))
     )
 
     # (7) dictionary update: MTF on hit; insert on miss unless duplicate
@@ -257,15 +277,15 @@ def _enc_body(carry: EncCarry, params: X3Params) -> EncCarry:
 
     return EncCarry(
         carry.text, carry.tlen, p, prev_c1, c1, d, ctx0, ctx1, pair_n,
-        ev, ms, ch, ix, enc, sink, counts_arr, pair_of,
+        ev, ms, ch, ix, enc, sink, counts_arr, sizes, pair_of,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("params", "caps"))
-def encode_blocks_jit(
+def encode_lanes(
     text: jax.Array, tlen: jax.Array, params: X3Params, caps: CodecCaps
 ):
-    """Compress L independent blocks.
+    """Compress L independent blocks (un-jitted core; wrap in jit or
+    shard_map).
 
     ``text`` u8 [L, TB] must be zero-padded with at least
     max(window, 32) bytes past each block's length (x3.c:579/590).
@@ -285,6 +305,7 @@ def encode_blocks_jit(
         enc=acm.enc_init(lanes),
         sink=bitio.sink_init(lanes, caps.out_words),
         counts=jnp.zeros((lanes, E_LAST), I32),
+        sizes=jnp.zeros((lanes, E_LAST), jnp.float32),
         pair_of=jnp.zeros((lanes,), jnp.bool_),
     )
 
@@ -308,7 +329,12 @@ def encode_blocks_jit(
         pairs=carry.pair_of,
         out=sink.overflow,
     )
-    return sink.words, bitio.sink_byte_len(sink), carry.counts, overflow
+    return sink.words, bitio.sink_byte_len(sink), carry.counts, carry.sizes, overflow
+
+
+encode_blocks_jit = functools.partial(
+    jax.jit(encode_lanes, static_argnames=("params", "caps"))
+)
 
 
 # ---------------------------------------------------------------------------
@@ -333,6 +359,7 @@ class DecCarry(NamedTuple):
     dec: acm.AcDec
     src: bitio.BitSource
     counts: jax.Array
+    sizes: jax.Array
     pair_of: jax.Array
     out_of: jax.Array   # bool [L]
 
@@ -361,25 +388,28 @@ def _literal_decode_loop(carry: DecCarry, is_new: jax.Array, length: jax.Array):
         return jnp.any(is_new & (k < length))
 
     def body(c):
-        k, frag, ch, dec, src = c
+        k, frag, ch, dec, src, nbits = c
         act = is_new & (k < length)
         tot = jnp.sum(ch, axis=1)
         step, value = acm.ac_decode_value(dec, tot)
         sym, low, span = am.model_decode_sym(ch, value)
         dec, src = acm.ac_decode_update(dec, src, step, low, low + span, act)
         ch = am.model_inc(ch, sym, act)
+        nbits = nbits + jnp.where(act, _bits(am.f32_prob(span, tot)), 0.0)
         lane = jnp.arange(lanes, dtype=I32)
         frag = frag.at[lane, jnp.minimum(k, MAX_MATCH_LEN - 1)].set(
             jnp.where(act, sym.astype(U8), frag[lane, jnp.minimum(k, MAX_MATCH_LEN - 1)])
         )
-        return k + 1, frag, ch, dec, src
+        return k + 1, frag, ch, dec, src, nbits
 
     k0 = jnp.zeros((), I32)
     frag0 = jnp.zeros((lanes, MAX_MATCH_LEN), U8)
-    _, frag, ch, dec, src = jax.lax.while_loop(
-        cond, body, (k0, frag0, carry.ch, carry.dec, carry.src)
+    _, frag, ch, dec, src, nbits = jax.lax.while_loop(
+        cond, body,
+        (k0, frag0, carry.ch, carry.dec, carry.src,
+         jnp.zeros((lanes,), jnp.float32)),
     )
-    return frag, ch, dec, src
+    return frag, ch, dec, src, nbits
 
 
 def _dec_body(carry: DecCarry, params: X3Params) -> DecCarry:
@@ -411,7 +441,7 @@ def _dec_body(carry: DecCarry, params: X3Params) -> DecCarry:
     length_new = lsym + 1
 
     # (3) E_NEW: fragment bytes
-    frag, ch, dec, src = _literal_decode_loop(
+    frag, ch, dec, src, lit_bits = _literal_decode_loop(
         carry._replace(dec=dec, src=src), is_new, length_new
     )
 
@@ -442,6 +472,16 @@ def _dec_body(carry: DecCarry, params: X3Params) -> DecCarry:
     pspan = jnp.where(is0, span0d, jnp.where(is1, span1d, ixspand))
     dec, src = acm.ac_decode_update(dec, src, step, plow, plow + pspan, hit)
     ix = am.model_inc(carry.ix, rankd, isx)
+
+    # stats mirror (x3.c:294, x3.c:78-96, x3.c:275-281)
+    ev_bits = _bits(am.f32_prob(espan, etot))
+    ms_bits = _bits(am.f32_prob(lsspan, mstot))
+    pay_bits = _bits(am.f32_prob(pspan, jnp.maximum(ptot, 1)))
+    sizes = carry.sizes.at[lane, esym].add(
+        jnp.where(hit, ev_bits + pay_bits,
+                  jnp.where(is_new, ev_bits + ms_bits + lit_bits,
+                            jnp.where(eof, ev_bits, 0.0)))
+    )
 
     # (5) context updates for hits (decode mirror, x3.c:99-127)
     f0u, pos0u, _ = cm.ctx_find(carry.ctx0, v0, tag_hit)
@@ -480,15 +520,14 @@ def _dec_body(carry: DecCarry, params: X3Params) -> DecCarry:
 
     return DecCarry(
         out, opos, done, prev_c1, c1, d, ctx0, ctx1, pair_n,
-        ev, ms, ch, ix, dec, src, counts_arr, pair_of, out_of,
+        ev, ms, ch, ix, dec, src, counts_arr, sizes, pair_of, out_of,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("params", "caps"))
-def decode_blocks_jit(
+def decode_lanes(
     words: jax.Array, byte_lens: jax.Array, params: X3Params, caps: CodecCaps
 ):
-    """Decompress L independent streams (words u32 [L, IW]).
+    """Decompress L independent streams (words u32 [L, IW]; un-jitted core).
 
     Returns (out u8 [L, OB], out_lens i32 [L], counts [L, 5], overflow)."""
     lanes = words.shape[0]
@@ -506,6 +545,7 @@ def decode_blocks_jit(
         ev=ev, ms=ms, ch=ch, ix=ix,
         dec=dec, src=src,
         counts=jnp.zeros((lanes, E_LAST), I32),
+        sizes=jnp.zeros((lanes, E_LAST), jnp.float32),
         pair_of=jnp.zeros((lanes,), jnp.bool_),
         out_of=jnp.zeros((lanes,), jnp.bool_),
     )
@@ -522,7 +562,12 @@ def decode_blocks_jit(
         pairs=carry.pair_of,
         out=carry.out_of,
     )
-    return carry.out, carry.opos, carry.counts, overflow
+    return carry.out, carry.opos, carry.counts, carry.sizes, overflow
+
+
+decode_blocks_jit = functools.partial(
+    jax.jit(decode_lanes, static_argnames=("params", "caps"))
+)
 
 
 # ---------------------------------------------------------------------------
@@ -573,7 +618,7 @@ def encode_blocks(
     """Compress a batch of independent blocks; each result is a standalone
     reference-format x3 stream."""
     text, tlen = pack_blocks(blocks, params, caps)
-    words, byte_lens, _, overflow = encode_blocks_jit(
+    words, byte_lens, _, _, overflow = encode_blocks_jit(
         jnp.asarray(text), jnp.asarray(tlen), params, caps
     )
     _check_overflow(overflow)
@@ -599,7 +644,7 @@ def decode_blocks(
         arr = np.frombuffer(s + b"\x00" * pad, "<u4")
         words[i, : len(arr)] = arr
         byte_lens[i] = len(s)
-    out, out_lens, _, overflow = decode_blocks_jit(
+    out, out_lens, _, _, overflow = decode_blocks_jit(
         jnp.asarray(words), jnp.asarray(byte_lens), params, caps
     )
     _check_overflow(overflow)

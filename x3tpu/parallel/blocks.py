@@ -1,0 +1,77 @@
+"""Block splitting and the multi-block container format.
+
+A single-block compression is a *raw* reference-format x3 stream (fully
+interoperable with the reference binary in both directions).  Multi-block
+output wraps per-block reference-format payloads in a thin container so the
+decoder knows block boundaries and exact decoded sizes:
+
+    magic  "X3TC" (4)            — container marker
+    ver    u8 = 1
+    flags  u8                    — reserved
+    nblk   u16                   — reserved (0)
+    count  u32                   — number of blocks
+    block  u32                   — nominal uncompressed block size
+    table  count x (orig_len u32, comp_len u32)
+    payloads, concatenated in block order (each a raw x3 stream)
+
+All integers little-endian.  The container is this framework's own framing
+(the reference format is headerless and single-stream); payloads stay
+bit-identical to what the reference binary would emit for each block.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Sequence, Tuple
+
+MAGIC = b"X3TC"
+VERSION = 1
+_HEADER = struct.Struct("<4sBBHII")
+_ENTRY = struct.Struct("<II")
+
+
+def split_blocks(data: bytes, block_bytes: int) -> List[bytes]:
+    """Split an input into independent blocks (last may be short)."""
+    if block_bytes <= 0:
+        raise ValueError("block_bytes must be positive")
+    if not data:
+        return [b""]
+    return [data[i : i + block_bytes] for i in range(0, len(data), block_bytes)]
+
+
+def pack_container(
+    payloads: Sequence[bytes], orig_lens: Sequence[int], block_bytes: int
+) -> bytes:
+    parts = [
+        _HEADER.pack(MAGIC, VERSION, 0, 0, len(payloads), block_bytes)
+    ]
+    for o, p in zip(orig_lens, payloads):
+        parts.append(_ENTRY.pack(o, len(p)))
+    parts.extend(payloads)
+    return b"".join(parts)
+
+
+def is_container(data: bytes) -> bool:
+    return data[:4] == MAGIC
+
+
+def unpack_container(data: bytes) -> Tuple[List[bytes], List[int], int]:
+    """Returns (payloads, orig_lens, block_bytes)."""
+    magic, ver, _flags, _r, count, block_bytes = _HEADER.unpack_from(data, 0)
+    if magic != MAGIC:
+        raise ValueError("not an x3tpu container")
+    if ver != VERSION:
+        raise ValueError(f"unsupported container version {ver}")
+    off = _HEADER.size
+    table = []
+    for _ in range(count):
+        table.append(_ENTRY.unpack_from(data, off))
+        off += _ENTRY.size
+    payloads, orig_lens = [], []
+    for orig, comp in table:
+        payloads.append(data[off : off + comp])
+        orig_lens.append(orig)
+        off += comp
+    if off != len(data):
+        raise ValueError("container length mismatch")
+    return payloads, orig_lens, block_bytes

@@ -1,0 +1,232 @@
+"""High-level compression runtime: block splitting, capacity heuristics,
+wave scheduling over the mesh, overflow auto-retry, in-order gather.
+
+This is the x3tpu equivalent of the reference's main() driver
+(x3.c:479-702) scaled to a device mesh; per-block payloads remain
+reference-format streams.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from x3tpu import codec
+from x3tpu.config import CodecCaps, MAX_MATCH_LEN, X3Params
+from x3tpu.parallel import blocks as blk
+from x3tpu.parallel import mesh as meshmod
+from x3tpu.utils.stats import CodecStats
+
+
+def _pow2(n: int) -> int:
+    return 1 << max(0, (n - 1)).bit_length()
+
+
+def caps_for_block(block_bytes: int, ratio_hint: float = 1.0) -> CodecCaps:
+    """Heuristic capacities for a block size, from measured state growth on
+    text (17 KB source text -> dict 372, pairs 2522, hub ctx ~150 items;
+    see SURVEY.md §7 hard part #2).  Overflow auto-retry covers the tail."""
+    d = int(np.clip(_pow2(block_bytes // 8), 1 << 10, 1 << 16))
+    return CodecCaps(
+        dict_cap=d,
+        pair_cap=min(8 * d, 1 << 18),
+        ctx_items_cap=256,
+        block_bytes=block_bytes,
+    )
+
+
+@dataclasses.dataclass
+class RunResult:
+    payloads: List[bytes]
+    stats: CodecStats
+
+
+def _wave_lanes(nblocks: int, mesh) -> int:
+    """Lanes per wave: a multiple of the mesh size covering the blocks."""
+    nd = mesh.devices.size if mesh is not None else 1
+    return int(math.ceil(nblocks / nd)) * nd
+
+
+def encode_wave(
+    blocks_in: Sequence[bytes],
+    params: X3Params,
+    caps: CodecCaps,
+    mesh=None,
+    max_retries: int = 3,
+) -> RunResult:
+    """Encode one wave of blocks (padded to the mesh), with capacity
+    auto-retry: any lane overflow re-runs the wave at doubled capacities
+    (recompiles, but preserves exact reference-format output)."""
+    nblocks = len(blocks_in)
+    lanes = _wave_lanes(nblocks, mesh)
+    padded = list(blocks_in) + [b""] * (lanes - nblocks)
+    for attempt in range(max_retries + 1):
+        text, tlen = codec.pack_blocks(padded, params, caps)
+        try:
+            if mesh is not None:
+                words, byte_lens, counts, sizes, overflow = meshmod.encode_sharded(
+                    text, tlen, params, caps, mesh
+                )
+            else:
+                words, byte_lens, counts, sizes, overflow = codec.encode_blocks_jit(
+                    jax.numpy.asarray(text), jax.numpy.asarray(tlen), params, caps
+                )
+            codec._check_overflow(overflow)
+            break
+        except codec.X3CapacityError:
+            if attempt == max_retries:
+                raise
+            caps = caps.scaled(2)
+    words_np = np.asarray(words)
+    lens_np = np.asarray(byte_lens)
+    payloads = [
+        words_np[i].astype("<u4").tobytes()[: lens_np[i]] for i in range(nblocks)
+    ]
+    stats = CodecStats.from_arrays(
+        np.asarray(counts)[:nblocks], np.asarray(sizes)[:nblocks]
+    )
+    return RunResult(payloads, stats)
+
+
+def decode_wave(
+    payloads: Sequence[bytes],
+    orig_lens: Sequence[int],
+    params: X3Params,
+    caps: CodecCaps,
+    mesh=None,
+    max_retries: int = 3,
+) -> RunResult:
+    nblocks = len(payloads)
+    lanes = _wave_lanes(nblocks, mesh)
+    iw = max(1, max(((len(s) + 3) // 4 for s in payloads), default=1))
+    words = np.zeros((lanes, iw), np.uint32)
+    byte_lens = np.zeros((lanes,), np.int32)
+    for i, s in enumerate(payloads):
+        pad = (-len(s)) % 4
+        arr = np.frombuffer(s + b"\x00" * pad, "<u4")
+        words[i, : len(arr)] = arr
+        byte_lens[i] = len(s)
+    # empty-pad lanes hold a stream that decodes to nothing? an empty input
+    # stream reads sentinel words and may decode garbage -- mark them done
+    # by giving them the 4-byte empty-input stream.
+    if lanes > nblocks:
+        from x3tpu import spec
+
+        empty = np.frombuffer(spec.encode(b""), "<u4")
+        for i in range(nblocks, lanes):
+            words[i, : len(empty)] = empty
+            byte_lens[i] = 4 * len(empty)
+
+    for attempt in range(max_retries + 1):
+        try:
+            if mesh is not None:
+                out, out_lens, counts, sizes, overflow = meshmod.decode_sharded(
+                    words, byte_lens, params, caps, mesh
+                )
+            else:
+                out, out_lens, counts, sizes, overflow = codec.decode_blocks_jit(
+                    jax.numpy.asarray(words), jax.numpy.asarray(byte_lens),
+                    params, caps,
+                )
+            codec._check_overflow(overflow)
+            break
+        except codec.X3CapacityError as e:
+            if attempt == max_retries:
+                raise
+            caps = caps.scaled(2)
+            if "out" in e.flags:
+                caps = dataclasses.replace(caps, block_bytes=caps.block_bytes * 2)
+    out_np = np.asarray(out)
+    lens_np = np.asarray(out_lens)
+    results = []
+    for i in range(nblocks):
+        n = lens_np[i]
+        if orig_lens and orig_lens[i] is not None and orig_lens[i] != n:
+            raise ValueError(
+                f"block {i}: decoded {n} bytes, expected {orig_lens[i]}"
+            )
+        results.append(out_np[i, :n].tobytes())
+    stats = CodecStats.from_arrays(
+        np.asarray(counts)[:nblocks], np.asarray(sizes)[:nblocks]
+    )
+    return RunResult(results, stats)
+
+
+def compress(
+    data: bytes,
+    params: X3Params = X3Params(),
+    block_bytes: Optional[int] = None,
+    caps: Optional[CodecCaps] = None,
+    mesh=None,
+    force_container: bool = False,
+    stats_out: Optional[list] = None,
+) -> bytes:
+    """Compress ``data``.  Single block -> raw reference-format stream
+    (interoperable with the reference binary); multiple blocks -> container
+    with per-block reference-format payloads."""
+    if block_bytes is None:
+        block_bytes = max(len(data), 1)
+    parts = blk.split_blocks(data, block_bytes)
+    if caps is None:
+        caps = caps_for_block(
+            min(block_bytes, max(len(max(parts, key=len)), 1024))
+        )
+    all_payloads: List[bytes] = []
+    all_stats = CodecStats.zero()
+    wave = _wave_lanes(len(parts), mesh) if mesh is not None else len(parts)
+    wave = max(wave, 1)
+    for i in range(0, len(parts), wave):
+        res = encode_wave(parts[i : i + wave], params, caps, mesh)
+        all_payloads.extend(res.payloads)
+        all_stats = all_stats.merge(res.stats)
+    if stats_out is not None:
+        stats_out.append(all_stats)
+    if len(all_payloads) == 1 and not force_container:
+        return all_payloads[0]
+    return blk.pack_container(
+        all_payloads, [len(p) for p in parts], block_bytes
+    )
+
+
+def decompress(
+    data: bytes,
+    params: X3Params = X3Params(),
+    caps: Optional[CodecCaps] = None,
+    mesh=None,
+    max_output: Optional[int] = None,
+    stats_out: Optional[list] = None,
+) -> bytes:
+    """Decompress raw reference-format streams or x3tpu containers."""
+    if blk.is_container(data):
+        payloads, orig_lens, block_bytes = blk.unpack_container(data)
+        caps = caps or caps_for_block(max(block_bytes, 1024))
+        if caps.block_bytes < block_bytes:
+            caps = dataclasses.replace(caps, block_bytes=block_bytes)
+        out_parts: List[bytes] = []
+        all_stats = CodecStats.zero()
+        wave = _wave_lanes(len(payloads), mesh) if mesh is not None else len(payloads)
+        wave = max(wave, 1)
+        for i in range(0, len(payloads), wave):
+            res = decode_wave(
+                payloads[i : i + wave], orig_lens[i : i + wave], params, caps, mesh
+            )
+            out_parts.extend(res.payloads)
+            all_stats = all_stats.merge(res.stats)
+        if stats_out is not None:
+            stats_out.append(all_stats)
+        return b"".join(out_parts)
+    # raw stream: output size unknown a priori (headerless format).  Start
+    # from a 64:1 guess like the reference (x3.c:621) but *retry* on
+    # overflow instead of crashing.
+    guess = max_output or max(64 * len(data), 1 << 16)
+    caps = caps or caps_for_block(guess)
+    if caps.block_bytes < guess:
+        caps = dataclasses.replace(caps, block_bytes=guess)
+    res = decode_wave([data], [None], params, caps, mesh)
+    if stats_out is not None:
+        stats_out.append(res.stats)
+    return res.payloads[0]
