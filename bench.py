@@ -1,0 +1,95 @@
+"""Benchmark harness: lane-parallel encode throughput on real hardware.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference C binary encodes source text at ~0.12 MB/s on one
+x86-64 core at default parameters (BASELINE.md §B, measured via the
+binary's own codec-loop timer).  This harness times our codec's steady-
+state encode on the same kind of workload (deterministic source-text
+corpus, default -t 15 -w 8), lane-parallel on whatever device JAX provides
+(TPU under the driver; CPU in dev runs), round-trip-verified.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+BASELINE_ENCODE_MBS = 0.12  # BASELINE.md: reference encode, source text
+
+
+def build_corpus(total: int) -> bytes:
+    """Deterministic source-text-like corpus (reference C sources repeated;
+    same flavor of data as the baseline measurement)."""
+    src = Path("/root/reference")
+    parts = []
+    if src.exists():
+        for f in sorted(src.glob("*.c")) + sorted(src.glob("*.md")):
+            parts.append(f.read_bytes())
+    if not parts:  # fallback: synthetic text
+        parts = [(b"int main(void) { return compress(buf, %d); }\n" % i)
+                 for i in range(1000)]
+    blob = b"".join(parts)
+    reps = total // len(blob) + 1
+    return (blob * reps)[:total]
+
+
+def main() -> int:
+    lanes = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    block_kib = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    from x3tpu import codec
+    from x3tpu.config import X3Params
+    from x3tpu.parallel.runtime import caps_for_block
+
+    block = block_kib * 1024
+    params = X3Params()  # reference defaults: -t 15 -w 8
+    caps = caps_for_block(block)
+    data = build_corpus(lanes * block)
+    blocks = [data[i * block : (i + 1) * block] for i in range(lanes)]
+
+    import jax
+    import jax.numpy as jnp
+
+    text, tlen = codec.pack_blocks(blocks, params, caps)
+    text_j, tlen_j = jnp.asarray(text), jnp.asarray(tlen)
+
+    # compile + warm up
+    out = codec.encode_blocks_jit(text_j, tlen_j, params, caps)
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    words, byte_lens, counts, sizes, overflow = codec.encode_blocks_jit(
+        text_j, tlen_j, params, caps
+    )
+    jax.block_until_ready(byte_lens)
+    dt = time.time() - t0
+
+    assert not bool(np.asarray(overflow.any_flag()).any()), "capacity overflow"
+
+    # verify round-trip on the device decoder
+    out_arr, out_lens, _, _, d_of = codec.decode_blocks_jit(
+        words, byte_lens, params, caps
+    )
+    out_np = np.asarray(out_arr)
+    lens_np = np.asarray(out_lens)
+    for i, b in enumerate(blocks):
+        assert out_np[i, : lens_np[i]].tobytes() == b, f"round-trip fail {i}"
+
+    mbs = len(data) / dt / 1e6
+    print(json.dumps({
+        "metric": "encode_throughput_default_params",
+        "value": round(mbs, 4),
+        "unit": "MB/s",
+        "vs_baseline": round(mbs / BASELINE_ENCODE_MBS, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
