@@ -82,3 +82,14 @@ def test_capacity_overflow_raises():
     data = (GOLDEN / "text_tiny.bin").read_bytes()
     with pytest.raises(codec.X3CapacityError):
         codec.encode_blocks([data], SMALL_PARAMS, caps)
+
+
+def test_decode_write_at_buffer_edge():
+    """Regression: a fragment write that exactly reaches the output-buffer
+    end must not lose its last byte (scatter duplicate-index clipping)."""
+    caps = CodecCaps(dict_cap=256, pair_cap=1024, ctx_items_cap=64,
+                     block_bytes=1024)
+    data = (b"edge case payload " * 64)[:1024]  # fills the buffer exactly
+    [stream] = codec.encode_blocks([data], SMALL_PARAMS, caps)
+    [out] = codec.decode_blocks([stream], SMALL_PARAMS, caps)
+    assert out == data

@@ -368,15 +368,21 @@ def _scatter_bytes(
     out: jax.Array, opos: jax.Array, data: jax.Array, length: jax.Array,
     active: jax.Array,
 ) -> jax.Array:
-    """out[l, opos[l]+j] = data[l, j] for j < length[l], masked by lane."""
+    """out[l, opos[l]+j] = data[l, j] for j < length[l], masked by lane.
+
+    Indices are left unclipped and out-of-bounds writes dropped: clipping
+    would alias several j onto the last slot and a masked no-op write could
+    then clobber a real byte at the buffer edge (scatter duplicate order is
+    unspecified)."""
     lanes, width = data.shape
     OB = out.shape[1]
     j = jnp.arange(width, dtype=I32)[None, :]
-    idx = jnp.minimum(opos[:, None] + j, OB - 1)
     mask = active[:, None] & (j < length[:, None])
+    idx = jnp.where(mask, opos[:, None] + j, OB)  # OB = dropped
     lane = jnp.arange(lanes, dtype=I32)[:, None]
-    cur = out[lane, idx]
-    return out.at[lane, idx].set(jnp.where(mask, data, cur))
+    safe_idx = jnp.minimum(idx, OB - 1)
+    cur = out[lane, safe_idx]
+    return out.at[lane, idx].set(jnp.where(mask, data, cur), mode="drop")
 
 
 def _literal_decode_loop(carry: DecCarry, is_new: jax.Array, length: jax.Array):
