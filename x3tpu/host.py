@@ -1,0 +1,105 @@
+"""ctypes bindings for the native host codec (native/x3host.cpp).
+
+The shared library is built on demand with g++ (no pip deps; the image has
+no pybind11).  Used as the CPU fallback path for small inputs and as the
+at-scale bit-exactness oracle in tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+from typing import Optional
+
+from x3tpu.config import X3Params
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+_SRC = _ROOT / "native" / "x3host.cpp"
+_LIB = _ROOT / "native" / "libx3host.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+
+
+class HostCodecUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+        str(_SRC), "-o", str(_LIB),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        detail = getattr(e, "stderr", b"")
+        raise HostCodecUnavailable(
+            f"cannot build native host codec: {e}\n{detail!r}"
+        )
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            _build()
+        lib = ctypes.CDLL(str(_LIB))
+        lib.x3h_encode.restype = ctypes.c_int
+        lib.x3h_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.x3h_decode.restype = ctypes.c_int
+        lib.x3h_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.x3h_free.restype = None
+        lib.x3h_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        _lib = lib
+        return lib
+
+
+def _take(lib, out_ptr, out_size) -> bytes:
+    try:
+        return ctypes.string_at(out_ptr, out_size.value)
+    finally:
+        lib.x3h_free(out_ptr)
+
+
+def encode(data: bytes, params: X3Params = X3Params()) -> bytes:
+    """Reference-format compress on the host CPU."""
+    lib = _load()
+    out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    out_size = ctypes.c_size_t()
+    rc = lib.x3h_encode(
+        data, len(data), params.max_match_count, params.window,
+        params.magic_factor1, params.magic_factor2,
+        1 if params.nl_remap else 0,
+        ctypes.byref(out_ptr), ctypes.byref(out_size),
+    )
+    if rc != 0:
+        raise RuntimeError(f"x3h_encode failed: {rc}")
+    return _take(lib, out_ptr, out_size)
+
+
+def decode(data: bytes, max_output: Optional[int] = None) -> bytes:
+    """Reference-format decompress on the host CPU."""
+    lib = _load()
+    out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    out_size = ctypes.c_size_t()
+    cap = max_output if max_output is not None else max(64 * len(data), 1 << 20)
+    rc = lib.x3h_decode(
+        data, len(data), cap, ctypes.byref(out_ptr), ctypes.byref(out_size)
+    )
+    if rc != 0:
+        raise RuntimeError(f"x3h_decode failed: {rc}")
+    return _take(lib, out_ptr, out_size)
