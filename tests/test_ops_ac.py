@@ -144,3 +144,64 @@ def test_ac_encode_decode_matches_spec(seed):
             jnp.asarray(active),
         )
         freqs[np.arange(lanes)[active], sym[active]] += 1
+
+
+def test_ac_closed_form_stress_skewed():
+    """Adversarial: heavily skewed adaptive models maximize E3 underflow
+    chains and long renorm runs; closed-form must match the spec coder."""
+    rng = np.random.default_rng(99)
+    lanes = 2
+    alpha = 3
+    # skewed: mostly symbol 0, rare 1/2 -> tiny intervals, long runs
+    seqs = [rng.choice([0, 0, 0, 0, 0, 0, 0, 1, 2], size=400) for _ in range(lanes)]
+
+    spec_streams = []
+    for lane in range(lanes):
+        w = spec.BitWriter()
+        e = spec.ArithEncoder(w)
+        m = spec.AdaptiveModel(alpha, (1000, 1, 1))
+        for s in seqs[lane]:
+            e.encode_symbol(m, int(s))
+            m.inc(int(s))
+        e.flush()
+        spec_streams.append(w.close())
+
+    sink = bitio.sink_init(lanes, 128)
+    enc = jac.enc_init(lanes)
+    freqs = np.tile(np.asarray([1000, 1, 1], np.int32), (lanes, 1))
+    for i in range(400):
+        sym = np.asarray([seqs[l][i] for l in range(lanes)])
+        low_f = np.asarray([freqs[l, : sym[l]].sum() for l in range(lanes)], np.int32)
+        high_f = low_f + freqs[np.arange(lanes), sym]
+        total = freqs.sum(axis=1).astype(np.int32)
+        enc, sink = _ac_encode(
+            enc, sink, jnp.asarray(low_f), jnp.asarray(high_f),
+            jnp.asarray(total), jnp.ones((lanes,), bool),
+        )
+        freqs[np.arange(lanes), sym] += 1
+    sink = _ac_flush(enc, sink, jnp.ones((lanes,), jnp.bool_))
+    for lane in range(lanes):
+        assert _sink_bytes(sink, lane) == spec_streams[lane], f"lane {lane}"
+
+    # decode side
+    src = bitio.source_init(sink.words, bitio.sink_byte_len(sink))
+    dec, src = jac.dec_init(src, lanes)
+    freqs = np.tile(np.asarray([1000, 1, 1], np.int32), (lanes, 1))
+    for i in range(400):
+        total = freqs.sum(axis=1).astype(np.int32)
+        step, value = jac.ac_decode_value(dec, jnp.asarray(total))
+        value_np = np.asarray(value)
+        cum = np.cumsum(np.concatenate([np.zeros((lanes, 1), np.int32), freqs], 1), 1)
+        sym = np.asarray([
+            np.searchsorted(cum[l], value_np[l], side="right") - 1
+            for l in range(lanes)
+        ])
+        for l in range(lanes):
+            assert sym[l] == seqs[l][i], f"lane {l} sym {i}"
+        low_f = np.asarray([cum[l, sym[l]] for l in range(lanes)], np.int32)
+        high_f = np.asarray([cum[l, sym[l] + 1] for l in range(lanes)], np.int32)
+        dec, src = _ac_decode_update(
+            dec, src, step, jnp.asarray(low_f), jnp.asarray(high_f),
+            jnp.ones((lanes,), bool),
+        )
+        freqs[np.arange(lanes), sym] += 1

@@ -108,3 +108,92 @@ def source_get_bit(
     used2 = used + jnp.where(active, 1, 0).astype(I32)
     out_bit = jnp.where(active, bit, 0)
     return BitSource(src.words, src.nwords, widx, acc2, used2), out_bit
+
+
+# ---------------------------------------------------------------------------
+# Word-level multi-bit I/O (closed-form renormalization support)
+# ---------------------------------------------------------------------------
+
+
+def bitrev32(x: jax.Array) -> jax.Array:
+    """Reverse the bits of each u32 (5-step butterfly)."""
+    x = ((x & 0x55555555) << 1) | ((x >> 1) & 0x55555555)
+    x = ((x & 0x33333333) << 2) | ((x >> 2) & 0x33333333)
+    x = ((x & 0x0F0F0F0F) << 4) | ((x >> 4) & 0x0F0F0F0F)
+    x = ((x & 0x00FF00FF) << 8) | ((x >> 8) & 0x00FF00FF)
+    return (x << 16) | (x >> 16)
+
+
+def _mask_u32(count: jax.Array) -> jax.Array:
+    """(1 << count) - 1 for count in [0, 32] without undefined shifts."""
+    c = jnp.minimum(count, 31).astype(U32)
+    m = (jnp.uint32(1) << c) - 1
+    return jnp.where(count >= 32, jnp.uint32(0xFFFFFFFF), m)
+
+
+def sink_put_bits(
+    sink: BitSink, value: jax.Array, count: jax.Array, active: jax.Array
+) -> BitSink:
+    """Append up to 32 bits per active lane in one step (LSB of ``value``
+    is emitted first, matching repeated sink_put_bit)."""
+    lanes = sink.lanes
+    cap = sink.words.shape[1]
+    lane = jnp.arange(lanes, dtype=I32)
+    cnt = jnp.where(active, count.astype(I32), 0)
+    v = value.astype(U32) & _mask_u32(cnt)
+
+    widx = sink.nbits >> 5
+    off = (sink.nbits & 31).astype(U32)
+
+    # first word: v << off (high bits beyond 32 naturally dropped)
+    idx1 = jnp.where(active & (cnt > 0) & (widx < cap), widx, cap)
+    safe1 = jnp.minimum(idx1, cap - 1)
+    cur1 = sink.words[lane, safe1]
+    words = sink.words.at[lane, idx1].set(cur1 | (v << off), mode="drop")
+
+    # spill word: v >> (32 - off); zero when off == 0 or no spill
+    sh = (jnp.uint32(32) - off) & 31
+    spill = jnp.where(off == 0, jnp.uint32(0), v >> sh)
+    widx2 = widx + 1
+    idx2 = jnp.where(active & (spill != 0) & (widx2 < cap), widx2, cap)
+    safe2 = jnp.minimum(idx2, cap - 1)
+    cur2 = words[lane, safe2]
+    words = words.at[lane, idx2].set(cur2 | spill, mode="drop")
+
+    end_bit = sink.nbits + cnt
+    overflow = sink.overflow | (active & (cnt > 0) & (end_bit > cap * 32))
+    return BitSink(words, end_bit, overflow)
+
+
+def source_get_bits(
+    src: BitSource, count: jax.Array, active: jax.Array
+) -> Tuple[BitSource, jax.Array]:
+    """Read up to 31 bits per active lane in one step (first stream bit in
+    the LSB, matching repeated source_get_bit).  At most one word reload."""
+    lanes = src.words.shape[0]
+    lane = jnp.arange(lanes, dtype=I32)
+    cnt = jnp.where(active, count.astype(I32), 0)
+
+    avail = 32 - src.used
+    take1 = jnp.minimum(cnt, avail)
+    r1 = src.acc & _mask_u32(take1)
+    acc1 = src.acc >> jnp.minimum(take1, 31).astype(U32)
+
+    rem = cnt - take1
+    need2 = rem > 0
+    widx_c = jnp.minimum(src.widx, src.words.shape[1] - 1)
+    loaded = jnp.where(src.widx < src.nwords, src.words[lane, widx_c], SENTINEL)
+    r2 = loaded & _mask_u32(rem)
+    acc2 = loaded >> jnp.minimum(rem, 31).astype(U32)
+
+    result = jnp.where(need2, r1 | (r2 << jnp.minimum(take1, 31).astype(U32)), r1)
+    acc = jnp.where(need2, acc2, acc1)
+    used = jnp.where(need2, rem, src.used + take1)
+    widx = src.widx + jnp.where(need2, 1, 0).astype(I32)
+
+    acc = jnp.where(active, acc, src.acc)
+    used = jnp.where(active, used, src.used)
+    widx = jnp.where(active, widx, src.widx)
+    return BitSource(src.words, src.nwords, widx, acc, used), jnp.where(
+        active, result, 0
+    )
