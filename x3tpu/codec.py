@@ -88,8 +88,14 @@ class EncCarry(NamedTuple):
 
 def _init_shared(lanes: int, caps: CodecCaps):
     d = dm.dict_init(lanes, caps.dict_cap)
-    ctx0 = cm.ctx_init(lanes, caps.dict_cap, caps.pair_cap, caps.ctx_items_cap)
-    ctx1 = cm.ctx_init(lanes, caps.dict_cap, caps.dict_cap, caps.ctx_items_cap)
+    ctx0 = cm.ctx_init(
+        lanes, caps.dict_cap, caps.pair_cap, caps.ctx0_items_cap,
+        with_pair=False,
+    )
+    ctx1 = cm.ctx_init(
+        lanes, caps.dict_cap, caps.dict_cap, caps.ctx_items_cap,
+        with_pair=True,
+    )
     ev = jnp.tile(jnp.asarray(EVENT_INIT_FREQS, I32)[None, :], (lanes, 1))
     ms = jnp.ones((lanes, MAX_MATCH_LEN), I32)
     ch = jnp.ones((lanes, 256), I32)

@@ -72,7 +72,8 @@ class CodecCaps:
 
     dict_cap: int = 1 << 12        # max dictionary entries (tags)
     pair_cap: int = 1 << 13       # max (tag,tag) pairs == ctx0 contexts
-    ctx_items_cap: int = 64        # max distinct successor tags per context
+    ctx_items_cap: int = 128       # max successor tags per order-1 context
+    ctx0_items_cap: int = 128      # max tags per non-hub order-2 context
     block_bytes: int = 1 << 20     # max uncompressed bytes per lane/block
     out_words_factor: int = 2      # compressed buffer headroom (x3.c:580: 2x)
 
@@ -87,6 +88,7 @@ class CodecCaps:
             dict_cap=self.dict_cap * factor,
             pair_cap=self.pair_cap * factor,
             ctx_items_cap=self.ctx_items_cap * factor,
+            ctx0_items_cap=self.ctx0_items_cap * factor,
         )
 
 

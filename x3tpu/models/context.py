@@ -17,7 +17,12 @@ order-1 family*: a pair (t0, t1) is registered exactly when t1 first enters
 context t0's item list (both happen in the same event update,
 x3.c:195-222), so each ctx1 item slot carries the pair's dense id, assigned
 from a per-lane insertion counter — reproducing the reference's
-insertion-order ids without any BST or hash table.
+insertion-order ids without any BST or hash table.  The order-2 family has
+no pair payload (``pair`` arrays are None).
+
+All state updates are pure drop-mode scatters / scatter-adds with no
+gather-plus-write-back, so XLA keeps the (large) carried pools in place
+across while_loop iterations instead of copying them.
 """
 
 from __future__ import annotations
@@ -33,11 +38,11 @@ I32 = jnp.int32
 class CtxFamily(NamedTuple):
     hub_tags: jax.Array   # i32 [L, H] — context id 0
     hub_freqs: jax.Array  # i32 [L, H]
-    hub_pair: jax.Array   # i32 [L, H] — pair ids (ctx1 family only; else unused)
+    hub_pair: Optional[jax.Array]  # i32 [L, H] | None (ctx1 family only)
     hub_n: jax.Array      # i32 [L]
     tags: jax.Array       # i32 [L, S, C] — context ids 1..S at row id-1
     freqs: jax.Array      # i32 [L, S, C]
-    pair: jax.Array       # i32 [L, S, C]
+    pair: Optional[jax.Array]      # i32 [L, S, C] | None
     n: jax.Array          # i32 [L, S]
     overflow: jax.Array   # bool [L]
 
@@ -52,15 +57,18 @@ class CtxView(NamedTuple):
     n: jax.Array          # i32 [L] — item count of the selected context
 
 
-def ctx_init(lanes: int, hub_cap: int, pool_rows: int, items_cap: int) -> CtxFamily:
+def ctx_init(
+    lanes: int, hub_cap: int, pool_rows: int, items_cap: int,
+    with_pair: bool = False,
+) -> CtxFamily:
     return CtxFamily(
         hub_tags=jnp.zeros((lanes, hub_cap), I32),
         hub_freqs=jnp.zeros((lanes, hub_cap), I32),
-        hub_pair=jnp.zeros((lanes, hub_cap), I32),
+        hub_pair=jnp.zeros((lanes, hub_cap), I32) if with_pair else None,
         hub_n=jnp.zeros((lanes,), I32),
         tags=jnp.zeros((lanes, pool_rows, items_cap), I32),
         freqs=jnp.zeros((lanes, pool_rows, items_cap), I32),
-        pair=jnp.zeros((lanes, pool_rows, items_cap), I32),
+        pair=jnp.zeros((lanes, pool_rows, items_cap), I32) if with_pair else None,
         n=jnp.zeros((lanes, pool_rows), I32),
         overflow=jnp.zeros((lanes,), jnp.bool_),
     )
@@ -75,38 +83,39 @@ def ctx_view(fam: CtxFamily, cid: jax.Array) -> CtxView:
     return CtxView(cid, hub_sel, row, n)
 
 
-def _pool_row(fam: CtxFamily, v: CtxView) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    lanes = v.cid.shape[0]
-    lane = jnp.arange(lanes, dtype=I32)
-    return fam.tags[lane, v.row], fam.freqs[lane, v.row], fam.pair[lane, v.row]
-
-
 def ctx_find(
     fam: CtxFamily, v: CtxView, tag: jax.Array
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Locate ``tag`` in the context (ctx_query_tag_index, context.c:31-40).
 
     Returns (found [L]b, pos [L]i — insertion index == model symbol,
-    pair_id [L]i — the (cid_tag, tag) pair's dense id, valid when found)."""
+    pair_id [L]i — the (cid_tag, tag) pair's dense id; zeros for a family
+    without pair payloads)."""
     H = fam.hub_tags.shape[1]
     C = fam.tags.shape[2]
     iota_h = jnp.arange(H, dtype=I32)[None, :]
     iota_c = jnp.arange(C, dtype=I32)[None, :]
+    lanes = tag.shape[0]
+    lane = jnp.arange(lanes, dtype=I32)
 
     hmask = (fam.hub_tags == tag[:, None]) & (iota_h < fam.hub_n[:, None])
     hfound = jnp.any(hmask, axis=1)
     hpos = jnp.argmax(hmask, axis=1).astype(I32)
 
-    ptags, _, ppair = _pool_row(fam, v)
+    ptags = fam.tags[lane, v.row]
     pmask = (ptags == tag[:, None]) & (iota_c < v.n[:, None])
     pfound = jnp.any(pmask, axis=1)
     ppos = jnp.argmax(pmask, axis=1).astype(I32)
 
-    lanes = tag.shape[0]
-    lane = jnp.arange(lanes, dtype=I32)
     found = jnp.where(v.hub_sel, hfound, pfound)
     pos = jnp.where(v.hub_sel, hpos, ppos)
-    pair_id = jnp.where(v.hub_sel, fam.hub_pair[lane, hpos], ppair[lane, ppos])
+    if fam.hub_pair is None:
+        pair_id = jnp.zeros((lanes,), I32)
+    else:
+        ppair = fam.pair[lane, v.row]
+        pair_id = jnp.where(
+            v.hub_sel, fam.hub_pair[lane, hpos], ppair[lane, ppos]
+        )
     return found, pos, pair_id
 
 
@@ -129,7 +138,7 @@ def ctx_encode_stats(
     htotal = jnp.sum(jnp.where(hvalid, fam.hub_freqs, 0), axis=1)
     hspan = fam.hub_freqs[lane, jnp.minimum(pos, H - 1)]
 
-    _, pfreqs, _ = _pool_row(fam, v)
+    pfreqs = fam.freqs[lane, v.row]
     pvalid = iota_c < v.n[:, None]
     plow = jnp.sum(jnp.where(pvalid & (iota_c < pos[:, None]), pfreqs, 0), axis=1)
     ptotal = jnp.sum(jnp.where(pvalid, pfreqs, 0), axis=1)
@@ -154,22 +163,22 @@ def ctx_decode_pos(
     iota_c = jnp.arange(C, dtype=I32)[None, :]
     lanes = value.shape[0]
     lane = jnp.arange(lanes, dtype=I32)
-    val = value
 
     hvalid = iota_h < fam.hub_n[:, None]
     hfreqs = jnp.where(hvalid, fam.hub_freqs, 0)
     hcum = jnp.cumsum(hfreqs, axis=1) - hfreqs  # exclusive prefix
-    hle = hvalid & (hcum.astype(jnp.uint32) <= val[:, None])
+    hle = hvalid & (hcum.astype(jnp.uint32) <= value[:, None])
     hpos = jnp.maximum(jnp.sum(hle, axis=1).astype(I32) - 1, 0)
     hlow = hcum[lane, jnp.minimum(hpos, H - 1)]
     hspan = hfreqs[lane, jnp.minimum(hpos, H - 1)]
     htag = fam.hub_tags[lane, jnp.minimum(hpos, H - 1)]
 
-    ptags, pfreqs_raw, _ = _pool_row(fam, v)
+    ptags = fam.tags[lane, v.row]
+    pfreqs_raw = fam.freqs[lane, v.row]
     pvalid = iota_c < v.n[:, None]
     pfreqs = jnp.where(pvalid, pfreqs_raw, 0)
     pcum = jnp.cumsum(pfreqs, axis=1) - pfreqs
-    ple = pvalid & (pcum.astype(jnp.uint32) <= val[:, None])
+    ple = pvalid & (pcum.astype(jnp.uint32) <= value[:, None])
     ppos = jnp.maximum(jnp.sum(ple, axis=1).astype(I32) - 1, 0)
     plow = pcum[lane, jnp.minimum(ppos, C - 1)]
     pspan = pfreqs[lane, jnp.minimum(ppos, C - 1)]
@@ -194,52 +203,42 @@ def ctx_update(
     """Post-event update: bump the tag's freq, or append it with freq 1
     (x3.c:197-209).  When appending and ``new_pair_id`` is given (ctx1
     family), store it in the item's pair slot — this *is* the reference's
-    tag_pair_add (x3.c:213-222)."""
+    tag_pair_add (x3.c:213-222).  Pure drop-mode scatters throughout."""
     H = fam.hub_tags.shape[1]
     C = fam.tags.shape[2]
+    S = fam.tags.shape[1]
     lanes = tag.shape[0]
     lane = jnp.arange(lanes, dtype=I32)
 
     app = active & ~found
     inc = active & found
+    one = jnp.ones((lanes,), I32)
 
     # --- hub path
-    hdo = v.hub_sel
-    happ_pos = jnp.minimum(fam.hub_n, H - 1)
-    hpos_sel = jnp.where(found, jnp.minimum(pos, H - 1), happ_pos)
-    cur_ht = fam.hub_tags[lane, hpos_sel]
-    cur_hf = fam.hub_freqs[lane, hpos_sel]
-    cur_hp = fam.hub_pair[lane, hpos_sel]
-    new_ht = jnp.where(hdo & app, tag, cur_ht)
-    new_hf = jnp.where(hdo & app, 1, jnp.where(hdo & inc, cur_hf + 1, cur_hf))
-    hub_tags = fam.hub_tags.at[lane, hpos_sel].set(new_ht)
-    hub_freqs = fam.hub_freqs.at[lane, hpos_sel].set(new_hf)
+    hub_room = fam.hub_n < H
+    hinc_idx = jnp.where(v.hub_sel & inc, jnp.minimum(pos, H - 1), H)
+    hub_freqs = fam.hub_freqs.at[lane, hinc_idx].add(one, mode="drop")
+    happ = v.hub_sel & app & hub_room
+    happ_idx = jnp.where(happ, fam.hub_n, H)
+    hub_tags = fam.hub_tags.at[lane, happ_idx].set(tag, mode="drop")
+    hub_freqs = hub_freqs.at[lane, happ_idx].set(1, mode="drop")
     hub_pair = fam.hub_pair
     if new_pair_id is not None:
-        new_hp = jnp.where(hdo & app, new_pair_id, cur_hp)
-        hub_pair = fam.hub_pair.at[lane, hpos_sel].set(new_hp)
-    hub_room = fam.hub_n < H
-    hub_n = fam.hub_n + jnp.where(hdo & app & hub_room, 1, 0).astype(I32)
+        hub_pair = fam.hub_pair.at[lane, happ_idx].set(new_pair_id, mode="drop")
+    hub_n = fam.hub_n + jnp.where(happ, 1, 0).astype(I32)
 
     # --- pooled path
-    pdo = ~v.hub_sel
-    papp_pos = jnp.minimum(v.n, C - 1)
-    ppos_sel = jnp.where(found, jnp.minimum(pos, C - 1), papp_pos)
-    cur_pt = fam.tags[lane, v.row, ppos_sel]
-    cur_pf = fam.freqs[lane, v.row, ppos_sel]
-    cur_pp = fam.pair[lane, v.row, ppos_sel]
-    new_pt = jnp.where(pdo & app, tag, cur_pt)
-    new_pf = jnp.where(pdo & app, 1, jnp.where(pdo & inc, cur_pf + 1, cur_pf))
-    tags = fam.tags.at[lane, v.row, ppos_sel].set(new_pt)
-    freqs = fam.freqs.at[lane, v.row, ppos_sel].set(new_pf)
+    pool_room = v.n < C
+    pinc_idx = jnp.where(~v.hub_sel & inc, jnp.minimum(pos, C - 1), C)
+    freqs = fam.freqs.at[lane, v.row, pinc_idx].add(one, mode="drop")
+    papp = ~v.hub_sel & app & pool_room
+    papp_idx = jnp.where(papp, v.n, C)
+    tags = fam.tags.at[lane, v.row, papp_idx].set(tag, mode="drop")
+    freqs = freqs.at[lane, v.row, papp_idx].set(1, mode="drop")
     pair = fam.pair
     if new_pair_id is not None:
-        new_pp = jnp.where(pdo & app, new_pair_id, cur_pp)
-        pair = fam.pair.at[lane, v.row, ppos_sel].set(new_pp)
-    pool_room = v.n < C
-    n = fam.n.at[lane, v.row].set(
-        fam.n[lane, v.row] + jnp.where(pdo & app & pool_room, 1, 0).astype(I32)
-    )
+        pair = fam.pair.at[lane, v.row, papp_idx].set(new_pair_id, mode="drop")
+    n = fam.n.at[lane, jnp.where(papp, v.row, S)].add(one, mode="drop")
 
     overflow = fam.overflow | (app & jnp.where(v.hub_sel, ~hub_room, ~pool_room))
     return CtxFamily(

@@ -90,7 +90,9 @@ def dict_has_exact(
 
 def dict_mtf(d: DictState, tag: jax.Array, active: jax.Array) -> DictState:
     """Move entry ``tag`` to recency rank 0 (== dict_update_costs after a
-    hit or insert, dict.c:132-146)."""
+    hit or insert, dict.c:132-146).  All updates are whole-array transforms
+    or drop-mode scatters (no gather+write-back), so XLA can update the
+    carried arrays in place."""
     lanes, cap = d.lens.shape
     lane = jnp.arange(lanes, dtype=I32)
     r = d.rank_of[lane, tag]
@@ -98,10 +100,10 @@ def dict_mtf(d: DictState, tag: jax.Array, active: jax.Array) -> DictState:
     valid = iota < d.n[:, None]
     bump = valid & active[:, None] & (d.rank_of < r[:, None])
     rank_of = jnp.where(bump, d.rank_of + 1, d.rank_of)
-    rank_of = rank_of.at[lane, tag].set(jnp.where(active, 0, rank_of[lane, tag]))
+    rank_of = rank_of.at[lane, jnp.where(active, tag, cap)].set(0, mode="drop")
     shifted = jnp.roll(d.tag_of, 1, axis=1)
     tag_of = jnp.where(active[:, None] & (iota <= r[:, None]), shifted, d.tag_of)
-    tag_of = tag_of.at[:, 0].set(jnp.where(active, tag, d.tag_of[:, 0]))
+    tag_of = tag_of.at[jnp.where(active, lane, lanes), 0].set(tag, mode="drop")
     return d._replace(rank_of=rank_of, tag_of=tag_of)
 
 
@@ -116,17 +118,16 @@ def dict_insert(
     room = d.n < cap
     do = active & room
     slot = jnp.minimum(d.n, cap - 1)
-    strs = d.strs.at[lane, slot].set(
-        jnp.where(do[:, None], frag, d.strs[lane, slot])
-    )
-    lens = d.lens.at[lane, slot].set(jnp.where(do, frag_len, d.lens[lane, slot]))
+    sidx = jnp.where(do, slot, cap)
+    strs = d.strs.at[lane, sidx].set(frag, mode="drop")
+    lens = d.lens.at[lane, sidx].set(frag_len, mode="drop")
     iota = jnp.arange(cap, dtype=I32)[None, :]
     valid = iota < d.n[:, None]
     rank_of = jnp.where(do[:, None] & valid, d.rank_of + 1, d.rank_of)
-    rank_of = rank_of.at[lane, slot].set(jnp.where(do, 0, rank_of[lane, slot]))
+    rank_of = rank_of.at[lane, sidx].set(0, mode="drop")
     shifted = jnp.roll(d.tag_of, 1, axis=1)
     tag_of = jnp.where(do[:, None] & (iota > 0), shifted, d.tag_of)
-    tag_of = tag_of.at[:, 0].set(jnp.where(do, slot, d.tag_of[:, 0]))
+    tag_of = tag_of.at[jnp.where(do, lane, lanes), 0].set(slot, mode="drop")
     n = d.n + jnp.where(do, 1, 0).astype(I32)
     overflow = d.overflow | (active & ~room)
     return (

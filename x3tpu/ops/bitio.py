@@ -42,18 +42,22 @@ def sink_init(lanes: int, out_words: int) -> BitSink:
 
 
 def sink_put_bit(sink: BitSink, bit: jax.Array, active: jax.Array) -> BitSink:
-    """Append one bit per active lane (bio_write_bits with n=1, bio.c:49)."""
+    """Append one bit per active lane (bio_write_bits with n=1, bio.c:49).
+
+    Gather-free: bit positions are written once, so OR == ADD and the
+    update is a pure masked scatter-add (lets XLA keep the word buffer
+    in place across while_loop iterations)."""
     lanes = sink.lanes
     widx = sink.nbits >> 5
     off = sink.nbits & 31
     cap = sink.words.shape[1]
     oob = widx >= cap
-    widx_c = jnp.minimum(widx, cap - 1)
-    lane = jnp.arange(lanes, dtype=I32)
-    cur = sink.words[lane, widx_c]
-    val = cur | (bit.astype(U32) << off.astype(U32))
     do = active & ~oob
-    words = sink.words.at[lane, widx_c].set(jnp.where(do, val, cur))
+    lane = jnp.arange(lanes, dtype=I32)
+    idx = jnp.where(do, widx, cap)
+    words = sink.words.at[lane, idx].add(
+        jnp.where(do, bit.astype(U32), 0) << off.astype(U32), mode="drop"
+    )
     nbits = sink.nbits + jnp.where(do, 1, 0).astype(I32)
     overflow = sink.overflow | (active & oob)
     return BitSink(words, nbits, overflow)
@@ -145,20 +149,17 @@ def sink_put_bits(
     widx = sink.nbits >> 5
     off = (sink.nbits & 31).astype(U32)
 
-    # first word: v << off (high bits beyond 32 naturally dropped)
+    # fresh bit positions are zero, so OR == ADD: pure scatter-adds keep
+    # the buffer in place across loop iterations (no gather+copy)
     idx1 = jnp.where(active & (cnt > 0) & (widx < cap), widx, cap)
-    safe1 = jnp.minimum(idx1, cap - 1)
-    cur1 = sink.words[lane, safe1]
-    words = sink.words.at[lane, idx1].set(cur1 | (v << off), mode="drop")
+    words = sink.words.at[lane, idx1].add(v << off, mode="drop")
 
     # spill word: v >> (32 - off); zero when off == 0 or no spill
     sh = (jnp.uint32(32) - off) & 31
     spill = jnp.where(off == 0, jnp.uint32(0), v >> sh)
     widx2 = widx + 1
     idx2 = jnp.where(active & (spill != 0) & (widx2 < cap), widx2, cap)
-    safe2 = jnp.minimum(idx2, cap - 1)
-    cur2 = words[lane, safe2]
-    words = words.at[lane, idx2].set(cur2 | spill, mode="drop")
+    words = words.at[lane, idx2].add(spill, mode="drop")
 
     end_bit = sink.nbits + cnt
     overflow = sink.overflow | (active & (cnt > 0) & (end_bit > cap * 32))
