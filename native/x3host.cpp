@@ -306,6 +306,15 @@ class Codec {
   std::vector<uint8_t> encode(const uint8_t* data, size_t size);
   std::vector<uint8_t> decode(const uint8_t* data, size_t size,
                               size_t max_output);
+  // dump up to k dictionary entries in insertion order (seed training)
+  size_t dump_dict(uint8_t* strs, int32_t* lens, size_t k) const {
+    size_t n = dict_.size() < k ? dict_.size() : k;
+    for (size_t t = 0; t < n; ++t) {
+      std::memcpy(strs + t * kMaxMatch, dict_.str_of(t), kMaxMatch);
+      lens[t] = dict_.len_of(t);
+    }
+    return n;
+  }
 
  private:
   size_t nl(size_t len) const {  // x3.c:357-370
@@ -544,5 +553,21 @@ int x3h_decode(const uint8_t* data, size_t size, size_t max_output,
 }
 
 void x3h_free(uint8_t* ptr) { std::free(ptr); }
+
+// Train a seed dictionary: encode a sample and dump the first k dictionary
+// fragments (insertion order).  Returns the number written.
+size_t x3h_train(const uint8_t* data, size_t size, int max_match_count,
+                 long window, long factor1, long factor2, int nl_remap,
+                 uint8_t* strs, int32_t* lens, size_t k) {
+  x3host::Params p;
+  p.max_match_count = max_match_count;
+  p.window = window;
+  p.factor1 = factor1;
+  p.factor2 = factor2;
+  p.nl_remap = nl_remap;
+  x3host::Codec codec(p);
+  codec.encode(data, size);
+  return codec.dump_dict(strs, lens, k);
+}
 
 }  // extern "C"

@@ -31,8 +31,12 @@ def test_container_roundtrip():
     lens = [10, 0, 22]
     c = blk.pack_container(payloads, lens, 4096)
     assert blk.is_container(c)
-    p2, l2, bs = blk.unpack_container(c)
-    assert p2 == payloads and l2 == lens and bs == 4096
+    p2, l2, bs, seeds = blk.unpack_container(c)
+    assert p2 == payloads and l2 == lens and bs == 4096 and seeds == []
+
+    c2 = blk.pack_container(payloads, lens, 4096, seeds=[b"abc", b"x" * 32])
+    p3, l3, _, seeds2 = blk.unpack_container(c2)
+    assert p3 == payloads and seeds2 == [b"abc", b"x" * 32]
 
 
 def test_split_blocks():
@@ -91,3 +95,28 @@ def test_runtime_stats():
     assert abs(est - len(out)) / len(out) < 0.05
     rep = st.report(len(data), len(out), 0.1)
     assert "compression ratio" in rep
+
+
+def test_dict_seed_roundtrip_and_ratio():
+    """Seeded multi-block compression round-trips and beats unseeded ratio
+    on redundant data split into small blocks."""
+    base = open("/root/reference/x3.c", "rb").read()[:12000]
+    out_plain = runtime.compress(base, PARAMS, block_bytes=1500, caps=CAPS)
+    out_seeded = runtime.compress(
+        base, PARAMS, block_bytes=1500, caps=CAPS, dict_seed=True, seed_k=128
+    )
+    assert runtime.decompress(out_seeded, PARAMS, caps=CAPS) == base
+    assert runtime.decompress(out_plain, PARAMS, caps=CAPS) == base
+    assert len(out_seeded) < len(out_plain), (
+        f"seeded {len(out_seeded)} !< plain {len(out_plain)}"
+    )
+
+
+def test_dict_seed_sharded():
+    mesh = meshmod.make_mesh()
+    base = (b"0123456789 abcdefgh " * 400)
+    out = runtime.compress(
+        base, PARAMS, block_bytes=1024, caps=CAPS, mesh=mesh, dict_seed=True,
+        seed_k=64,
+    )
+    assert runtime.decompress(out, PARAMS, caps=CAPS, mesh=mesh) == base

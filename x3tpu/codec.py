@@ -86,8 +86,25 @@ class EncCarry(NamedTuple):
     pair_of: jax.Array  # bool [L]
 
 
-def _init_shared(lanes: int, caps: CodecCaps):
+def _init_shared(lanes: int, caps: CodecCaps, seeds=None):
     d = dm.dict_init(lanes, caps.dict_cap)
+    if seeds is not None:
+        # dictionary-seed broadcast (x3tpu extension, no reference
+        # counterpart): every lane starts with the same K fragments already
+        # in its dictionary, tags 0..K-1 at recency ranks 0..K-1 (all seeds
+        # share last_pos 0, and the reference's stable cost sort preserves
+        # insertion order among ties).  Encoder and decoder must use the
+        # same seeds (the container carries them).
+        seed_strs, seed_lens = seeds  # u8 [K, 32], i32 [K]
+        K = seed_strs.shape[0]
+        iota = jnp.arange(caps.dict_cap, dtype=I32)
+        d = d._replace(
+            strs=d.strs.at[:, :K].set(seed_strs[None]),
+            lens=d.lens.at[:, :K].set(seed_lens[None]),
+            n=jnp.full((lanes,), K, I32),
+            rank_of=jnp.tile(iota[None, :], (lanes, 1)),
+            tag_of=jnp.tile(iota[None, :], (lanes, 1)),
+        )
     ctx0 = cm.ctx_init(
         lanes, caps.dict_cap, caps.pair_cap, caps.ctx0_items_cap,
         with_pair=False,
@@ -100,6 +117,9 @@ def _init_shared(lanes: int, caps: CodecCaps):
     ms = jnp.ones((lanes, MAX_MATCH_LEN), I32)
     ch = jnp.ones((lanes, 256), I32)
     ix = jnp.zeros((lanes, caps.dict_cap), I32)
+    if seeds is not None:
+        K = seeds[0].shape[0]
+        ix = ix.at[:, :K].set(1)
     return d, ctx0, ctx1, ev, ms, ch, ix
 
 
@@ -288,7 +308,8 @@ def _enc_body(carry: EncCarry, params: X3Params) -> EncCarry:
 
 
 def encode_lanes(
-    text: jax.Array, tlen: jax.Array, params: X3Params, caps: CodecCaps
+    text: jax.Array, tlen: jax.Array, params: X3Params, caps: CodecCaps,
+    seeds=None,
 ):
     """Compress L independent blocks (un-jitted core; wrap in jit or
     shard_map).
@@ -298,7 +319,7 @@ def encode_lanes(
     Returns (words u32 [L, OW], byte_lens i32 [L], counts [L, 5], overflow).
     """
     lanes = text.shape[0]
-    d, ctx0, ctx1, ev, ms, ch, ix = _init_shared(lanes, caps)
+    d, ctx0, ctx1, ev, ms, ch, ix = _init_shared(lanes, caps, seeds)
     carry = EncCarry(
         text=text,
         tlen=tlen.astype(I32),
@@ -537,13 +558,14 @@ def _dec_body(carry: DecCarry, params: X3Params) -> DecCarry:
 
 
 def decode_lanes(
-    words: jax.Array, byte_lens: jax.Array, params: X3Params, caps: CodecCaps
+    words: jax.Array, byte_lens: jax.Array, params: X3Params, caps: CodecCaps,
+    seeds=None,
 ):
     """Decompress L independent streams (words u32 [L, IW]; un-jitted core).
 
     Returns (out u8 [L, OB], out_lens i32 [L], counts [L, 5], overflow)."""
     lanes = words.shape[0]
-    d, ctx0, ctx1, ev, ms, ch, ix = _init_shared(lanes, caps)
+    d, ctx0, ctx1, ev, ms, ch, ix = _init_shared(lanes, caps, seeds)
     src = bitio.source_init(words, byte_lens)
     dec, src = acm.dec_init(src, lanes)
     carry = DecCarry(
@@ -626,12 +648,13 @@ def encode_blocks(
     blocks: Sequence[bytes],
     params: X3Params = X3Params(),
     caps: CodecCaps = CodecCaps(),
+    seeds=None,
 ) -> List[bytes]:
     """Compress a batch of independent blocks; each result is a standalone
     reference-format x3 stream."""
     text, tlen = pack_blocks(blocks, params, caps)
     words, byte_lens, _, _, overflow = encode_blocks_jit(
-        jnp.asarray(text), jnp.asarray(tlen), params, caps
+        jnp.asarray(text), jnp.asarray(tlen), params, caps, seeds
     )
     _check_overflow(overflow)
     words_np = np.asarray(words)
@@ -646,6 +669,7 @@ def decode_blocks(
     streams: Sequence[bytes],
     params: X3Params = X3Params(),
     caps: CodecCaps = CodecCaps(),
+    seeds=None,
 ) -> List[bytes]:
     """Decompress a batch of reference-format x3 streams."""
     iw = max(1, max((len(s) + 3) // 4 for s in streams) if streams else 1)
@@ -657,7 +681,7 @@ def decode_blocks(
         words[i, : len(arr)] = arr
         byte_lens[i] = len(s)
     out, out_lens, _, _, overflow = decode_blocks_jit(
-        jnp.asarray(words), jnp.asarray(byte_lens), params, caps
+        jnp.asarray(words), jnp.asarray(byte_lens), params, caps, seeds
     )
     _check_overflow(overflow)
     out_np = np.asarray(out)

@@ -64,6 +64,13 @@ def _load() -> ctypes.CDLL:
         ]
         lib.x3h_free.restype = None
         lib.x3h_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib.x3h_train.restype = ctypes.c_size_t
+        lib.x3h_train.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_size_t,
+        ]
         _lib = lib
         return lib
 
@@ -103,3 +110,23 @@ def decode(data: bytes, max_output: Optional[int] = None) -> bytes:
     if rc != 0:
         raise RuntimeError(f"x3h_decode failed: {rc}")
     return _take(lib, out_ptr, out_size)
+
+
+def train_seeds(data: bytes, params: X3Params = X3Params(), k: int = 256):
+    """Derive a seed dictionary from a sample: the first k fragments the
+    codec would learn on it (insertion order).  Returns (strs u8 [n, 32],
+    lens i32 [n]) numpy arrays."""
+    import numpy as np
+
+    lib = _load()
+    strs = np.zeros((k, 32), np.uint8)
+    lens = np.zeros((k,), np.int32)
+    n = lib.x3h_train(
+        data, len(data), params.max_match_count, params.window,
+        params.magic_factor1, params.magic_factor2,
+        1 if params.nl_remap else 0,
+        strs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        k,
+    )
+    return strs[:n], lens[:n]

@@ -7,16 +7,20 @@ decoder knows block boundaries and exact decoded sizes:
 
     magic  "X3TC" (4)            — container marker
     ver    u8 = 1
-    flags  u8                    — reserved
+    flags  u8                    — bit 0: seed dictionary present
     nblk   u16                   — reserved (0)
     count  u32                   — number of blocks
     block  u32                   — nominal uncompressed block size
+    [seeds] if flag bit 0: count u16, then per seed: len u8 + bytes
     table  count x (orig_len u32, comp_len u32)
     payloads, concatenated in block order (each a raw x3 stream)
 
 All integers little-endian.  The container is this framework's own framing
 (the reference format is headerless and single-stream); payloads stay
-bit-identical to what the reference binary would emit for each block.
+bit-identical to what the reference binary would emit for each block —
+except under dictionary seeding (an x3tpu extension: every block's codec
+starts with the shared seed fragments, recovering ratio lost to small-block
+state resets; such payloads need the seeds from this header to decode).
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ from typing import List, Sequence, Tuple
 
 MAGIC = b"X3TC"
 VERSION = 1
+FLAG_SEEDS = 1
 _HEADER = struct.Struct("<4sBBHII")
 _ENTRY = struct.Struct("<II")
 
@@ -40,11 +45,18 @@ def split_blocks(data: bytes, block_bytes: int) -> List[bytes]:
 
 
 def pack_container(
-    payloads: Sequence[bytes], orig_lens: Sequence[int], block_bytes: int
+    payloads: Sequence[bytes], orig_lens: Sequence[int], block_bytes: int,
+    seeds: Sequence[bytes] = (),
 ) -> bytes:
+    flags = FLAG_SEEDS if seeds else 0
     parts = [
-        _HEADER.pack(MAGIC, VERSION, 0, 0, len(payloads), block_bytes)
+        _HEADER.pack(MAGIC, VERSION, flags, 0, len(payloads), block_bytes)
     ]
+    if seeds:
+        parts.append(struct.pack("<H", len(seeds)))
+        for sfrag in seeds:
+            assert 1 <= len(sfrag) <= 32
+            parts.append(struct.pack("<B", len(sfrag)) + sfrag)
     for o, p in zip(orig_lens, payloads):
         parts.append(_ENTRY.pack(o, len(p)))
     parts.extend(payloads)
@@ -55,14 +67,23 @@ def is_container(data: bytes) -> bool:
     return data[:4] == MAGIC
 
 
-def unpack_container(data: bytes) -> Tuple[List[bytes], List[int], int]:
-    """Returns (payloads, orig_lens, block_bytes)."""
-    magic, ver, _flags, _r, count, block_bytes = _HEADER.unpack_from(data, 0)
+def unpack_container(data: bytes):
+    """Returns (payloads, orig_lens, block_bytes, seeds)."""
+    magic, ver, flags, _r, count, block_bytes = _HEADER.unpack_from(data, 0)
     if magic != MAGIC:
         raise ValueError("not an x3tpu container")
     if ver != VERSION:
         raise ValueError(f"unsupported container version {ver}")
     off = _HEADER.size
+    seeds: List[bytes] = []
+    if flags & FLAG_SEEDS:
+        (nseeds,) = struct.unpack_from("<H", data, off)
+        off += 2
+        for _ in range(nseeds):
+            ln = data[off]
+            off += 1
+            seeds.append(data[off : off + ln])
+            off += ln
     table = []
     for _ in range(count):
         table.append(_ENTRY.unpack_from(data, off))
@@ -74,4 +95,4 @@ def unpack_container(data: bytes) -> Tuple[List[bytes], List[int], int]:
         off += comp
     if off != len(data):
         raise ValueError("container length mismatch")
-    return payloads, orig_lens, block_bytes
+    return payloads, orig_lens, block_bytes, seeds

@@ -41,37 +41,57 @@ def _spec_like(tree, spec):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "caps", "mesh_holder")
+    jax.jit, static_argnames=("params", "caps", "mesh_holder", "has_seeds")
 )
-def _encode_sharded_jit(text, tlen, params, caps, mesh_holder):
+def _encode_sharded_jit(text, tlen, seeds, params, caps, mesh_holder,
+                        has_seeds=False):
     mesh = mesh_holder.mesh
-    fn = lambda t, l: codec.encode_lanes(t, l, params, caps)
-    out_shape = jax.eval_shape(fn, text, tlen)
+    if has_seeds:
+        fn = lambda t, l, s0, s1: codec.encode_lanes(
+            t, l, params, caps, seeds=(s0, s1)
+        )
+        args = (text, tlen, seeds[0], seeds[1])
+        in_specs = (P(AXIS), P(AXIS), P(), P())  # seeds replicated
+    else:
+        fn = lambda t, l: codec.encode_lanes(t, l, params, caps)
+        args = (text, tlen)
+        in_specs = (P(AXIS), P(AXIS))
+    out_shape = jax.eval_shape(fn, *args)
     sm = _shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS)),
+        in_specs=in_specs,
         out_specs=_spec_like(out_shape, P(AXIS)),
         check_vma=False,
     )
-    return sm(text, tlen)
+    return sm(*args)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "caps", "mesh_holder")
+    jax.jit, static_argnames=("params", "caps", "mesh_holder", "has_seeds")
 )
-def _decode_sharded_jit(words, byte_lens, params, caps, mesh_holder):
+def _decode_sharded_jit(words, byte_lens, seeds, params, caps, mesh_holder,
+                        has_seeds=False):
     mesh = mesh_holder.mesh
-    fn = lambda w, b: codec.decode_lanes(w, b, params, caps)
-    out_shape = jax.eval_shape(fn, words, byte_lens)
+    if has_seeds:
+        fn = lambda w, b, s0, s1: codec.decode_lanes(
+            w, b, params, caps, seeds=(s0, s1)
+        )
+        args = (words, byte_lens, seeds[0], seeds[1])
+        in_specs = (P(AXIS), P(AXIS), P(), P())
+    else:
+        fn = lambda w, b: codec.decode_lanes(w, b, params, caps)
+        args = (words, byte_lens)
+        in_specs = (P(AXIS), P(AXIS))
+    out_shape = jax.eval_shape(fn, *args)
     sm = _shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS)),
+        in_specs=in_specs,
         out_specs=_spec_like(out_shape, P(AXIS)),
         check_vma=False,
     )
-    return sm(words, byte_lens)
+    return sm(*args)
 
 
 class MeshHolder:
@@ -91,17 +111,26 @@ class MeshHolder:
         )
 
 
-def encode_sharded(text, tlen, params: X3Params, caps: CodecCaps, mesh: Mesh):
+def encode_sharded(text, tlen, params: X3Params, caps: CodecCaps, mesh: Mesh,
+                   seeds=None):
     """Run the lane encoder with lanes sharded over the mesh.  The lane
-    count must be a multiple of the mesh size."""
+    count must be a multiple of the mesh size; seeds (if any) are broadcast
+    replicated to every device."""
     sharding = NamedSharding(mesh, P(AXIS))
     text = jax.device_put(text, sharding)
     tlen = jax.device_put(tlen, sharding)
-    return _encode_sharded_jit(text, tlen, params, caps, MeshHolder(mesh))
+    return _encode_sharded_jit(
+        text, tlen, seeds, params, caps, MeshHolder(mesh),
+        has_seeds=seeds is not None,
+    )
 
 
-def decode_sharded(words, byte_lens, params: X3Params, caps: CodecCaps, mesh: Mesh):
+def decode_sharded(words, byte_lens, params: X3Params, caps: CodecCaps,
+                   mesh: Mesh, seeds=None):
     sharding = NamedSharding(mesh, P(AXIS))
     words = jax.device_put(words, sharding)
     byte_lens = jax.device_put(byte_lens, sharding)
-    return _decode_sharded_jit(words, byte_lens, params, caps, MeshHolder(mesh))
+    return _decode_sharded_jit(
+        words, byte_lens, seeds, params, caps, MeshHolder(mesh),
+        has_seeds=seeds is not None,
+    )

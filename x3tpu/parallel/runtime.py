@@ -51,12 +51,25 @@ def _wave_lanes(nblocks: int, mesh) -> int:
     return int(math.ceil(nblocks / nd)) * nd
 
 
+def seeds_to_arrays(seed_bytes: Sequence[bytes]):
+    """Seed fragments -> (strs u8 [K, 32], lens i32 [K]) arrays."""
+    strs = np.zeros((len(seed_bytes), 32), np.uint8)
+    lens = np.zeros((len(seed_bytes),), np.int32)
+    for i, b in enumerate(seed_bytes):
+        strs[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    import jax.numpy as jnp
+
+    return jnp.asarray(strs), jnp.asarray(lens)
+
+
 def encode_wave(
     blocks_in: Sequence[bytes],
     params: X3Params,
     caps: CodecCaps,
     mesh=None,
     max_retries: int = 3,
+    seeds=None,
 ) -> RunResult:
     """Encode one wave of blocks (padded to the mesh), with capacity
     auto-retry: any lane overflow re-runs the wave at doubled capacities
@@ -69,11 +82,12 @@ def encode_wave(
         try:
             if mesh is not None:
                 words, byte_lens, counts, sizes, overflow = meshmod.encode_sharded(
-                    text, tlen, params, caps, mesh
+                    text, tlen, params, caps, mesh, seeds=seeds
                 )
             else:
                 words, byte_lens, counts, sizes, overflow = codec.encode_blocks_jit(
-                    jax.numpy.asarray(text), jax.numpy.asarray(tlen), params, caps
+                    jax.numpy.asarray(text), jax.numpy.asarray(tlen), params,
+                    caps, seeds
                 )
             codec._check_overflow(overflow)
             break
@@ -99,6 +113,7 @@ def decode_wave(
     caps: CodecCaps,
     mesh=None,
     max_retries: int = 3,
+    seeds=None,
 ) -> RunResult:
     nblocks = len(payloads)
     lanes = _wave_lanes(nblocks, mesh)
@@ -116,7 +131,13 @@ def decode_wave(
     if lanes > nblocks:
         from x3tpu import spec
 
-        empty = np.frombuffer(spec.encode(b""), "<u4")
+        if seeds is None:
+            empty_stream = spec.encode(b"")
+        else:
+            # the event-model state at EOF is seed-independent for an empty
+            # input, so the unseeded empty stream decodes cleanly either way
+            empty_stream = spec.encode(b"")
+        empty = np.frombuffer(empty_stream, "<u4")
         for i in range(nblocks, lanes):
             words[i, : len(empty)] = empty
             byte_lens[i] = 4 * len(empty)
@@ -125,12 +146,12 @@ def decode_wave(
         try:
             if mesh is not None:
                 out, out_lens, counts, sizes, overflow = meshmod.decode_sharded(
-                    words, byte_lens, params, caps, mesh
+                    words, byte_lens, params, caps, mesh, seeds=seeds
                 )
             else:
                 out, out_lens, counts, sizes, overflow = codec.decode_blocks_jit(
                     jax.numpy.asarray(words), jax.numpy.asarray(byte_lens),
-                    params, caps,
+                    params, caps, seeds,
                 )
             codec._check_overflow(overflow)
             break
@@ -164,10 +185,18 @@ def compress(
     mesh=None,
     force_container: bool = False,
     stats_out: Optional[list] = None,
+    dict_seed: bool = False,
+    seed_k: int = 256,
+    seed_sample: int = 64 * 1024,
 ) -> bytes:
     """Compress ``data``.  Single block -> raw reference-format stream
     (interoperable with the reference binary); multiple blocks -> container
-    with per-block reference-format payloads."""
+    with per-block reference-format payloads.
+
+    ``dict_seed`` trains a shared seed dictionary on a sample of the input
+    (native host codec) and broadcasts it to every block — an x3tpu
+    extension that recovers ratio lost to per-block state resets (the
+    seeds travel in the container header)."""
     if block_bytes is None:
         block_bytes = max(len(data), 1)
     parts = blk.split_blocks(data, block_bytes)
@@ -175,20 +204,31 @@ def compress(
         caps = caps_for_block(
             min(block_bytes, max(len(max(parts, key=len)), 1024))
         )
+    seed_bytes: List[bytes] = []
+    seeds = None
+    if dict_seed and len(parts) > 1:
+        from x3tpu import host
+
+        strs, lens = host.train_seeds(
+            data[:seed_sample], params, min(seed_k, caps.dict_cap // 2)
+        )
+        seed_bytes = [bytes(strs[i][: lens[i]]) for i in range(len(lens))]
+        if seed_bytes:
+            seeds = seeds_to_arrays(seed_bytes)
     all_payloads: List[bytes] = []
     all_stats = CodecStats.zero()
     wave = _wave_lanes(len(parts), mesh) if mesh is not None else len(parts)
     wave = max(wave, 1)
     for i in range(0, len(parts), wave):
-        res = encode_wave(parts[i : i + wave], params, caps, mesh)
+        res = encode_wave(parts[i : i + wave], params, caps, mesh, seeds=seeds)
         all_payloads.extend(res.payloads)
         all_stats = all_stats.merge(res.stats)
     if stats_out is not None:
         stats_out.append(all_stats)
-    if len(all_payloads) == 1 and not force_container:
+    if len(all_payloads) == 1 and not force_container and not seed_bytes:
         return all_payloads[0]
     return blk.pack_container(
-        all_payloads, [len(p) for p in parts], block_bytes
+        all_payloads, [len(p) for p in parts], block_bytes, seeds=seed_bytes
     )
 
 
@@ -202,7 +242,8 @@ def decompress(
 ) -> bytes:
     """Decompress raw reference-format streams or x3tpu containers."""
     if blk.is_container(data):
-        payloads, orig_lens, block_bytes = blk.unpack_container(data)
+        payloads, orig_lens, block_bytes, seed_bytes = blk.unpack_container(data)
+        seeds = seeds_to_arrays(seed_bytes) if seed_bytes else None
         caps = caps or caps_for_block(max(block_bytes, 1024))
         if caps.block_bytes < block_bytes:
             caps = dataclasses.replace(caps, block_bytes=block_bytes)
@@ -212,7 +253,8 @@ def decompress(
         wave = max(wave, 1)
         for i in range(0, len(payloads), wave):
             res = decode_wave(
-                payloads[i : i + wave], orig_lens[i : i + wave], params, caps, mesh
+                payloads[i : i + wave], orig_lens[i : i + wave], params, caps,
+                mesh, seeds=seeds,
             )
             out_parts.extend(res.payloads)
             all_stats = all_stats.merge(res.stats)
