@@ -120,3 +120,45 @@ def test_dict_seed_sharded():
         seed_k=64,
     )
     assert runtime.decompress(out, PARAMS, caps=CAPS, mesh=mesh) == base
+
+
+def test_journal_resume(tmp_path):
+    """Wave journal: interrupt after the first wave, resume produces an
+    identical container without re-encoding completed waves."""
+    data = b"".join(_blocks(6, 1200, seed=3))
+    jpath = str(tmp_path / "job.journal")
+    mesh = meshmod.make_mesh(2)
+
+    full = runtime.compress(data, PARAMS, block_bytes=1024, caps=CAPS,
+                            mesh=mesh, lanes_per_device=2)
+
+    # run with a journal, then simulate a crash by monkeypatching
+    # encode_wave to fail after wave 0
+    calls = {"n": 0}
+    orig = runtime.encode_wave
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("simulated device loss")
+        return orig(*a, **kw)
+
+    runtime.encode_wave = flaky
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError):
+            runtime.compress(data, PARAMS, block_bytes=1024, caps=CAPS,
+                             mesh=mesh, journal_path=jpath,
+                             lanes_per_device=2)
+    finally:
+        runtime.encode_wave = orig
+
+    # resume: completes and matches the uninterrupted container
+    resumed = runtime.compress(data, PARAMS, block_bytes=1024, caps=CAPS,
+                               mesh=mesh, journal_path=jpath,
+                               lanes_per_device=2)
+    assert resumed == full
+    assert runtime.decompress(resumed, PARAMS, caps=CAPS) == data
+    import os
+    assert not os.path.exists(jpath)  # journal removed on success

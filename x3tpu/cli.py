@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable match-length remap")
     p.add_argument("--block-size", type=int, default=0, metavar="KIB",
                    help="split input into KIB-KiB blocks (0 = single block)")
+    p.add_argument("--dict-seed", action="store_true",
+                   help="broadcast a trained seed dictionary to all blocks")
     p.add_argument("--devices", type=int, default=0,
                    help="mesh size (0 = all available devices)")
     p.add_argument("--cpu", action="store_true",
@@ -123,7 +125,7 @@ def main(argv: Optional[list] = None) -> int:
         block_bytes = args.block_size * 1024 if args.block_size else None
         out = runtime.compress(
             data, params, block_bytes=block_bytes, mesh=mesh,
-            stats_out=stats_box,
+            stats_out=stats_box, dict_seed=args.dict_seed,
         )
         insize, outsize = len(data), len(out)
     else:

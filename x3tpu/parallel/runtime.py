@@ -22,6 +22,65 @@ from x3tpu.parallel import mesh as meshmod
 from x3tpu.utils.stats import CodecStats
 
 
+class WaveJournal:
+    """Crash-safe per-wave checkpoint for long compressions (no reference
+    counterpart: the reference aborts on any failure, SURVEY.md §5).
+
+    Completed waves append (wave_index, payloads) records under a job
+    fingerprint; re-running the same job resumes after the last completed
+    wave.  Records are self-framed pickles on a single append-only file."""
+
+    def __init__(self, path: str, fingerprint: bytes):
+        import pickle
+
+        self.path = path
+        self.fingerprint = fingerprint
+        self.done: dict = {}
+        self.seed_bytes = None
+        try:
+            with open(path, "rb") as f:
+                head = pickle.load(f)
+                if head.get("fingerprint") == fingerprint:
+                    while True:
+                        try:
+                            rec = pickle.load(f)
+                        except EOFError:
+                            break
+                        if rec.get("kind") == "seeds":
+                            self.seed_bytes = rec["seeds"]
+                        else:
+                            self.done[rec["wave"]] = rec["payloads"]
+        except (OSError, EOFError, Exception):
+            self.done = {}
+        if not self.done and self.seed_bytes is None:
+            import pickle
+
+            with open(path, "wb") as f:
+                pickle.dump({"fingerprint": fingerprint}, f)
+
+    def record_seeds(self, seed_bytes) -> None:
+        import pickle
+
+        with open(self.path, "ab") as f:
+            pickle.dump({"kind": "seeds", "seeds": seed_bytes}, f)
+        self.seed_bytes = seed_bytes
+
+    def record(self, wave: int, payloads) -> None:
+        import pickle
+
+        with open(self.path, "ab") as f:
+            pickle.dump({"kind": "wave", "wave": wave, "payloads": payloads}, f)
+        self.done[wave] = payloads
+
+    def finish(self) -> None:
+        import os
+
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+
+
 def _pow2(n: int) -> int:
     return 1 << max(0, (n - 1)).bit_length()
 
@@ -45,10 +104,14 @@ class RunResult:
     stats: CodecStats
 
 
-def _wave_lanes(nblocks: int, mesh) -> int:
-    """Lanes per wave: a multiple of the mesh size covering the blocks."""
+def _wave_lanes(nblocks: int, mesh, lanes_per_device: int = 0) -> int:
+    """Lanes per wave: a multiple of the mesh size covering the blocks,
+    bounded by lanes_per_device (0 = unbounded)."""
     nd = mesh.devices.size if mesh is not None else 1
-    return int(math.ceil(nblocks / nd)) * nd
+    lanes = int(math.ceil(nblocks / nd)) * nd
+    if lanes_per_device > 0:
+        lanes = min(lanes, nd * lanes_per_device)
+    return max(lanes, 1)
 
 
 def seeds_to_arrays(seed_bytes: Sequence[bytes]):
@@ -188,6 +251,8 @@ def compress(
     dict_seed: bool = False,
     seed_k: int = 256,
     seed_sample: int = 64 * 1024,
+    journal_path: Optional[str] = None,
+    lanes_per_device: int = 32,
 ) -> bytes:
     """Compress ``data``.  Single block -> raw reference-format stream
     (interoperable with the reference binary); multiple blocks -> container
@@ -204,27 +269,50 @@ def compress(
         caps = caps_for_block(
             min(block_bytes, max(len(max(parts, key=len)), 1024))
         )
+    journal = None
+    if journal_path is not None:
+        import hashlib
+
+        fp = hashlib.sha256(
+            repr((params, block_bytes, dict_seed, seed_k, len(data))).encode()
+            + data[:4096]
+            + data[-4096:]
+        ).digest()
+        journal = WaveJournal(journal_path, fp)
+
     seed_bytes: List[bytes] = []
     seeds = None
     if dict_seed and len(parts) > 1:
-        from x3tpu import host
+        if journal is not None and journal.seed_bytes is not None:
+            seed_bytes = journal.seed_bytes
+        else:
+            from x3tpu import host
 
-        strs, lens = host.train_seeds(
-            data[:seed_sample], params, min(seed_k, caps.dict_cap // 2)
-        )
-        seed_bytes = [bytes(strs[i][: lens[i]]) for i in range(len(lens))]
+            strs, lens = host.train_seeds(
+                data[:seed_sample], params, min(seed_k, caps.dict_cap // 2)
+            )
+            seed_bytes = [bytes(strs[i][: lens[i]]) for i in range(len(lens))]
+            if journal is not None:
+                journal.record_seeds(seed_bytes)
         if seed_bytes:
             seeds = seeds_to_arrays(seed_bytes)
     all_payloads: List[bytes] = []
     all_stats = CodecStats.zero()
-    wave = _wave_lanes(len(parts), mesh) if mesh is not None else len(parts)
-    wave = max(wave, 1)
+    wave = _wave_lanes(len(parts), mesh, lanes_per_device)
     for i in range(0, len(parts), wave):
+        widx = i // wave
+        if journal is not None and widx in journal.done:
+            all_payloads.extend(journal.done[widx])
+            continue
         res = encode_wave(parts[i : i + wave], params, caps, mesh, seeds=seeds)
+        if journal is not None:
+            journal.record(widx, res.payloads)
         all_payloads.extend(res.payloads)
         all_stats = all_stats.merge(res.stats)
     if stats_out is not None:
         stats_out.append(all_stats)
+    if journal is not None:
+        journal.finish()
     if len(all_payloads) == 1 and not force_container and not seed_bytes:
         return all_payloads[0]
     return blk.pack_container(
@@ -239,6 +327,7 @@ def decompress(
     mesh=None,
     max_output: Optional[int] = None,
     stats_out: Optional[list] = None,
+    lanes_per_device: int = 32,
 ) -> bytes:
     """Decompress raw reference-format streams or x3tpu containers."""
     if blk.is_container(data):
@@ -249,8 +338,7 @@ def decompress(
             caps = dataclasses.replace(caps, block_bytes=block_bytes)
         out_parts: List[bytes] = []
         all_stats = CodecStats.zero()
-        wave = _wave_lanes(len(payloads), mesh) if mesh is not None else len(payloads)
-        wave = max(wave, 1)
+        wave = _wave_lanes(len(payloads), mesh, lanes_per_device)
         for i in range(0, len(payloads), wave):
             res = decode_wave(
                 payloads[i : i + wave], orig_lens[i : i + wave], params, caps,
