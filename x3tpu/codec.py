@@ -280,9 +280,7 @@ def _enc_body(carry: EncCarry, params: X3Params) -> EncCarry:
     # (7) dictionary update: MTF on hit; insert on miss unless duplicate
     dup = dm.dict_has_exact(carry.d, matchlen, mlen)
     ins = miss & ~dup
-    ix = ix.at[lane, jnp.minimum(carry.d.n, ix.shape[1] - 1)].set(
-        jnp.where(ins, 1, ix[lane, jnp.minimum(carry.d.n, ix.shape[1] - 1)])
-    )
+    ix = ix.at[lane, jnp.where(ins, carry.d.n, ix.shape[1])].set(1, mode="drop")
     d = dm.dict_mtf(carry.d, tag, hit)
     d, _ = dm.dict_insert(d, t32, mlen, ins)
 
@@ -430,9 +428,8 @@ def _literal_decode_loop(carry: DecCarry, is_new: jax.Array, length: jax.Array):
         ch = am.model_inc(ch, sym, act)
         nbits = nbits + jnp.where(act, _bits(am.f32_prob(span, tot)), 0.0)
         lane = jnp.arange(lanes, dtype=I32)
-        frag = frag.at[lane, jnp.minimum(k, MAX_MATCH_LEN - 1)].set(
-            jnp.where(act, sym.astype(U8), frag[lane, jnp.minimum(k, MAX_MATCH_LEN - 1)])
-        )
+        kidx = jnp.where(act, jnp.minimum(k, MAX_MATCH_LEN - 1), MAX_MATCH_LEN)
+        frag = frag.at[lane, kidx].set(sym.astype(U8), mode="drop")
         return k + 1, frag, ch, dec, src, nbits
 
     k0 = jnp.zeros((), I32)
@@ -532,8 +529,7 @@ def _dec_body(carry: DecCarry, params: X3Params) -> DecCarry:
     _, _, _, matchlen = dm.dict_probe(carry.d, frag)
     dup = dm.dict_has_exact(carry.d, matchlen, length_new)
     ins = is_new & ~dup
-    ixn = jnp.minimum(carry.d.n, ix.shape[1] - 1)
-    ix = ix.at[lane, ixn].set(jnp.where(ins, 1, ix[lane, ixn]))
+    ix = ix.at[lane, jnp.where(ins, carry.d.n, ix.shape[1])].set(1, mode="drop")
     d = dm.dict_mtf(carry.d, tag_hit, hit)
     d, _ = dm.dict_insert(d, frag, length_new, ins)
 

@@ -94,6 +94,7 @@ def caps_for_block(block_bytes: int, ratio_hint: float = 1.0) -> CodecCaps:
         dict_cap=d,
         pair_cap=min(8 * d, 1 << 18),
         ctx_items_cap=256,
+        ctx0_items_cap=192,
         block_bytes=block_bytes,
     )
 
