@@ -93,3 +93,27 @@ def test_decode_write_at_buffer_edge():
     [stream] = codec.encode_blocks([data], SMALL_PARAMS, caps)
     [out] = codec.decode_blocks([stream], SMALL_PARAMS, caps)
     assert out == data
+
+
+def test_chunked_matches_whole_loop():
+    """Chunked host driver (bounded device programs, donated carry) produces
+    bit-identical streams to the whole-loop path."""
+    import jax.numpy as jnp
+
+    blocks = _inputs()[:4]
+    text, tlen = codec.pack_blocks(blocks, SMALL_PARAMS, SMALL_CAPS)
+    w1, l1, _, _, _ = codec.encode_blocks_jit(
+        jnp.asarray(text), jnp.asarray(tlen), SMALL_PARAMS, SMALL_CAPS
+    )
+    w2, l2, _, _, _ = codec.encode_blocks_chunked(
+        jnp.asarray(text), jnp.asarray(tlen), SMALL_PARAMS, SMALL_CAPS,
+        chunk_steps=37,
+    )
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+    o1, ol1, _, _, _ = codec.decode_blocks_chunked(
+        w2, l2, SMALL_PARAMS, SMALL_CAPS, chunk_steps=41
+    )
+    for i, b in enumerate(blocks):
+        assert np.asarray(o1)[i, : np.asarray(ol1)[i]].tobytes() == b

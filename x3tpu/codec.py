@@ -305,20 +305,16 @@ def _enc_body(carry: EncCarry, params: X3Params) -> EncCarry:
     )
 
 
-def encode_lanes(
+def enc_init_carry(
     text: jax.Array, tlen: jax.Array, params: X3Params, caps: CodecCaps,
     seeds=None,
-):
-    """Compress L independent blocks (un-jitted core; wrap in jit or
-    shard_map).
-
-    ``text`` u8 [L, TB] must be zero-padded with at least
-    max(window, 32) bytes past each block's length (x3.c:579/590).
-    Returns (words u32 [L, OW], byte_lens i32 [L], counts [L, 5], overflow).
-    """
+) -> EncCarry:
+    """Initial encoder carry for L blocks.  ``text`` u8 [L, TB] must be
+    zero-padded with at least max(window, 32) bytes past each block's
+    length (x3.c:579/590)."""
     lanes = text.shape[0]
     d, ctx0, ctx1, ev, ms, ch, ix = _init_shared(lanes, caps, seeds)
-    carry = EncCarry(
+    return EncCarry(
         text=text,
         tlen=tlen.astype(I32),
         p=jnp.zeros((lanes,), I32),
@@ -334,13 +330,32 @@ def encode_lanes(
         pair_of=jnp.zeros((lanes,), jnp.bool_),
     )
 
-    carry = jax.lax.while_loop(
-        lambda c: jnp.any(c.p < c.tlen),
-        lambda c: _enc_body(c, params),
-        carry,
-    )
 
-    # end of stream (x3.c:432-433) + flush (x3.c:603)
+def enc_active(carry: EncCarry) -> jax.Array:
+    """Scalar: any lane still encoding."""
+    return jnp.any(carry.p < carry.tlen)
+
+
+def enc_chunk(carry: EncCarry, params: X3Params, nsteps: int) -> EncCarry:
+    """Run up to ``nsteps`` events (bounds single-program device time; the
+    host loops chunks with donated carries)."""
+
+    def cond(c):
+        i, carry = c
+        return (i < nsteps) & enc_active(carry)
+
+    def body(c):
+        i, carry = c
+        return i + 1, _enc_body(carry, params)
+
+    _, carry = jax.lax.while_loop(cond, body, (jnp.zeros((), I32), carry))
+    return carry
+
+
+def enc_finalize(carry: EncCarry):
+    """EOF + flush (x3.c:432-433, x3.c:603); returns
+    (words, byte_lens, counts, sizes, overflow)."""
+    lanes = carry.p.shape[0]
     every = jnp.ones((lanes,), jnp.bool_)
     eofsym = jnp.full((lanes,), E_EOF, I32)
     elow, espan, etot = am.model_encode_stats(carry.ev, eofsym)
@@ -357,9 +372,44 @@ def encode_lanes(
     return sink.words, bitio.sink_byte_len(sink), carry.counts, carry.sizes, overflow
 
 
+def encode_lanes(
+    text: jax.Array, tlen: jax.Array, params: X3Params, caps: CodecCaps,
+    seeds=None,
+):
+    """Whole-loop compress of L independent blocks (un-jitted core; wrap in
+    jit or shard_map).  For long inputs prefer the chunked host driver
+    (:func:`encode_blocks_chunked`), which bounds single-program device
+    time."""
+    carry = enc_init_carry(text, tlen, params, caps, seeds)
+    carry = jax.lax.while_loop(
+        enc_active, lambda c: _enc_body(c, params), carry
+    )
+    return enc_finalize(carry)
+
+
 encode_blocks_jit = functools.partial(
     jax.jit(encode_lanes, static_argnames=("params", "caps"))
 )
+
+_enc_init_jit = jax.jit(enc_init_carry, static_argnames=("params", "caps"))
+_enc_chunk_jit = jax.jit(
+    enc_chunk, static_argnames=("params", "nsteps"), donate_argnums=(0,)
+)
+_enc_active_jit = jax.jit(enc_active)
+_enc_finalize_jit = jax.jit(enc_finalize)
+
+
+def encode_blocks_chunked(
+    text, tlen, params: X3Params, caps: CodecCaps, seeds=None,
+    chunk_steps: int = 512,
+):
+    """Host-driven chunked encode: repeated bounded device programs with a
+    donated carry (keeps each execution well under RPC/watchdog limits and
+    provides natural progress/interruption points)."""
+    carry = _enc_init_jit(text, tlen, params, caps, seeds)
+    while bool(_enc_active_jit(carry)):
+        carry = _enc_chunk_jit(carry, params, chunk_steps)
+    return _enc_finalize_jit(carry)
 
 
 # ---------------------------------------------------------------------------
@@ -553,18 +603,15 @@ def _dec_body(carry: DecCarry, params: X3Params) -> DecCarry:
     )
 
 
-def decode_lanes(
+def dec_init_carry(
     words: jax.Array, byte_lens: jax.Array, params: X3Params, caps: CodecCaps,
     seeds=None,
-):
-    """Decompress L independent streams (words u32 [L, IW]; un-jitted core).
-
-    Returns (out u8 [L, OB], out_lens i32 [L], counts [L, 5], overflow)."""
+) -> DecCarry:
     lanes = words.shape[0]
     d, ctx0, ctx1, ev, ms, ch, ix = _init_shared(lanes, caps, seeds)
     src = bitio.source_init(words, byte_lens)
     dec, src = acm.dec_init(src, lanes)
-    carry = DecCarry(
+    return DecCarry(
         out=jnp.zeros((lanes, caps.block_bytes), U8),
         opos=jnp.zeros((lanes,), I32),
         done=jnp.zeros((lanes,), jnp.bool_),
@@ -580,11 +627,25 @@ def decode_lanes(
         out_of=jnp.zeros((lanes,), jnp.bool_),
     )
 
-    carry = jax.lax.while_loop(
-        lambda c: jnp.any(~c.done),
-        lambda c: _dec_body(c, params),
-        carry,
-    )
+
+def dec_active(carry: DecCarry) -> jax.Array:
+    return jnp.any(~carry.done)
+
+
+def dec_chunk(carry: DecCarry, params: X3Params, nsteps: int) -> DecCarry:
+    def cond(c):
+        i, carry = c
+        return (i < nsteps) & dec_active(carry)
+
+    def body(c):
+        i, carry = c
+        return i + 1, _dec_body(carry, params)
+
+    _, carry = jax.lax.while_loop(cond, body, (jnp.zeros((), I32), carry))
+    return carry
+
+
+def dec_finalize(carry: DecCarry):
     overflow = Overflow(
         dict=carry.d.overflow,
         ctx0=carry.ctx0.overflow,
@@ -595,9 +656,41 @@ def decode_lanes(
     return carry.out, carry.opos, carry.counts, carry.sizes, overflow
 
 
+def decode_lanes(
+    words: jax.Array, byte_lens: jax.Array, params: X3Params, caps: CodecCaps,
+    seeds=None,
+):
+    """Whole-loop decompress of L independent streams (words u32 [L, IW]).
+
+    Returns (out u8 [L, OB], out_lens i32 [L], counts [L, 5], overflow)."""
+    carry = dec_init_carry(words, byte_lens, params, caps, seeds)
+    carry = jax.lax.while_loop(
+        dec_active, lambda c: _dec_body(c, params), carry
+    )
+    return dec_finalize(carry)
+
+
 decode_blocks_jit = functools.partial(
     jax.jit(decode_lanes, static_argnames=("params", "caps"))
 )
+
+_dec_init_jit = jax.jit(dec_init_carry, static_argnames=("params", "caps"))
+_dec_chunk_jit = jax.jit(
+    dec_chunk, static_argnames=("params", "nsteps"), donate_argnums=(0,)
+)
+_dec_active_jit = jax.jit(dec_active)
+_dec_finalize_jit = jax.jit(dec_finalize)
+
+
+def decode_blocks_chunked(
+    words, byte_lens, params: X3Params, caps: CodecCaps, seeds=None,
+    chunk_steps: int = 512,
+):
+    """Host-driven chunked decode (see encode_blocks_chunked)."""
+    carry = _dec_init_jit(words, byte_lens, params, caps, seeds)
+    while bool(_dec_active_jit(carry)):
+        carry = _dec_chunk_jit(carry, params, chunk_steps)
+    return _dec_finalize_jit(carry)
 
 
 # ---------------------------------------------------------------------------
@@ -649,7 +742,7 @@ def encode_blocks(
     """Compress a batch of independent blocks; each result is a standalone
     reference-format x3 stream."""
     text, tlen = pack_blocks(blocks, params, caps)
-    words, byte_lens, _, _, overflow = encode_blocks_jit(
+    words, byte_lens, _, _, overflow = encode_blocks_chunked(
         jnp.asarray(text), jnp.asarray(tlen), params, caps, seeds
     )
     _check_overflow(overflow)
@@ -676,7 +769,7 @@ def decode_blocks(
         arr = np.frombuffer(s + b"\x00" * pad, "<u4")
         words[i, : len(arr)] = arr
         byte_lens[i] = len(s)
-    out, out_lens, _, _, overflow = decode_blocks_jit(
+    out, out_lens, _, _, overflow = decode_blocks_chunked(
         jnp.asarray(words), jnp.asarray(byte_lens), params, caps, seeds
     )
     _check_overflow(overflow)

@@ -149,9 +149,11 @@ def encode_wave(
                     text, tlen, params, caps, mesh, seeds=seeds
                 )
             else:
-                words, byte_lens, counts, sizes, overflow = codec.encode_blocks_jit(
-                    jax.numpy.asarray(text), jax.numpy.asarray(tlen), params,
-                    caps, seeds
+                words, byte_lens, counts, sizes, overflow = (
+                    codec.encode_blocks_chunked(
+                        jax.numpy.asarray(text), jax.numpy.asarray(tlen),
+                        params, caps, seeds,
+                    )
                 )
             codec._check_overflow(overflow)
             break
@@ -213,9 +215,11 @@ def decode_wave(
                     words, byte_lens, params, caps, mesh, seeds=seeds
                 )
             else:
-                out, out_lens, counts, sizes, overflow = codec.decode_blocks_jit(
-                    jax.numpy.asarray(words), jax.numpy.asarray(byte_lens),
-                    params, caps, seeds,
+                out, out_lens, counts, sizes, overflow = (
+                    codec.decode_blocks_chunked(
+                        jax.numpy.asarray(words), jax.numpy.asarray(byte_lens),
+                        params, caps, seeds,
+                    )
                 )
             codec._check_overflow(overflow)
             break
