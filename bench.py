@@ -24,13 +24,27 @@ BASELINE_ENCODE_MBS = 0.12  # BASELINE.md: reference encode, source text
 
 
 def build_corpus(total: int) -> bytes:
-    """Deterministic source-text-like corpus (reference C sources repeated;
-    same flavor of data as the baseline measurement)."""
-    src = Path("/root/reference")
+    """Deterministic diverse source-text corpus: the reference C sources
+    followed by the jax package sources (tens of MB of distinct text, so
+    multi-MB corpora don't degenerate into repeats of one blob)."""
     parts = []
+    src = Path("/root/reference")
     if src.exists():
         for f in sorted(src.glob("*.c")) + sorted(src.glob("*.md")):
             parts.append(f.read_bytes())
+    jax_src = Path("/opt/venv/lib/python3.12/site-packages/jax")
+    if jax_src.exists():
+        budget = total + (1 << 20)
+        acc = sum(len(p) for p in parts)
+        for f in sorted(jax_src.rglob("*.py")):
+            if acc >= budget:
+                break
+            try:
+                b = f.read_bytes()
+            except OSError:
+                continue
+            parts.append(b)
+            acc += len(b)
     if not parts:  # fallback: synthetic text
         parts = [(b"int main(void) { return compress(buf, %d); }\n" % i)
                  for i in range(1000)]

@@ -315,6 +315,23 @@ class Codec {
     }
     return n;
   }
+  // state-growth measurement for static-capacity tuning
+  void measure(int64_t* out) const {
+    out[0] = int64_t(dict_.size());
+    out[1] = int64_t(pairs_.size());
+    size_t hub0 = ctx0_.empty() ? 0 : ctx0_[0].size();
+    size_t max0 = 0;
+    for (size_t i = 1; i < ctx0_.size(); ++i)
+      if (ctx0_[i].size() > max0) max0 = ctx0_[i].size();
+    size_t hub1 = ctx1_.empty() ? 0 : ctx1_[0].size();
+    size_t max1 = 0;
+    for (size_t i = 1; i < ctx1_.size(); ++i)
+      if (ctx1_[i].size() > max1) max1 = ctx1_[i].size();
+    out[2] = int64_t(hub0);
+    out[3] = int64_t(max0);
+    out[4] = int64_t(hub1);
+    out[5] = int64_t(max1);
+  }
 
  private:
   size_t nl(size_t len) const {  // x3.c:357-370
@@ -553,6 +570,22 @@ int x3h_decode(const uint8_t* data, size_t size, size_t max_output,
 }
 
 void x3h_free(uint8_t* ptr) { std::free(ptr); }
+
+// Measure state growth after encoding: out = {dict, pairs, ctx0_hub,
+// ctx0_max_nonhub, ctx1_hub, ctx1_max_nonhub}.
+void x3h_measure(const uint8_t* data, size_t size, int max_match_count,
+                 long window, long factor1, long factor2, int nl_remap,
+                 int64_t* out) {
+  x3host::Params p;
+  p.max_match_count = max_match_count;
+  p.window = window;
+  p.factor1 = factor1;
+  p.factor2 = factor2;
+  p.nl_remap = nl_remap;
+  x3host::Codec codec(p);
+  codec.encode(data, size);
+  codec.measure(out);
+}
 
 // Train a seed dictionary: encode a sample and dump the first k dictionary
 // fragments (insertion order).  Returns the number written.

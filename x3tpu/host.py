@@ -64,6 +64,12 @@ def _load() -> ctypes.CDLL:
         ]
         lib.x3h_free.restype = None
         lib.x3h_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib.x3h_measure.restype = None
+        lib.x3h_measure.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.x3h_train.restype = ctypes.c_size_t
         lib.x3h_train.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_long,
@@ -130,3 +136,18 @@ def train_seeds(data: bytes, params: X3Params = X3Params(), k: int = 256):
         k,
     )
     return strs[:n], lens[:n]
+
+
+def measure_state(data: bytes, params: X3Params = X3Params()):
+    """Encode on the host and report state growth for capacity tuning:
+    dict entries, pairs, ctx0 hub items, max non-hub ctx0 items, ctx1 hub
+    items, max non-hub ctx1 items."""
+    lib = _load()
+    out = (ctypes.c_int64 * 6)()
+    lib.x3h_measure(
+        data, len(data), params.max_match_count, params.window,
+        params.magic_factor1, params.magic_factor2,
+        1 if params.nl_remap else 0, out,
+    )
+    keys = ("dict", "pairs", "ctx0_hub", "ctx0_max", "ctx1_hub", "ctx1_max")
+    return dict(zip(keys, [int(v) for v in out]))

@@ -90,11 +90,12 @@ def caps_for_block(block_bytes: int, ratio_hint: float = 1.0) -> CodecCaps:
     text (17 KB source text -> dict 372, pairs 2522, hub ctx ~150 items;
     see SURVEY.md §7 hard part #2).  Overflow auto-retry covers the tail."""
     d = int(np.clip(_pow2(block_bytes // 8), 1 << 10, 1 << 16))
+    items = int(np.clip(_pow2(d // 4), 256, 2048))
     return CodecCaps(
         dict_cap=d,
-        pair_cap=min(8 * d, 1 << 18),
-        ctx_items_cap=256,
-        ctx0_items_cap=192,
+        pair_cap=min(16 * d, 1 << 18),
+        ctx_items_cap=items,
+        ctx0_items_cap=items,
         block_bytes=block_bytes,
     )
 
