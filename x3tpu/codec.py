@@ -46,6 +46,7 @@ from x3tpu.models import dictionary as dm
 from x3tpu.ops import ac as acm
 from x3tpu.ops import bitio
 from x3tpu.ops.match import best_match_sweep, gather_window, window_counts
+from x3tpu.ops.match_pallas import match_event_pallas
 
 I32 = jnp.int32
 U8 = jnp.uint8
@@ -214,24 +215,45 @@ def _literal_encode_loop(carry, miss, mlen):
     return ch, enc, sink, nbits
 
 
-def _enc_body(carry: EncCarry, params: X3Params) -> EncCarry:
+def _enc_body(carry: EncCarry, params: X3Params, matcher: str = "xla") -> EncCarry:
     lanes = carry.p.shape[0]
     lane = jnp.arange(lanes, dtype=I32)
     active = carry.p < carry.tlen
 
-    # (1) dictionary probe at p (x3.c:381)
     t32 = gather_window(carry.text, carry.p, MAX_MATCH_LEN)
-    found, slot, dlen, matchlen = dm.dict_probe(carry.d, t32)
 
-    # (2) forward-window probe (x3.c:383 -> backend.c:56)
-    win = gather_window(carry.text, carry.p, max(params.window, MAX_MATCH_LEN))
-    counts = window_counts(win, params.window)
-    fbm = best_match_sweep(counts, carry.text, carry.p, carry.d, active, params)
+    if matcher in ("pallas", "pallas_interpret"):
+        # fused match stage: probe + scan + sweep + vetoes + decision in one
+        # kernel (ops/match_pallas.py)
+        hit_k, slot, dlen, fbm, mlen, dup = match_event_pallas(
+            carry.text, carry.p, carry.tlen, carry.d.strs, carry.d.lens,
+            carry.d.n, params, interpret=(matcher == "pallas_interpret"),
+        )
+        hit = active & hit_k
+        miss = active & ~hit
+    else:
+        # (1) dictionary probe at p (x3.c:381)
+        found, slot, dlen, matchlen = dm.dict_probe(carry.d, t32)
 
-    # (3) selection (x3.c:381-383)
-    hit = active & found & (_nl(dlen, params) >= fbm) & (carry.p + dlen <= carry.tlen)
-    miss = active & ~hit
-    mlen = jnp.clip(jnp.minimum(fbm, carry.tlen - carry.p), 1, MAX_MATCH_LEN)
+        # (2) forward-window probe (x3.c:383 -> backend.c:56)
+        win = gather_window(
+            carry.text, carry.p, max(params.window, MAX_MATCH_LEN)
+        )
+        counts = window_counts(win, params.window)
+        fbm = best_match_sweep(
+            counts, carry.text, carry.p, carry.d, active, params
+        )
+
+        # (3) selection (x3.c:381-383)
+        hit = (
+            active & found & (_nl(dlen, params) >= fbm)
+            & (carry.p + dlen <= carry.tlen)
+        )
+        miss = active & ~hit
+        mlen = jnp.clip(
+            jnp.minimum(fbm, carry.tlen - carry.p), 1, MAX_MATCH_LEN
+        )
+        dup = dm.dict_has_exact(carry.d, matchlen, mlen)
 
     tag = slot
     rank = carry.d.rank_of[lane, tag]
@@ -278,7 +300,6 @@ def _enc_body(carry: EncCarry, params: X3Params) -> EncCarry:
     )
 
     # (7) dictionary update: MTF on hit; insert on miss unless duplicate
-    dup = dm.dict_has_exact(carry.d, matchlen, mlen)
     ins = miss & ~dup
     ix = ix.at[lane, jnp.where(ins, carry.d.n, ix.shape[1])].set(1, mode="drop")
     d = dm.dict_mtf(carry.d, tag, hit)
@@ -336,7 +357,9 @@ def enc_active(carry: EncCarry) -> jax.Array:
     return jnp.any(carry.p < carry.tlen)
 
 
-def enc_chunk(carry: EncCarry, params: X3Params, nsteps: int) -> EncCarry:
+def enc_chunk(
+    carry: EncCarry, params: X3Params, nsteps: int, matcher: str = "xla"
+) -> EncCarry:
     """Run up to ``nsteps`` events (bounds single-program device time; the
     host loops chunks with donated carries)."""
 
@@ -346,7 +369,7 @@ def enc_chunk(carry: EncCarry, params: X3Params, nsteps: int) -> EncCarry:
 
     def body(c):
         i, carry = c
-        return i + 1, _enc_body(carry, params)
+        return i + 1, _enc_body(carry, params, matcher)
 
     _, carry = jax.lax.while_loop(cond, body, (jnp.zeros((), I32), carry))
     return carry
@@ -381,8 +404,9 @@ def encode_lanes(
     (:func:`encode_blocks_chunked`), which bounds single-program device
     time."""
     carry = enc_init_carry(text, tlen, params, caps, seeds)
+    matcher = caps.matcher if caps.matcher != "auto" else "xla"
     carry = jax.lax.while_loop(
-        enc_active, lambda c: _enc_body(c, params), carry
+        enc_active, lambda c: _enc_body(c, params, matcher), carry
     )
     return enc_finalize(carry)
 
@@ -393,7 +417,8 @@ encode_blocks_jit = functools.partial(
 
 _enc_init_jit = jax.jit(enc_init_carry, static_argnames=("params", "caps"))
 _enc_chunk_jit = jax.jit(
-    enc_chunk, static_argnames=("params", "nsteps"), donate_argnums=(0,)
+    enc_chunk, static_argnames=("params", "nsteps", "matcher"),
+    donate_argnums=(0,),
 )
 _enc_active_jit = jax.jit(enc_active)
 _enc_finalize_jit = jax.jit(enc_finalize)
@@ -406,9 +431,10 @@ def encode_blocks_chunked(
     """Host-driven chunked encode: repeated bounded device programs with a
     donated carry (keeps each execution well under RPC/watchdog limits and
     provides natural progress/interruption points)."""
+    caps = caps.resolved()
     carry = _enc_init_jit(text, tlen, params, caps, seeds)
     while bool(_enc_active_jit(carry)):
-        carry = _enc_chunk_jit(carry, params, chunk_steps)
+        carry = _enc_chunk_jit(carry, params, chunk_steps, caps.matcher)
     return _enc_finalize_jit(carry)
 
 

@@ -76,6 +76,7 @@ class CodecCaps:
     ctx0_items_cap: int = 128      # max tags per non-hub order-2 context
     block_bytes: int = 1 << 20     # max uncompressed bytes per lane/block
     out_words_factor: int = 2      # compressed buffer headroom (x3.c:580: 2x)
+    matcher: str = "auto"          # "auto" | "xla" | "pallas" | "pallas_interpret"
 
     @property
     def out_words(self) -> int:
@@ -90,6 +91,17 @@ class CodecCaps:
             ctx_items_cap=self.ctx_items_cap * factor,
             ctx0_items_cap=self.ctx0_items_cap * factor,
         )
+
+    def resolved(self) -> "CodecCaps":
+        """Resolve matcher='auto' by backend (pallas on TPU, xla elsewhere);
+        call outside jit."""
+        if self.matcher != "auto":
+            return self
+        import jax
+
+        backend = jax.default_backend()
+        m = "pallas" if backend not in ("cpu",) else "xla"
+        return dataclasses.replace(self, matcher=m)
 
 
 @dataclasses.dataclass(frozen=True)
