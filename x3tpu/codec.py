@@ -188,29 +188,68 @@ def _hit_mode_stats(carry: EncCarry, tag: jax.Array, rank: jax.Array):
 
 def _literal_encode_loop(carry, miss, mlen):
     """AC-code the fragment bytes through the 256-symbol char model
-    (x3.c:263-267)."""
+    (x3.c:263-267).
+
+    The model's within-fragment evolution is precomputed in closed form:
+    byte k's interval is the base interval plus pairwise counts of earlier
+    equal/smaller bytes in the same fragment (each coded byte adds 1 to its
+    own frequency), so the masked sub-loop runs only bare AC steps and the
+    frequency table is updated once with a histogram."""
     lanes = miss.shape[0]
     lane = jnp.arange(lanes, dtype=I32)
+    W = MAX_MATCH_LEN
+
+    frag = gather_window(carry.text, carry.p, W).astype(I32)     # [L, 32]
+    cum = jnp.cumsum(carry.ch, axis=1) - carry.ch                # excl prefix
+    base_low = jnp.take_along_axis(cum, frag, axis=1)            # [L, 32]
+    base_span = jnp.take_along_axis(carry.ch, frag, axis=1)
+    base_total = jnp.sum(carry.ch, axis=1)                       # [L]
+
+    bj = frag[:, :, None]                                        # earlier j
+    bk = frag[:, None, :]                                        # current k
+    jlt = (
+        jax.lax.broadcasted_iota(I32, (1, W, W), 1)
+        < jax.lax.broadcasted_iota(I32, (1, W, W), 2)
+    )
+    low_k = base_low + jnp.sum(jnp.where(jlt & (bj < bk), 1, 0), axis=1)
+    span_k = base_span + jnp.sum(jnp.where(jlt & (bj == bk), 1, 0), axis=1)
+    tot_k = base_total[:, None] + jax.lax.broadcasted_iota(I32, (1, W), 1)
+
+    kiota = jax.lax.broadcasted_iota(I32, (1, W), 1)
+    inmask = miss[:, None] & (kiota < mlen[:, None])
 
     def cond(c):
         k = c[0]
         return jnp.any(miss & (k < mlen))
 
     def body(c):
-        k, ch, enc, sink, nbits = c
+        k, enc, sink = c
         act = miss & (k < mlen)
-        byte = carry.text[lane, jnp.minimum(carry.p + k, carry.text.shape[1] - 1)]
-        sym = byte.astype(I32)
-        low, span, tot = am.model_encode_stats(ch, sym)
+        low = low_k[lane, k]
+        span = span_k[lane, k]
+        tot = tot_k[lane, k]
         enc, sink = acm.ac_encode(enc, sink, low, low + span, tot, act)
-        ch = am.model_inc(ch, sym, act)
-        nbits = nbits + jnp.where(act, _bits(am.f32_prob(span, tot)), 0.0)
-        return k + 1, ch, enc, sink, nbits
+        return k + 1, enc, sink
 
-    _, ch, enc, sink, nbits = jax.lax.while_loop(
-        cond, body,
-        (jnp.zeros((), I32), carry.ch, carry.enc, carry.sink,
-         jnp.zeros((miss.shape[0],), jnp.float32)),
+    _, enc, sink = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), I32), carry.enc, carry.sink)
+    )
+
+    # one-shot frequency update: += histogram of the coded bytes
+    sym_iota = jax.lax.broadcasted_iota(I32, (1, 1, 256), 2)
+    hist = jnp.sum(
+        jnp.where(inmask[:, :, None] & (frag[:, :, None] == sym_iota), 1, 0),
+        axis=1,
+    )
+    ch = carry.ch + hist
+
+    nbits = jnp.sum(
+        jnp.where(
+            inmask,
+            _bits(span_k.astype(jnp.float32) / tot_k.astype(jnp.float32)),
+            0.0,
+        ),
+        axis=1,
     )
     return ch, enc, sink, nbits
 
