@@ -113,7 +113,12 @@ def _matcher_kernel(
     ok = valid & (all_lens > 0) & (mlen_scr[:, :] >= all_lens)
     cand = jnp.where(ok, all_lens, 0)
     dlen = jnp.max(cand, axis=1, keepdims=True)
-    slot = jnp.argmax(cand, axis=1).astype(I32)[:, None]
+    # integer argmax via min-index-of-max (Mosaic lacks integer argmax)
+    slot = jnp.min(
+        jnp.where((cand == dlen) & (dlen > 0), slot_iota, D), axis=1,
+        keepdims=True,
+    )
+    slot = jnp.where(slot == D, 0, slot)
 
     # ---- window scan (backend.c:66-74)
     S = W - MAX_MATCH_LEN - 1
@@ -138,7 +143,10 @@ def _matcher_kernel(
         level = jnp.minimum(counts - 1, T)
         key = jnp.where(cand0, level * MAX_MATCH_LEN + iota32, -1)
         has = jnp.any(cand0, axis=1, keepdims=True)
-        best_i = jnp.argmax(key, axis=1).astype(I32)[:, None]
+        kmax = jnp.max(key, axis=1, keepdims=True)
+        best_i = jnp.max(
+            jnp.where(key == kmax, iota32, -1), axis=1, keepdims=True
+        )
         fbm = jnp.where(has, best_i + 1, 1)
     else:
         cand0 = counts >= 2
@@ -154,7 +162,11 @@ def _matcher_kernel(
             unresolved = result == 0
             key = jnp.where(remaining, level * MAX_MATCH_LEN + iota32, -1)
             has = jnp.any(remaining, axis=1, keepdims=True)
-            bi = jnp.argmax(key, axis=1).astype(I32)[:, None]
+            kmax = jnp.max(key, axis=1, keepdims=True)
+            bi = jnp.max(
+                jnp.where(key == kmax, iota32, -1), axis=1, keepdims=True
+            )
+            bi = jnp.maximum(bi, 0)
             result = jnp.where(unresolved & ~has, 1, result)
             pending = unresolved & has
             vetoed = jnp.zeros((L, 1), jnp.bool_)
