@@ -3,22 +3,26 @@
 Computes, for all L lanes at once, everything the encoder's match stage
 needs (x3.c:381-383, backend.c:56-100, dict.c:105-157):
 
-  * longest-prefix dictionary probe at p (tiled [L, DT, 32] byte compares
-    in VMEM; per-entry shared-prefix lengths kept in a VMEM scratch for the
-    exact-duplicate query),
+  * longest-prefix dictionary probe at p with per-entry shared-prefix
+    lengths kept resident for the exact-duplicate query,
   * the forward-window repeated-prefix scan (running prefix-AND over 32
     shifted compares of the DMA'd window),
   * the threshold sweep as argmax over (level, i) keys with the
     magic-factor veto loop inline (veto probes reuse the resident window
-    and dictionary, so each round costs only VPU compares — no extra HBM
-    traffic),
+    and dictionary -- VPU compares only, no extra HBM traffic),
   * the hit/miss decision, fragment length clamp and duplicate check.
 
-Replaces ~200 small XLA ops (gathers, 32 scan steps, reductions, the veto
-while_loop with its own gathers/probes) with a single launch whose inner
-loops run entirely out of VMEM.  The XLA fallback (ops/match.py) computes
-identical results and is differentially tested against this kernel in
-interpreter mode (tests/test_match_pallas.py).
+Layout strategy for Mosaic: fragment bytes are pre-packed into 8 LE u32
+words per entry ([L, D, 32] u8 -> [L, 8, D] i32, word-major), so every
+probe is eight 2-D [L, D] word compares (prefix length = word-equality run
++ mask-based byte refinement of the first differing word) -- no 3-D i8
+broadcasts, no integer argmax, 4x fewer compare lanes than byte-wise.
+
+Replaces ~200 small XLA ops per event (gathers, 32 scan steps, reductions,
+the veto while_loop with its own gathers/probes) with a single launch.
+The XLA fallback (ops/match.py) computes identical results and is
+differentially tested against this kernel in interpreter mode
+(tests/test_match_pallas.py).
 """
 
 from __future__ import annotations
@@ -34,41 +38,78 @@ from x3tpu.config import MAX_MATCH_LEN, X3Params
 
 I32 = jnp.int32
 U8 = jnp.uint8
-
-_DT = 512  # dictionary tile (entries per probe step)
+NWORDS = MAX_MATCH_LEN // 4  # 8 packed u32 words per fragment
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _select_window32(win_u8: jax.Array, bi: jax.Array) -> jax.Array:
-    """win[l, bi[l] : bi[l]+32] (u8) for bi in [0, 32) without dynamic
-    gathers: masked select over the 32 static slices."""
-    L = win_u8.shape[0]
-    out = jnp.zeros((L, MAX_MATCH_LEN), U8)
-    for i in range(MAX_MATCH_LEN):
-        out = jnp.where((bi == i), win_u8[:, i : i + MAX_MATCH_LEN], out)
-    return out
+def pack_fragments(strs: jax.Array) -> jax.Array:
+    """[L, D, 32] u8 -> [L, 8, D] i32 (LE words, word-major for 2-D tiles)."""
+    L, D, _ = strs.shape
+    w = jax.lax.bitcast_convert_type(
+        strs.reshape(L, D, NWORDS, 4), jnp.int32
+    )  # [L, D, 8]
+    return jnp.transpose(w, (0, 2, 1))
 
 
-def _probe_best_len(strs_ref, lens_ref, n, target_u8, D):
-    """best matching length [L,1] of the longest entry prefixing
-    ``target_u8`` [L, 32] (for the magic-factor vetoes)."""
-    L = target_u8.shape[0]
-    DT = min(_DT, D)
-    best_len = jnp.zeros((L, 1), I32)
-    j32 = jax.lax.broadcasted_iota(I32, (1, 1, MAX_MATCH_LEN), 2)
-    for off in range(0, D, DT):
-        strs = strs_ref[:, off : off + DT, :]                # u8 [L, DT, 32]
-        lens = lens_ref[:, off : off + DT]                   # [L, DT]
-        neq = strs != target_u8[:, None, :]
-        mlen = jnp.min(jnp.where(neq, j32, MAX_MATCH_LEN), axis=2)
-        slot_iota = jax.lax.broadcasted_iota(I32, (L, DT), 1) + off
-        ok = (slot_iota < n) & (lens > 0) & (mlen >= lens)
-        cand = jnp.where(ok, lens, 0)
-        best_len = jnp.maximum(best_len, jnp.max(cand, axis=1, keepdims=True))
-    return best_len
+def _byte_refine(xw: jax.Array) -> jax.Array:
+    """#(leading zero bytes) of each LE u32 xor in [0, 3] (callers handle
+    the all-equal case separately)."""
+    b0 = (xw & 0xFF) == 0
+    b1 = (xw & 0xFFFF) == 0
+    b2 = (xw & 0xFFFFFF) == 0
+    return b0.astype(I32) + (b0 & b1).astype(I32) + (b0 & b1 & b2).astype(I32)
+
+
+def _probe_matchlen(strs_ref, tpk):
+    """Per-entry shared-prefix length [L, D] of packed target words ``tpk``
+    [L, 8] against all entries (word-equality run + byte refinement)."""
+    L = tpk.shape[0]
+    D = strs_ref.shape[2]
+    run = jnp.ones((L, D), jnp.bool_)
+    words = jnp.zeros((L, D), I32)   # shared length in whole words
+    xw_sel = jnp.zeros((L, D), I32)  # first differing word's xor
+    for w in range(NWORDS):
+        sw = strs_ref[:, w, :]
+        tw = tpk[:, w : w + 1]
+        eq = sw == tw
+        first_diff_here = run & ~eq
+        xw_sel = jnp.where(first_diff_here, sw ^ tw, xw_sel)
+        run = run & eq
+        words = words + run.astype(I32)
+    return jnp.minimum(
+        words * 4 + jnp.where(xw_sel != 0, _byte_refine(xw_sel), 0),
+        MAX_MATCH_LEN,
+    )
+
+
+def _probe_best_len(strs_ref, lens_ref, n, tpk):
+    """Best matching entry length [L, 1] for the veto probes."""
+    L = tpk.shape[0]
+    D = strs_ref.shape[2]
+    mlen = _probe_matchlen(strs_ref, tpk)
+    lens = lens_ref[:, :]
+    slot_iota = jax.lax.broadcasted_iota(I32, (L, D), 1)
+    ok = (slot_iota < n) & (lens > 0) & (mlen >= lens)
+    return jnp.max(jnp.where(ok, lens, 0), axis=1, keepdims=True)
+
+
+def _pack_from_window(win: jax.Array, start: int) -> jax.Array:
+    """Pack win[:, start:start+32] (u8) into [L, 8] i32 LE words using only
+    2-D slices and shifts (static ``start``)."""
+    cols = []
+    for j in range(NWORDS):
+        o = start + 4 * j
+        wv = (
+            win[:, o : o + 1].astype(I32)
+            | (win[:, o + 1 : o + 2].astype(I32) << 8)
+            | (win[:, o + 2 : o + 3].astype(I32) << 16)
+            | (win[:, o + 3 : o + 4].astype(I32) << 24)
+        )
+        cols.append(wv)
+    return jnp.concatenate(cols, axis=1)
 
 
 def _matcher_kernel(
@@ -79,7 +120,7 @@ def _matcher_kernel(
     # outputs
     hit_ref, slot_ref, dlen_ref, fbm_ref, mlen_ref, dup_ref,
     # scratch
-    win_ref, mlen_scr, dma_sems,
+    win_ref, dma_sems,
     *, W, Wbuf, D, L, params: X3Params,
 ):
     # ---- DMA each lane's window [p, p+Wbuf) into VMEM
@@ -96,24 +137,16 @@ def _matcher_kernel(
     n = n_ref[:, :]          # [L, 1]
     p = p_ref[:, :]          # [L, 1]
     tlen = tlen_ref[:, :]    # [L, 1]
-    DT = min(_DT, D)
 
-    # ---- dictionary probe at p (dict.c:105-130) + per-entry match lengths
-    t32 = win[:, :MAX_MATCH_LEN]
-    j32 = jax.lax.broadcasted_iota(I32, (1, 1, MAX_MATCH_LEN), 2)
-    for off in range(0, D, DT):
-        strs = strs_ref[:, off : off + DT, :]
-        neq = strs != t32[:, None, :]
-        mlen_scr[:, off : off + DT] = jnp.min(
-            jnp.where(neq, j32, MAX_MATCH_LEN), axis=2
-        )
+    # ---- dictionary probe at p (dict.c:105-130)
+    tpk = _pack_from_window(win, 0)
+    probe_mlen = _probe_matchlen(strs_ref, tpk)       # [L, D]
     slot_iota = jax.lax.broadcasted_iota(I32, (L, D), 1)
     valid = slot_iota < n
     all_lens = lens_ref[:, :]
-    ok = valid & (all_lens > 0) & (mlen_scr[:, :] >= all_lens)
+    ok = valid & (all_lens > 0) & (probe_mlen >= all_lens)
     cand = jnp.where(ok, all_lens, 0)
     dlen = jnp.max(cand, axis=1, keepdims=True)
-    # integer argmax via min-index-of-max (Mosaic lacks integer argmax)
     slot = jnp.min(
         jnp.where((cand == dlen) & (dlen > 0), slot_iota, D), axis=1,
         keepdims=True,
@@ -122,6 +155,7 @@ def _matcher_kernel(
 
     # ---- window scan (backend.c:66-74)
     S = W - MAX_MATCH_LEN - 1
+    iota32 = jax.lax.broadcasted_iota(I32, (L, MAX_MATCH_LEN), 1)
     if S > 0:
         run = jnp.ones((L, S), jnp.bool_)
         cols = []
@@ -135,7 +169,6 @@ def _matcher_kernel(
     # ---- threshold sweep with magic-factor vetoes (backend.c:76-97)
     T = params.max_match_count
     f1, f2 = params.magic_factor1, params.magic_factor2
-    iota32 = jax.lax.broadcasted_iota(I32, (L, MAX_MATCH_LEN), 1)
     if T < 1:
         fbm = jnp.ones((L, 1), I32)
     elif f1 == 0 and f2 == 0:
@@ -152,6 +185,14 @@ def _matcher_kernel(
         cand0 = counts >= 2
         level = jnp.minimum(counts - 1, T)
         result0 = jnp.zeros((L, 1), I32)
+        # packed targets for every window offset 0..31 (static slices)
+        tpk_all = [_pack_from_window(win, i) for i in range(MAX_MATCH_LEN)]
+
+        def select_tpk(bi):
+            out = jnp.zeros((L, NWORDS), I32)
+            for i in range(MAX_MATCH_LEN):
+                out = jnp.where(bi == i, tpk_all[i], out)
+            return out
 
         def cond(c):
             result, _ = c
@@ -171,16 +212,14 @@ def _matcher_kernel(
             pending = unresolved & has
             vetoed = jnp.zeros((L, 1), jnp.bool_)
             if f1 > 0:
-                tgt = _select_window32(win, bi)
-                vl = _probe_best_len(strs_ref, lens_ref, n, tgt, D)
+                vl = _probe_best_len(strs_ref, lens_ref, n, select_tpk(bi))
                 vetoed = vetoed | (
                     pending & (bi >= 2) & (vl > 0) & (vl * f1 > bi + 1)
                 )
             if f2 > 0:
                 veto2 = jnp.zeros((L, 1), jnp.bool_)
                 for o in range(1, MAX_MATCH_LEN):
-                    tgt_o = win[:, o : o + MAX_MATCH_LEN]
-                    vl_o = _probe_best_len(strs_ref, lens_ref, n, tgt_o, D)
+                    vl_o = _probe_best_len(strs_ref, lens_ref, n, tpk_all[o])
                     veto2 = veto2 | (
                         (o <= bi) & (vl_o > 0) & ((vl_o - o) * f2 > bi + 1)
                     )
@@ -207,7 +246,7 @@ def _matcher_kernel(
     hit = found & (nl >= fbm) & (p + dlen <= tlen)
     mlen = jnp.clip(jnp.minimum(fbm, tlen - p), 1, MAX_MATCH_LEN)
     dup = jnp.any(
-        valid & (all_lens == mlen) & (mlen_scr[:, :] >= mlen),
+        valid & (all_lens == mlen) & (probe_mlen >= mlen),
         axis=1, keepdims=True,
     )
 
@@ -229,12 +268,14 @@ def match_event_pallas(
     params: X3Params,
     interpret: bool = False,
 ):
-    """Returns (hit, slot, dlen, fbm, mlen, dup) — [L] bool/i32."""
+    """Returns (hit, slot, dlen, fbm, mlen, dup) -- [L] bool/i32."""
     L, TB = text.shape
     D = d_strs.shape[1]
     W = max(params.window, MAX_MATCH_LEN)
     Wbuf = _round_up(max(W, 2 * MAX_MATCH_LEN) + MAX_MATCH_LEN, 128)
     assert TB >= Wbuf, f"text width {TB} < window buffer {Wbuf}"
+
+    strs_packed = pack_fragments(d_strs)  # [L, 8, D] i32 (one XLA bitcast)
 
     kernel = functools.partial(
         _matcher_kernel, W=W, Wbuf=Wbuf, D=D, L=L, params=params
@@ -247,14 +288,13 @@ def match_event_pallas(
             pl.BlockSpec(memory_space=pl.ANY),       # text (DMA'd manually)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # p [L,1]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # tlen [L,1]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # strs
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # lens
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # strs packed [L,8,D]
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # lens [L,D]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # n [L,1]
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)],
         scratch_shapes=[
             pltpu.VMEM((L, Wbuf), U8),
-            pltpu.VMEM((L, D), I32),
             pltpu.SemaphoreType.DMA((L,)),
         ],
     )
@@ -268,7 +308,7 @@ def match_event_pallas(
         text,
         p.astype(I32)[:, None],
         tlen.astype(I32)[:, None],
-        d_strs,
+        strs_packed,
         d_lens,
         d_n.astype(I32)[:, None],
     )
