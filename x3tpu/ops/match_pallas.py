@@ -45,13 +45,14 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def pack_fragments(strs: jax.Array) -> jax.Array:
-    """[L, D, 32] u8 -> [L, 8, D] i32 (LE words, word-major for 2-D tiles)."""
+def pack_fragments(strs: jax.Array):
+    """[L, D, 32] u8 -> tuple of 8 [L, D] i32 word planes (LE words; one
+    kernel input per word so nothing slices a tiled dim)."""
     L, D, _ = strs.shape
     w = jax.lax.bitcast_convert_type(
         strs.reshape(L, D, NWORDS, 4), jnp.int32
     )  # [L, D, 8]
-    return jnp.transpose(w, (0, 2, 1))
+    return tuple(w[:, :, i] for i in range(NWORDS))
 
 
 def _byte_refine(xw: jax.Array) -> jax.Array:
@@ -63,17 +64,16 @@ def _byte_refine(xw: jax.Array) -> jax.Array:
     return b0.astype(I32) + (b0 & b1).astype(I32) + (b0 & b1 & b2).astype(I32)
 
 
-def _probe_matchlen(strs_ref, tpk):
-    """Per-entry shared-prefix length [L, D] of packed target words ``tpk``
-    [L, 8] against all entries (word-equality run + byte refinement)."""
-    L = tpk.shape[0]
-    D = strs_ref.shape[2]
+def _probe_matchlen(strs_words, tpk):
+    """Per-entry shared-prefix length [L, D]; ``strs_words`` is the list of
+    8 [L, D] word-plane refs, ``tpk`` a list of 8 [L, 1] target words."""
+    L, D = strs_words[0].shape
     run = jnp.ones((L, D), jnp.bool_)
     words = jnp.zeros((L, D), I32)   # shared length in whole words
     xw_sel = jnp.zeros((L, D), I32)  # first differing word's xor
     for w in range(NWORDS):
-        sw = strs_ref[:, w, :]
-        tw = tpk[:, w : w + 1]
+        sw = strs_words[w][:, :]
+        tw = tpk[w]
         eq = sw == tw
         first_diff_here = run & ~eq
         xw_sel = jnp.where(first_diff_here, sw ^ tw, xw_sel)
@@ -85,20 +85,19 @@ def _probe_matchlen(strs_ref, tpk):
     )
 
 
-def _probe_best_len(strs_ref, lens_ref, n, tpk):
+def _probe_best_len(strs_words, lens_ref, n, tpk):
     """Best matching entry length [L, 1] for the veto probes."""
-    L = tpk.shape[0]
-    D = strs_ref.shape[2]
-    mlen = _probe_matchlen(strs_ref, tpk)
+    L, D = strs_words[0].shape
+    mlen = _probe_matchlen(strs_words, tpk)
     lens = lens_ref[:, :]
     slot_iota = jax.lax.broadcasted_iota(I32, (L, D), 1)
     ok = (slot_iota < n) & (lens > 0) & (mlen >= lens)
     return jnp.max(jnp.where(ok, lens, 0), axis=1, keepdims=True)
 
 
-def _pack_from_window(win: jax.Array, start: int) -> jax.Array:
-    """Pack win[:, start:start+32] (u8) into [L, 8] i32 LE words using only
-    2-D slices and shifts (static ``start``)."""
+def _pack_from_window(win: jax.Array, start: int):
+    """Pack win[:, start:start+32] (u8) into a list of 8 [L, 1] i32 LE
+    words using only 2-D slices and shifts (static ``start``)."""
     cols = []
     for j in range(NWORDS):
         o = start + 4 * j
@@ -109,20 +108,23 @@ def _pack_from_window(win: jax.Array, start: int) -> jax.Array:
             | (win[:, o + 3 : o + 4].astype(I32) << 24)
         )
         cols.append(wv)
-    return jnp.concatenate(cols, axis=1)
+    return cols
 
 
 def _matcher_kernel(
     # scalar prefetch
     p_s,
     # inputs
-    text_ref, p_ref, tlen_ref, strs_ref, lens_ref, n_ref,
+    text_ref, p_ref, tlen_ref,
+    sw0, sw1, sw2, sw3, sw4, sw5, sw6, sw7,
+    lens_ref, n_ref,
     # outputs
     hit_ref, slot_ref, dlen_ref, fbm_ref, mlen_ref, dup_ref,
     # scratch
     win_ref, dma_sems,
     *, W, Wbuf, D, L, params: X3Params,
 ):
+    strs_words = (sw0, sw1, sw2, sw3, sw4, sw5, sw6, sw7)
     # ---- DMA each lane's window [p, p+Wbuf) into VMEM
     for l in range(L):
         pltpu.make_async_copy(
@@ -140,7 +142,7 @@ def _matcher_kernel(
 
     # ---- dictionary probe at p (dict.c:105-130)
     tpk = _pack_from_window(win, 0)
-    probe_mlen = _probe_matchlen(strs_ref, tpk)       # [L, D]
+    probe_mlen = _probe_matchlen(strs_words, tpk)     # [L, D]
     slot_iota = jax.lax.broadcasted_iota(I32, (L, D), 1)
     valid = slot_iota < n
     all_lens = lens_ref[:, :]
@@ -189,9 +191,10 @@ def _matcher_kernel(
         tpk_all = [_pack_from_window(win, i) for i in range(MAX_MATCH_LEN)]
 
         def select_tpk(bi):
-            out = jnp.zeros((L, NWORDS), I32)
+            out = [jnp.zeros((L, 1), I32) for _ in range(NWORDS)]
             for i in range(MAX_MATCH_LEN):
-                out = jnp.where(bi == i, tpk_all[i], out)
+                for w in range(NWORDS):
+                    out[w] = jnp.where(bi == i, tpk_all[i][w], out[w])
             return out
 
         def cond(c):
@@ -212,14 +215,14 @@ def _matcher_kernel(
             pending = unresolved & has
             vetoed = jnp.zeros((L, 1), jnp.bool_)
             if f1 > 0:
-                vl = _probe_best_len(strs_ref, lens_ref, n, select_tpk(bi))
+                vl = _probe_best_len(strs_words, lens_ref, n, select_tpk(bi))
                 vetoed = vetoed | (
                     pending & (bi >= 2) & (vl > 0) & (vl * f1 > bi + 1)
                 )
             if f2 > 0:
                 veto2 = jnp.zeros((L, 1), jnp.bool_)
                 for o in range(1, MAX_MATCH_LEN):
-                    vl_o = _probe_best_len(strs_ref, lens_ref, n, tpk_all[o])
+                    vl_o = _probe_best_len(strs_words, lens_ref, n, tpk_all[o])
                     veto2 = veto2 | (
                         (o <= bi) & (vl_o > 0) & ((vl_o - o) * f2 > bi + 1)
                     )
@@ -275,7 +278,7 @@ def match_event_pallas(
     Wbuf = _round_up(max(W, 2 * MAX_MATCH_LEN) + MAX_MATCH_LEN, 128)
     assert TB >= Wbuf, f"text width {TB} < window buffer {Wbuf}"
 
-    strs_packed = pack_fragments(d_strs)  # [L, 8, D] i32 (one XLA bitcast)
+    strs_words = pack_fragments(d_strs)  # 8 x [L, D] i32 (one XLA bitcast)
 
     kernel = functools.partial(
         _matcher_kernel, W=W, Wbuf=Wbuf, D=D, L=L, params=params
@@ -288,7 +291,7 @@ def match_event_pallas(
             pl.BlockSpec(memory_space=pl.ANY),       # text (DMA'd manually)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # p [L,1]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # tlen [L,1]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # strs packed [L,8,D]
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * NWORDS + [  # word planes
             pl.BlockSpec(memory_space=pltpu.VMEM),   # lens [L,D]
             pl.BlockSpec(memory_space=pltpu.VMEM),   # n [L,1]
         ],
@@ -308,7 +311,7 @@ def match_event_pallas(
         text,
         p.astype(I32)[:, None],
         tlen.astype(I32)[:, None],
-        strs_packed,
+        *strs_words,
         d_lens,
         d_n.astype(I32)[:, None],
     )
