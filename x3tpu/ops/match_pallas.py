@@ -112,33 +112,18 @@ def _pack_from_window(win: jax.Array, start: int):
 
 
 def _matcher_kernel(
-    # scalar prefetch
-    p_s,
     # inputs
-    text_ref, p_ref, tlen_ref,
+    win_ref, rem_ref,
     sw0, sw1, sw2, sw3, sw4, sw5, sw6, sw7,
     lens_ref, n_ref,
     # outputs
     hit_ref, slot_ref, dlen_ref, fbm_ref, mlen_ref, dup_ref,
-    # scratch
-    win_ref, dma_sems,
     *, W, Wbuf, D, L, params: X3Params,
 ):
     strs_words = (sw0, sw1, sw2, sw3, sw4, sw5, sw6, sw7)
-    # ---- DMA each lane's window [p, p+Wbuf) into VMEM
-    for l in range(L):
-        pltpu.make_async_copy(
-            text_ref.at[l, pl.ds(p_s[l], Wbuf)], win_ref.at[l], dma_sems.at[l]
-        ).start()
-    for l in range(L):
-        pltpu.make_async_copy(
-            text_ref.at[l, pl.ds(p_s[l], Wbuf)], win_ref.at[l], dma_sems.at[l]
-        ).wait()
-
-    win = win_ref[:, :]      # u8 [L, Wbuf]
+    win = win_ref[:, :]      # u8 [L, Wbuf] (window at p, gathered XLA-side)
     n = n_ref[:, :]          # [L, 1]
-    p = p_ref[:, :]          # [L, 1]
-    tlen = tlen_ref[:, :]    # [L, 1]
+    rem = rem_ref[:, :]      # [L, 1] = tlen - p
 
     # ---- dictionary probe at p (dict.c:105-130)
     tpk = _pack_from_window(win, 0)
@@ -246,8 +231,8 @@ def _matcher_kernel(
     else:
         nl = dlen
     found = dlen > 0
-    hit = found & (nl >= fbm) & (p + dlen <= tlen)
-    mlen = jnp.clip(jnp.minimum(fbm, tlen - p), 1, MAX_MATCH_LEN)
+    hit = found & (nl >= fbm) & (dlen <= rem)
+    mlen = jnp.clip(jnp.minimum(fbm, rem), 1, MAX_MATCH_LEN)
     dup = jnp.any(
         valid & (all_lens == mlen) & (probe_mlen >= mlen),
         axis=1, keepdims=True,
@@ -279,38 +264,25 @@ def match_event_pallas(
     assert TB >= Wbuf, f"text width {TB} < window buffer {Wbuf}"
 
     strs_words = pack_fragments(d_strs)  # 8 x [L, D] i32 (one XLA bitcast)
+    # window gathered XLA-side (one dynamic-gather op); everything else
+    # runs in the kernel out of VMEM
+    idx = p[:, None].astype(I32) + jnp.arange(Wbuf, dtype=I32)[None, :]
+    win = jnp.take_along_axis(text, idx, axis=1)
+    rem = (tlen - p).astype(I32)[:, None]
 
     kernel = functools.partial(
         _matcher_kernel, W=W, Wbuf=Wbuf, D=D, L=L, params=params
     )
     out_shape = [jax.ShapeDtypeStruct((L, 1), I32) for _ in range(6)]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),       # text (DMA'd manually)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # p [L,1]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tlen [L,1]
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * NWORDS + [  # word planes
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # lens [L,D]
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # n [L,1]
-        ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)],
-        scratch_shapes=[
-            pltpu.VMEM((L, Wbuf), U8),
-            pltpu.SemaphoreType.DMA((L,)),
-        ],
-    )
     hit, slot, dlen, fbm, mlen, dup = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
         out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (NWORDS + 4),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)],
         interpret=interpret,
     )(
-        p.astype(I32),                 # scalar prefetch
-        text,
-        p.astype(I32)[:, None],
-        tlen.astype(I32)[:, None],
+        win,
+        rem,
         *strs_words,
         d_lens,
         d_n.astype(I32)[:, None],
