@@ -102,10 +102,10 @@ def _pack_from_window(win: jax.Array, start: int):
     for j in range(NWORDS):
         o = start + 4 * j
         wv = (
-            win[:, o : o + 1].astype(I32)
-            | (win[:, o + 1 : o + 2].astype(I32) << 8)
-            | (win[:, o + 2 : o + 3].astype(I32) << 16)
-            | (win[:, o + 3 : o + 4].astype(I32) << 24)
+            win[:, o : o + 1]
+            | (win[:, o + 1 : o + 2] << 8)
+            | (win[:, o + 2 : o + 3] << 16)
+            | (win[:, o + 3 : o + 4] << 24)
         )
         cols.append(wv)
     return cols
@@ -121,7 +121,8 @@ def _matcher_kernel(
     *, W, Wbuf, D, L, params: X3Params,
 ):
     strs_words = (sw0, sw1, sw2, sw3, sw4, sw5, sw6, sw7)
-    win = win_ref[:, :]      # u8 [L, Wbuf] (window at p, gathered XLA-side)
+    # i8 vector compares are unsupported on this target: widen once
+    win = win_ref[:, :].astype(I32)  # [L, Wbuf] (window at p, XLA-gathered)
     n = n_ref[:, :]          # [L, 1]
     rem = rem_ref[:, :]      # [L, 1] = tlen - p
 
