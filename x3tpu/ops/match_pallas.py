@@ -118,6 +118,8 @@ def _matcher_kernel(
     lens_ref, n_ref,
     # outputs
     hit_ref, slot_ref, dlen_ref, fbm_ref, mlen_ref, dup_ref,
+    # scratch
+    res_scr, rem_scr,
     *, W, Wbuf, D, L, params: X3Params,
 ):
     strs_words = (sw0, sw1, sw2, sw3, sw4, sw5, sw6, sw7)
@@ -172,7 +174,6 @@ def _matcher_kernel(
     else:
         cand0 = counts >= 2
         level = jnp.minimum(counts - 1, T)
-        result0 = jnp.zeros((L, 1), I32)
         # packed targets for every window offset 0..31 (static slices)
         tpk_all = [_pack_from_window(win, i) for i in range(MAX_MATCH_LEN)]
 
@@ -183,42 +184,58 @@ def _matcher_kernel(
                     out[w] = jnp.where(bi == i, tpk_all[i][w], out[w])
             return out
 
-        def cond(c):
-            result, _ = c
-            return jnp.any(result == 0)
+        # sweep state lives in scratch refs: Mosaic cannot legalize
+        # while_loops with vector carries, so this is a fixed fori over
+        # at most 32 rounds, each round guarded by pl.when so resolved
+        # states skip the probe work.
+        res_scr[:, :] = jnp.zeros((L, 1), I32)
+        rem_scr[:, :] = cand0.astype(I32)
 
-        def body(c):
-            result, remaining = c
-            unresolved = result == 0
-            key = jnp.where(remaining, level * MAX_MATCH_LEN + iota32, -1)
-            has = jnp.any(remaining, axis=1, keepdims=True)
-            kmax = jnp.max(key, axis=1, keepdims=True)
-            bi = jnp.max(
-                jnp.where(key == kmax, iota32, -1), axis=1, keepdims=True
-            )
-            bi = jnp.maximum(bi, 0)
-            result = jnp.where(unresolved & ~has, 1, result)
-            pending = unresolved & has
-            vetoed = jnp.zeros((L, 1), jnp.bool_)
-            if f1 > 0:
-                vl = _probe_best_len(strs_words, lens_ref, n, select_tpk(bi))
-                vetoed = vetoed | (
-                    pending & (bi >= 2) & (vl > 0) & (vl * f1 > bi + 1)
+        def round_body(it, _):
+            result = res_scr[:, :]
+            pred = jnp.any(result == 0)
+
+            @pl.when(pred)
+            def _():
+                result = res_scr[:, :]
+                remaining = rem_scr[:, :] != 0
+                unresolved = result == 0
+                key = jnp.where(remaining, level * MAX_MATCH_LEN + iota32, -1)
+                has = jnp.any(remaining, axis=1, keepdims=True)
+                kmax = jnp.max(key, axis=1, keepdims=True)
+                bi = jnp.max(
+                    jnp.where(key == kmax, iota32, -1), axis=1, keepdims=True
                 )
-            if f2 > 0:
-                veto2 = jnp.zeros((L, 1), jnp.bool_)
-                for o in range(1, MAX_MATCH_LEN):
-                    vl_o = _probe_best_len(strs_words, lens_ref, n, tpk_all[o])
-                    veto2 = veto2 | (
-                        (o <= bi) & (vl_o > 0) & ((vl_o - o) * f2 > bi + 1)
+                bi = jnp.maximum(bi, 0)
+                result = jnp.where(unresolved & ~has, 1, result)
+                pending = unresolved & has
+                vetoed = jnp.zeros((L, 1), jnp.bool_)
+                if f1 > 0:
+                    vl = _probe_best_len(
+                        strs_words, lens_ref, n, select_tpk(bi)
                     )
-                vetoed = vetoed | (pending & (bi >= 1) & veto2)
-            result = jnp.where(pending & ~vetoed, bi + 1, result)
-            clear = vetoed & (iota32 == bi)
-            remaining = remaining & ~clear
-            return result, remaining
+                    vetoed = vetoed | (
+                        pending & (bi >= 2) & (vl > 0) & (vl * f1 > bi + 1)
+                    )
+                if f2 > 0:
+                    veto2 = jnp.zeros((L, 1), jnp.bool_)
+                    for o in range(1, MAX_MATCH_LEN):
+                        vl_o = _probe_best_len(
+                            strs_words, lens_ref, n, tpk_all[o]
+                        )
+                        veto2 = veto2 | (
+                            (o <= bi) & (vl_o > 0) & ((vl_o - o) * f2 > bi + 1)
+                        )
+                    vetoed = vetoed | (pending & (bi >= 1) & veto2)
+                result = jnp.where(pending & ~vetoed, bi + 1, result)
+                clear = vetoed & (iota32 == bi)
+                res_scr[:, :] = result
+                rem_scr[:, :] = (remaining & ~clear).astype(I32)
 
-        fbm, _ = jax.lax.while_loop(cond, body, (result0, cand0))
+            return 0
+
+        jax.lax.fori_loop(0, MAX_MATCH_LEN, round_body, 0)
+        fbm = res_scr[:, :]
 
     # ---- decision (x3.c:381-404)
     if params.nl_remap:
@@ -280,6 +297,10 @@ def match_event_pallas(
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (NWORDS + 4),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(6)],
+        scratch_shapes=[
+            pltpu.VMEM((L, 1), I32),
+            pltpu.VMEM((L, MAX_MATCH_LEN), I32),
+        ],
         interpret=interpret,
     )(
         win,
