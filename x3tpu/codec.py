@@ -786,7 +786,7 @@ def pack_blocks(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Pad blocks into the [L, TB] text buffer (+window zero padding,
     x3.c:579/590)."""
-    pad = max(params.window, MAX_MATCH_LEN) + MAX_MATCH_LEN
+    pad = max(params.window, 2 * MAX_MATCH_LEN) + 192
     TB = caps.block_bytes + pad
     text = np.zeros((len(blocks), TB), np.uint8)
     tlen = np.zeros((len(blocks),), np.int32)

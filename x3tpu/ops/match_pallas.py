@@ -96,7 +96,7 @@ def _probe_best_len(strs_words, lens_ref, n, tpk):
 
 
 def _pack_from_window(win: jax.Array, start: int):
-    """Pack win[:, start:start+32] (u8) into a list of 8 [L, 1] i32 LE
+    """Pack win[:, start:start+32] (i32 bytes) into a list of 8 [L, 1] LE
     words using only 2-D slices and shifts (static ``start``)."""
     cols = []
     for j in range(NWORDS):
@@ -109,6 +109,11 @@ def _pack_from_window(win: jax.Array, start: int):
         )
         cols.append(wv)
     return cols
+
+
+def _pack_from_values(sel: jax.Array):
+    """Pack a [L, 32] i32 byte matrix into 8 [L, 1] LE words."""
+    return _pack_from_window(sel, 0)
 
 
 def _matcher_kernel(
@@ -174,15 +179,13 @@ def _matcher_kernel(
     else:
         cand0 = counts >= 2
         level = jnp.minimum(counts - 1, T)
-        # packed targets for every window offset 0..31 (static slices)
-        tpk_all = [_pack_from_window(win, i) for i in range(MAX_MATCH_LEN)]
 
         def select_tpk(bi):
-            out = [jnp.zeros((L, 1), I32) for _ in range(NWORDS)]
+            # select win[bi:bi+32] via 32 masked [L,32] selects, then pack
+            sel = jnp.zeros((L, MAX_MATCH_LEN), I32)
             for i in range(MAX_MATCH_LEN):
-                for w in range(NWORDS):
-                    out[w] = jnp.where(bi == i, tpk_all[i][w], out[w])
-            return out
+                sel = jnp.where(bi == i, win[:, i : i + MAX_MATCH_LEN], sel)
+            return _pack_from_values(sel)
 
         # sweep state lives in scratch refs: Mosaic cannot legalize
         # while_loops with vector carries, so this is a fixed fori over
@@ -221,7 +224,8 @@ def _matcher_kernel(
                     veto2 = jnp.zeros((L, 1), jnp.bool_)
                     for o in range(1, MAX_MATCH_LEN):
                         vl_o = _probe_best_len(
-                            strs_words, lens_ref, n, tpk_all[o]
+                            strs_words, lens_ref, n,
+                            _pack_from_window(win, o),
                         )
                         veto2 = veto2 | (
                             (o <= bi) & (vl_o > 0) & ((vl_o - o) * f2 > bi + 1)
