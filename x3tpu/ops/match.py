@@ -38,17 +38,27 @@ def gather_window(text: jax.Array, p: jax.Array, width: int) -> jax.Array:
 
 def window_counts(win: jax.Array, window: int) -> jax.Array:
     """count[i] over a pre-gathered window ``win`` [L, window] whose column
-    0 is position p.  Scans s in [p+1, p+window-32) (backend.c:66)."""
+    0 is position p.  Scans s in [p+1, p+window-32) (backend.c:66).
+
+    Formulated as a handful of large ops (cheap on TPU, where per-op launch
+    overhead dominates many small ops): one strided gather builds the
+    [L, S, 32] comparison cube, the per-position shared-prefix length is a
+    single masked min-reduce, and count[i] = #{s : prefixlen(s) > i} is a
+    histogram suffix-sum."""
     lanes = win.shape[0]
     S = window - MAX_MATCH_LEN - 1
     if S <= 0:
         return jnp.zeros((lanes, MAX_MATCH_LEN), I32)
-    run = jnp.ones((lanes, S), jnp.bool_)
-    counts = []
-    for i in range(MAX_MATCH_LEN):
-        run = run & (win[:, 1 + i : 1 + i + S] == win[:, i : i + 1])
-        counts.append(jnp.sum(run, axis=1).astype(I32))
-    return jnp.stack(counts, axis=1)
+    j = jnp.arange(MAX_MATCH_LEN, dtype=I32)
+    idx = 1 + jnp.arange(S, dtype=I32)[:, None] + j[None, :]      # [S, 32]
+    cube = win[:, idx]                                            # [L, S, 32]
+    neq = cube != win[:, None, :MAX_MATCH_LEN]
+    plen = jnp.min(
+        jnp.where(neq, j[None, None, :], MAX_MATCH_LEN), axis=2
+    )                                                             # [L, S]
+    return jnp.sum(
+        (plen[:, :, None] > j[None, None, :]).astype(I32), axis=1
+    )                                                             # [L, 32]
 
 
 def best_match_sweep(
