@@ -14,11 +14,13 @@ from x3tpu.ops.match_pallas import match_event_pallas
 
 def _xla_reference(text, p, tlen, d, params):
     active = p < tlen
-    t32 = xm.gather_window(text, p, MAX_MATCH_LEN)
+    W = max(params.window, MAX_MATCH_LEN)
+    Wbuf = ((max(W, 64) + 32 + 127) // 128) * 128
+    win = xm.gather_window(text, p, Wbuf)
+    t32 = win[:, :MAX_MATCH_LEN]
     found, slot, dlen, matchlen = dm.dict_probe(d, t32)
-    win = xm.gather_window(text, p, max(params.window, MAX_MATCH_LEN))
     counts = xm.window_counts(win, params.window)
-    fbm = xm.best_match_sweep(counts, text, p, d, active, params)
+    fbm = xm.best_match_sweep(counts, win, d, active, params)
     mlen = jnp.clip(jnp.minimum(fbm, tlen - p), 1, MAX_MATCH_LEN)
     dup = dm.dict_has_exact(d, matchlen, mlen)
     return found, slot, dlen, fbm, mlen, dup

@@ -45,6 +45,7 @@ from x3tpu.models import context as cm
 from x3tpu.models import dictionary as dm
 from x3tpu.ops import ac as acm
 from x3tpu.ops import bitio
+from x3tpu.ops.gather_pallas import window_fetch
 from x3tpu.ops.match import best_match_sweep, gather_window, window_counts
 from x3tpu.ops.match_pallas import match_event_pallas
 
@@ -186,7 +187,7 @@ def _hit_mode_stats(carry: EncCarry, tag: jax.Array, rank: jax.Array):
     )
 
 
-def _literal_encode_loop(carry, miss, mlen):
+def _literal_encode_loop(carry, miss, mlen, frag32=None):
     """AC-code the fragment bytes through the 256-symbol char model
     (x3.c:263-267).
 
@@ -199,7 +200,10 @@ def _literal_encode_loop(carry, miss, mlen):
     lane = jnp.arange(lanes, dtype=I32)
     W = MAX_MATCH_LEN
 
-    frag = gather_window(carry.text, carry.p, W).astype(I32)     # [L, 32]
+    frag = (
+        frag32 if frag32 is not None
+        else gather_window(carry.text, carry.p, W)
+    ).astype(I32)                                                # [L, 32]
     cum = jnp.cumsum(carry.ch, axis=1) - carry.ch                # excl prefix
     base_low = jnp.take_along_axis(cum, frag, axis=1)            # [L, 32]
     base_span = jnp.take_along_axis(carry.ch, frag, axis=1)
@@ -259,40 +263,34 @@ def _enc_body(carry: EncCarry, params: X3Params, matcher: str = "xla") -> EncCar
     lane = jnp.arange(lanes, dtype=I32)
     active = carry.p < carry.tlen
 
-    t32 = gather_window(carry.text, carry.p, MAX_MATCH_LEN)
+    # one per-lane window fetch per event feeds everything: probe target,
+    # window scan, veto targets and literal bytes.  A plain XLA gather here
+    # costs ~640us/event at L=32 (scalarized); the pallas mode DMAs it.
+    W = max(params.window, MAX_MATCH_LEN)
+    Wbuf = ((max(W, 2 * MAX_MATCH_LEN) + MAX_MATCH_LEN + 127) // 128) * 128
+    fetch_mode = {
+        "pallas": "pallas", "pallas_interpret": "pallas_interpret",
+    }.get(matcher, "xla")
+    win = window_fetch(carry.text, carry.p, Wbuf, fetch_mode)
+    t32 = win[:, :MAX_MATCH_LEN]
 
-    if matcher in ("pallas", "pallas_interpret"):
-        # fused match stage: probe + scan + sweep + vetoes + decision in one
-        # kernel (ops/match_pallas.py)
-        hit_k, slot, dlen, fbm, mlen, dup = match_event_pallas(
-            carry.text, carry.p, carry.tlen, carry.d.strs, carry.d.lens,
-            carry.d.n, params, interpret=(matcher == "pallas_interpret"),
-        )
-        hit = active & hit_k
-        miss = active & ~hit
-    else:
-        # (1) dictionary probe at p (x3.c:381)
-        found, slot, dlen, matchlen = dm.dict_probe(carry.d, t32)
+    # (1) dictionary probe at p (x3.c:381)
+    found, slot, dlen, matchlen = dm.dict_probe(carry.d, t32)
 
-        # (2) forward-window probe (x3.c:383 -> backend.c:56)
-        win = gather_window(
-            carry.text, carry.p, max(params.window, MAX_MATCH_LEN)
-        )
-        counts = window_counts(win, params.window)
-        fbm = best_match_sweep(
-            counts, carry.text, carry.p, carry.d, active, params
-        )
+    # (2) forward-window probe (x3.c:383 -> backend.c:56)
+    counts = window_counts(win, params.window)
+    fbm = best_match_sweep(counts, win, carry.d, active, params)
 
-        # (3) selection (x3.c:381-383)
-        hit = (
-            active & found & (_nl(dlen, params) >= fbm)
-            & (carry.p + dlen <= carry.tlen)
-        )
-        miss = active & ~hit
-        mlen = jnp.clip(
-            jnp.minimum(fbm, carry.tlen - carry.p), 1, MAX_MATCH_LEN
-        )
-        dup = dm.dict_has_exact(carry.d, matchlen, mlen)
+    # (3) selection (x3.c:381-383)
+    hit = (
+        active & found & (_nl(dlen, params) >= fbm)
+        & (carry.p + dlen <= carry.tlen)
+    )
+    miss = active & ~hit
+    mlen = jnp.clip(
+        jnp.minimum(fbm, carry.tlen - carry.p), 1, MAX_MATCH_LEN
+    )
+    dup = dm.dict_has_exact(carry.d, matchlen, mlen)
 
     tag = slot
     rank = carry.d.rank_of[lane, tag]
@@ -326,7 +324,7 @@ def _enc_body(carry: EncCarry, params: X3Params, matcher: str = "xla") -> EncCar
 
     # (6) literal bytes (miss lanes)
     ch, enc, sink, lit_bits = _literal_encode_loop(
-        carry._replace(enc=enc, sink=sink), miss, mlen
+        carry._replace(enc=enc, sink=sink), miss, mlen, frag32=t32
     )
 
     # stats: hit events log the product probability once (x3.c:192-193);

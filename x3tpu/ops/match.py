@@ -37,40 +37,44 @@ def gather_window(text: jax.Array, p: jax.Array, width: int) -> jax.Array:
 
 
 def window_counts(win: jax.Array, window: int) -> jax.Array:
-    """count[i] over a pre-gathered window ``win`` [L, window] whose column
-    0 is position p.  Scans s in [p+1, p+window-32) (backend.c:66).
-
-    Formulated as a handful of large ops (cheap on TPU, where per-op launch
-    overhead dominates many small ops): one strided gather builds the
-    [L, S, 32] comparison cube, the per-position shared-prefix length is a
-    single masked min-reduce, and count[i] = #{s : prefixlen(s) > i} is a
-    histogram suffix-sum."""
+    """count[i] over a pre-fetched window ``win`` [L, >=window] whose column
+    0 is position p.  Scans s in [p+1, p+window-32) (backend.c:66) as a
+    running prefix-AND over 32 shifted slice compares — all contiguous
+    slices of the resident window (the expensive part, the per-lane dynamic
+    window *fetch*, happens once per event in ops/gather_pallas.py)."""
     lanes = win.shape[0]
     S = window - MAX_MATCH_LEN - 1
     if S <= 0:
         return jnp.zeros((lanes, MAX_MATCH_LEN), I32)
-    j = jnp.arange(MAX_MATCH_LEN, dtype=I32)
-    idx = 1 + jnp.arange(S, dtype=I32)[:, None] + j[None, :]      # [S, 32]
-    cube = win[:, idx]                                            # [L, S, 32]
-    neq = cube != win[:, None, :MAX_MATCH_LEN]
-    plen = jnp.min(
-        jnp.where(neq, j[None, None, :], MAX_MATCH_LEN), axis=2
-    )                                                             # [L, S]
-    return jnp.sum(
-        (plen[:, :, None] > j[None, None, :]).astype(I32), axis=1
-    )                                                             # [L, 32]
+    run = jnp.ones((lanes, S), jnp.bool_)
+    counts = []
+    for i in range(MAX_MATCH_LEN):
+        run = run & (win[:, 1 + i : 1 + i + S] == win[:, i : i + 1])
+        counts.append(jnp.sum(run, axis=1).astype(I32))
+    return jnp.stack(counts, axis=1)
+
+
+def select_window32(win: jax.Array, bi: jax.Array) -> jax.Array:
+    """win[l, bi[l] : bi[l]+32] for bi in [0, 32): masked select over the
+    32 static slices (avoids a per-lane dynamic gather)."""
+    lanes = win.shape[0]
+    out = jnp.zeros((lanes, MAX_MATCH_LEN), win.dtype)
+    for i in range(MAX_MATCH_LEN):
+        out = jnp.where(
+            (bi == i)[:, None], win[:, i : i + MAX_MATCH_LEN], out
+        )
+    return out
 
 
 def best_match_sweep(
     counts: jax.Array,
-    text: jax.Array,
-    p: jax.Array,
+    win: jax.Array,
     d: DictState,
     active: jax.Array,
     params: X3Params,
 ) -> jax.Array:
     """The chosen new-fragment length >= 1 per lane (find_best_match,
-    backend.c:56-100)."""
+    backend.c:56-100).  Veto-probe targets come from the resident window."""
     lanes = counts.shape[0]
     T = params.max_match_count
     if T < 1:
@@ -106,7 +110,7 @@ def best_match_sweep(
 
         vetoed = jnp.zeros((lanes,), jnp.bool_)
         if f1 > 0:
-            tgt = gather_window(text, p + best_i, MAX_MATCH_LEN)
+            tgt = select_window32(win, best_i)
             dlen = dict_probe_len(d, tgt)
             vetoed = vetoed | (
                 pending
@@ -116,7 +120,9 @@ def best_match_sweep(
             )
         if f2 > 0:
             def probe_o(o, acc):
-                tgt_o = gather_window(text, p + o, MAX_MATCH_LEN)
+                tgt_o = jax.lax.dynamic_slice_in_dim(
+                    win, o, MAX_MATCH_LEN, axis=1
+                )
                 dlen_o = dict_probe_len(d, tgt_o)
                 hit_o = (
                     (o <= best_i)
