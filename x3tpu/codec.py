@@ -784,7 +784,11 @@ def pack_blocks(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Pad blocks into the [L, TB] text buffer (+window zero padding,
     x3.c:579/590)."""
-    pad = max(params.window, 2 * MAX_MATCH_LEN) + 192
+    # pad covers the event-loop's DMA window: Wbuf rounded to the rank-1
+    # memref tile (1024) plus the trailing probe bytes
+    wbuf = ((max(params.window, 2 * MAX_MATCH_LEN) + MAX_MATCH_LEN + 127)
+            // 128) * 128
+    pad = ((wbuf + 1023) // 1024) * 1024 + 64
     TB = caps.block_bytes + pad
     text = np.zeros((len(blocks), TB), np.uint8)
     tlen = np.zeros((len(blocks),), np.int32)

@@ -54,8 +54,12 @@ def _fetch_kernel(starts_s, src_ref, out_ref, sems, *, L, width):
 def window_fetch_pallas(
     text: jax.Array, p: jax.Array, width: int, interpret: bool = False
 ) -> jax.Array:
-    """text[l, p[l] : p[l]+width] via per-lane DMA (one kernel launch)."""
+    """text[l, p[l] : p[l]+width] via per-lane DMA (one kernel launch).
+
+    Rank-1 u8 memrefs are tiled by 1024, so the DMA width is rounded up to
+    a 1024 multiple (the caller's text padding must cover it)."""
     L, TB = text.shape
+    dma_w = (width + 1023) // 1024 * 1024
     flat = text.reshape(L * TB)
     starts = (jnp.arange(L, dtype=I32) * TB + p.astype(I32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -66,12 +70,12 @@ def window_fetch_pallas(
         scratch_shapes=[pltpu.SemaphoreType.DMA((L,))],
     )
     out = pl.pallas_call(
-        functools.partial(_fetch_kernel, L=L, width=width),
+        functools.partial(_fetch_kernel, L=L, width=dma_w),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((L * width,), U8),
+        out_shape=jax.ShapeDtypeStruct((L * dma_w,), U8),
         interpret=interpret,
     )(starts, flat)
-    return out.reshape(L, width)
+    return out.reshape(L, dma_w)[:, :width]
 
 
 def window_fetch(
