@@ -268,10 +268,7 @@ def _enc_body(carry: EncCarry, params: X3Params, matcher: str = "xla") -> EncCar
     # costs ~640us/event at L=32 (scalarized); the pallas mode DMAs it.
     W = max(params.window, MAX_MATCH_LEN)
     Wbuf = ((max(W, 2 * MAX_MATCH_LEN) + MAX_MATCH_LEN + 127) // 128) * 128
-    fetch_mode = {
-        "pallas": "pallas", "pallas_interpret": "pallas_interpret",
-    }.get(matcher, "xla")
-    win = window_fetch(carry.text, carry.p, Wbuf, fetch_mode)
+    win = window_fetch(carry.text, carry.p, Wbuf, "xla")
     t32 = win[:, :MAX_MATCH_LEN]
 
     # (1) dictionary probe at p (x3.c:381)

@@ -31,9 +31,17 @@ I32 = jnp.int32
 
 def gather_window(text: jax.Array, p: jax.Array, width: int) -> jax.Array:
     """text[l, p[l] : p[l]+width] as [L, width] (text is pre-padded so this
-    never reads out of bounds)."""
-    idx = p[:, None] + jnp.arange(width, dtype=I32)[None, :]
-    return jnp.take_along_axis(text, idx, axis=1)
+    never reads out of bounds).
+
+    Implemented as L unrolled contiguous dynamic slices: XLA lowers
+    take_along_axis to an elementwise gather at ~19 ns/element (~800 us for
+    a [32, 1056] window -- measured, the single hottest op in the encoder),
+    while contiguous dynamic slices run at full bandwidth."""
+    L = text.shape[0]
+    rows = [
+        jax.lax.dynamic_slice(text, (l, p[l]), (1, width)) for l in range(L)
+    ]
+    return jnp.concatenate(rows, axis=0)
 
 
 def window_counts(win: jax.Array, window: int) -> jax.Array:
