@@ -55,7 +55,7 @@ def build_corpus(total: int) -> bytes:
 
 def main() -> int:
     lanes = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    block_kib = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    block_kib = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
     import jax
 

@@ -90,10 +90,15 @@ def caps_for_block(block_bytes: int, ratio_hint: float = 1.0) -> CodecCaps:
     text (17 KB source text -> dict 372, pairs 2522, hub ctx ~150 items;
     see SURVEY.md §7 hard part #2).  Overflow auto-retry covers the tail."""
     d = int(np.clip(_pow2(block_bytes // 8), 1 << 10, 1 << 16))
-    items = int(np.clip(_pow2(d // 4), 256, 2048))
+    items = int(np.clip(_pow2(d // 4), 256, 1024))
+    # the dense [pair_cap x items] ctx0 pool is the memory whale
+    # (pair_cap*items*8B per lane); keep it <= ~128 MB/lane and rely on
+    # overflow auto-retry for outliers.  Two-tier storage (round 2) lifts
+    # this properly.
+    pair = min(8 * d, 1 << 15)
     return CodecCaps(
         dict_cap=d,
-        pair_cap=min(16 * d, 1 << 18),
+        pair_cap=pair,
         ctx_items_cap=items,
         ctx0_items_cap=items,
         block_bytes=block_bytes,
