@@ -222,15 +222,22 @@ def _literal_encode_loop(carry, miss, mlen, frag32=None):
     kiota = jax.lax.broadcasted_iota(I32, (1, W), 1)
     inmask = miss[:, None] & (kiota < mlen[:, None])
 
-    # static unroll: a while_loop here costs ~20us of loop overhead per
-    # byte step; unrolled AC steps pipeline freely
-    enc, sink = carry.enc, carry.sink
-    for k in range(W):
+    def cond(c):
+        k = c[0]
+        return jnp.any(miss & (k < mlen))
+
+    def body(c):
+        k, enc, sink = c
         act = miss & (k < mlen)
-        enc, sink = acm.ac_encode(
-            enc, sink, low_k[:, k], low_k[:, k] + span_k[:, k],
-            tot_k[:, k], act,
-        )
+        low = low_k[lane, k]
+        span = span_k[lane, k]
+        tot = tot_k[lane, k]
+        enc, sink = acm.ac_encode(enc, sink, low, low + span, tot, act)
+        return k + 1, enc, sink
+
+    _, enc, sink = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), I32), carry.enc, carry.sink)
+    )
 
     # one-shot frequency update: += histogram of the coded bytes
     sym_iota = jax.lax.broadcasted_iota(I32, (1, 1, 256), 2)
@@ -514,15 +521,15 @@ def _scatter_bytes(
 
 
 def _literal_decode_loop(carry: DecCarry, is_new: jax.Array, length: jax.Array):
-    """Decode fragment bytes; returns (frag u8 [L, 32], ch, dec, src).
-    Statically unrolled (masked) — loop-carried while overhead dominates
-    otherwise."""
+    """Decode fragment bytes; returns (frag u8 [L, 32], ch, dec, src)."""
     lanes = is_new.shape[0]
-    lane = jnp.arange(lanes, dtype=I32)
-    frag_cols = []
-    ch, dec, src = carry.ch, carry.dec, carry.src
-    nbits = jnp.zeros((lanes,), jnp.float32)
-    for k in range(MAX_MATCH_LEN):
+
+    def cond(c):
+        k = c[0]
+        return jnp.any(is_new & (k < length))
+
+    def body(c):
+        k, frag, ch, dec, src, nbits = c
         act = is_new & (k < length)
         tot = jnp.sum(ch, axis=1)
         step, value = acm.ac_decode_value(dec, tot)
@@ -530,8 +537,18 @@ def _literal_decode_loop(carry: DecCarry, is_new: jax.Array, length: jax.Array):
         dec, src = acm.ac_decode_update(dec, src, step, low, low + span, act)
         ch = am.model_inc(ch, sym, act)
         nbits = nbits + jnp.where(act, _bits(am.f32_prob(span, tot)), 0.0)
-        frag_cols.append(jnp.where(act, sym, 0).astype(U8)[:, None])
-    frag = jnp.concatenate(frag_cols, axis=1)
+        lane = jnp.arange(lanes, dtype=I32)
+        kidx = jnp.where(act, jnp.minimum(k, MAX_MATCH_LEN - 1), MAX_MATCH_LEN)
+        frag = frag.at[lane, kidx].set(sym.astype(U8), mode="drop")
+        return k + 1, frag, ch, dec, src, nbits
+
+    k0 = jnp.zeros((), I32)
+    frag0 = jnp.zeros((lanes, MAX_MATCH_LEN), U8)
+    _, frag, ch, dec, src, nbits = jax.lax.while_loop(
+        cond, body,
+        (k0, frag0, carry.ch, carry.dec, carry.src,
+         jnp.zeros((lanes,), jnp.float32)),
+    )
     return frag, ch, dec, src, nbits
 
 
