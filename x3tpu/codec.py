@@ -460,7 +460,7 @@ _enc_finalize_jit = jax.jit(enc_finalize)
 
 def encode_blocks_chunked(
     text, tlen, params: X3Params, caps: CodecCaps, seeds=None,
-    chunk_steps: int = 512,
+    chunk_steps: int = 8192,
 ):
     """Host-driven chunked encode: repeated bounded device programs with a
     donated carry (keeps each execution well under RPC/watchdog limits and
@@ -744,7 +744,7 @@ _dec_finalize_jit = jax.jit(dec_finalize)
 
 def decode_blocks_chunked(
     words, byte_lens, params: X3Params, caps: CodecCaps, seeds=None,
-    chunk_steps: int = 512,
+    chunk_steps: int = 8192,
 ):
     """Host-driven chunked decode (see encode_blocks_chunked)."""
     carry = _dec_init_jit(words, byte_lens, params, caps, seeds)
