@@ -20,7 +20,12 @@ from pathlib import Path
 
 import numpy as np
 
-BASELINE_ENCODE_MBS = 0.12  # BASELINE.md: reference encode, source text
+# Reference binary measured on THIS machine on the exact default bench
+# input (build_corpus(512*1024), -t 15 -w 8, codec-loop time printed by the
+# binary itself): 512 KiB / 10.31 s = 0.0508 MB/s.  (BASELINE.md's 0.12
+# MB/s was 371 KB of denser source text; the reference slows down on larger
+# inputs because every event rescans the grown dictionary.)
+BASELINE_ENCODE_MBS = 0.0508
 
 
 def build_corpus(total: int) -> bytes:
