@@ -162,3 +162,15 @@ def test_journal_resume(tmp_path):
     assert runtime.decompress(resumed, PARAMS, caps=CAPS) == data
     import os
     assert not os.path.exists(jpath)  # journal removed on success
+
+
+def test_distributed_single_process():
+    """Multi-host helpers degrade to identity in a single process."""
+    from x3tpu.parallel import distributed as dist
+
+    assert dist.init_multihost() == 0
+    mesh = dist.global_mesh()
+    assert mesh.devices.size == 8
+    payloads = [b"alpha", b"", b"gamma-payload"]
+    out = dist.gather_payloads_in_order(payloads, 0, 3)
+    assert out == payloads
