@@ -47,7 +47,6 @@ from x3tpu.ops import ac as acm
 from x3tpu.ops import bitio
 from x3tpu.ops.gather_pallas import window_fetch
 from x3tpu.ops.match import best_match_sweep, gather_window, window_counts
-from x3tpu.ops.match_pallas import match_event_pallas
 
 I32 = jnp.int32
 U8 = jnp.uint8
