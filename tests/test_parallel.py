@@ -174,3 +174,17 @@ def test_distributed_single_process():
     payloads = [b"alpha", b"", b"gamma-payload"]
     out = dist.gather_payloads_in_order(payloads, 0, 3)
     assert out == payloads
+
+
+def test_profiling_trace(tmp_path):
+    """jax.profiler device-trace helper captures a codec run."""
+    from x3tpu.utils import profiling
+
+    data = b"profile me " * 50
+    with profiling.trace(str(tmp_path)):
+        runtime.compress(data, PARAMS, caps=CAPS)
+    import os
+
+    found = any("xplane" in f or "trace" in f.lower()
+                for _, _, fs in os.walk(tmp_path) for f in fs)
+    assert found, "no trace artifacts written"
