@@ -108,11 +108,13 @@ def _init_shared(lanes: int, caps: CodecCaps, seeds=None):
         )
     ctx0 = cm.ctx_init(
         lanes, caps.dict_cap, caps.pair_cap, caps.ctx0_items_cap,
-        with_pair=False,
+        with_pair=False, small_cap=caps.ctx_small_cap,
+        promo_rows=caps.ctx_promo_rows,
     )
     ctx1 = cm.ctx_init(
         lanes, caps.dict_cap, caps.dict_cap, caps.ctx_items_cap,
-        with_pair=True,
+        with_pair=True, small_cap=caps.ctx_small_cap,
+        promo_rows=caps.ctx_promo_rows,
     )
     ev = jnp.tile(jnp.asarray(EVENT_INIT_FREQS, I32)[None, :], (lanes, 1))
     ms = jnp.ones((lanes, MAX_MATCH_LEN), I32)

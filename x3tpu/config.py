@@ -72,8 +72,10 @@ class CodecCaps:
 
     dict_cap: int = 1 << 12        # max dictionary entries (tags)
     pair_cap: int = 1 << 13       # max (tag,tag) pairs == ctx0 contexts
-    ctx_items_cap: int = 128       # max successor tags per order-1 context
-    ctx0_items_cap: int = 128      # max tags per non-hub order-2 context
+    ctx_items_cap: int = 128       # promoted-row capacity, order-1 contexts
+    ctx0_items_cap: int = 128      # promoted-row capacity, order-2 contexts
+    ctx_small_cap: int = 16        # small-pool width (covers the p99)
+    ctx_promo_rows: int = 0        # big rows per family (0 = derive)
     block_bytes: int = 1 << 20     # max uncompressed bytes per lane/block
     out_words_factor: int = 2      # compressed buffer headroom (x3.c:580: 2x)
     matcher: str = "auto"          # "auto" | "xla" | "pallas" | "pallas_interpret"

@@ -90,12 +90,11 @@ def caps_for_block(block_bytes: int, ratio_hint: float = 1.0) -> CodecCaps:
     text (17 KB source text -> dict 372, pairs 2522, hub ctx ~150 items;
     see SURVEY.md §7 hard part #2).  Overflow auto-retry covers the tail."""
     d = int(np.clip(_pow2(block_bytes // 8), 1 << 10, 1 << 16))
-    items = int(np.clip(_pow2(d // 4), 256, 1024))
-    # the dense [pair_cap x items] ctx0 pool is the memory whale
-    # (pair_cap*items*8B per lane); keep it <= ~128 MB/lane and rely on
-    # overflow auto-retry for outliers.  Two-tier storage (round 2) lifts
-    # this properly.
-    pair = min(8 * d, 1 << 15)
+    items = int(np.clip(_pow2(d // 4), 256, 2048))
+    # tiered context storage: the small pool costs pair_cap*16*8B/lane and
+    # promoted rows (pair_cap/8)*items*8B/lane — measured growth at 4 MB
+    # diverse text is 194K pairs / 1.5K max items, which now fits
+    pair = min(16 * d, 1 << 18)
     return CodecCaps(
         dict_cap=d,
         pair_cap=pair,
