@@ -100,6 +100,7 @@ def caps_for_block(block_bytes: int, ratio_hint: float = 1.0) -> CodecCaps:
         pair_cap=pair,
         ctx_items_cap=items,
         ctx0_items_cap=items,
+        ctx_promo_rows=min(max(pair // 8, 16), 4096),
         block_bytes=block_bytes,
     )
 
