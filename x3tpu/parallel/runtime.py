@@ -89,7 +89,9 @@ def caps_for_block(block_bytes: int, ratio_hint: float = 1.0) -> CodecCaps:
     """Heuristic capacities for a block size, from measured state growth on
     text (17 KB source text -> dict 372, pairs 2522, hub ctx ~150 items;
     see SURVEY.md §7 hard part #2).  Overflow auto-retry covers the tail."""
-    d = int(np.clip(_pow2(block_bytes // 8), 1 << 10, 1 << 16))
+    # measured dictionary growth is ~block/20 entries on text; block/16
+    # with pow2 rounding plus overflow auto-retry covers the tail
+    d = int(np.clip(_pow2(block_bytes // 16), 1 << 10, 1 << 16))
     items = int(np.clip(_pow2(d // 4), 256, 2048))
     # tiered context storage: the small pool costs pair_cap*16*8B/lane and
     # promoted rows (pair_cap/8)*items*8B/lane — measured growth at 4 MB
