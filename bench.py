@@ -3,29 +3,39 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline: the reference C binary encodes source text at ~0.12 MB/s on one
-x86-64 core at default parameters (BASELINE.md §B, measured via the
-binary's own codec-loop timer).  This harness times our codec's steady-
-state encode on the same kind of workload (deterministic source-text
-corpus, default -t 15 -w 8), lane-parallel on whatever device JAX provides
-(TPU under the driver; CPU in dev runs), round-trip-verified.
+Baseline: the reference C binary measured on THIS machine on the exact
+default bench input (build_corpus(512*1024), -t 15 -w 8, codec-loop time
+printed by the binary itself): 0.0508 MB/s (BENCH_NOTES.md "Matched-corpus
+baseline").  This harness times our codec's steady-state encode on the same
+bytes and parameters, lane-parallel on whatever device JAX provides (TPU
+under the driver; CPU in dev runs).
+
+Cold-process budget (round-1 verdict item #2): the only slow step allowed
+before the JSON line is the encoder compile (persistent-cached under
+/tmp/jaxcache).  Round-trip verification therefore runs through the native
+C++ host decoder (bit-exactness proven in tests/), not the XLA decoder —
+that halves the compile count and replaces a ~5 s device decode with a
+~2 s host decode.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
-# Reference binary measured on THIS machine on the exact default bench
-# input (build_corpus(512*1024), -t 15 -w 8, codec-loop time printed by the
-# binary itself): 512 KiB / 10.31 s = 0.0508 MB/s.  (BASELINE.md's 0.12
-# MB/s was 371 KB of denser source text; the reference slows down on larger
-# inputs because every event rescans the grown dictionary.)
 BASELINE_ENCODE_MBS = 0.0508
+
+
+def log(msg: str) -> None:
+    print(f"[bench +{time.time() - T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+T0 = time.time()
 
 
 def build_corpus(total: int) -> bytes:
@@ -64,8 +74,8 @@ def main() -> int:
 
     import jax
 
-    # persistent compile cache: the driver's bench process then reuses
-    # compilations from earlier runs on this machine
+    # persistent compile cache: reruns (including the driver's bench
+    # process) reuse compilations from earlier runs on this machine
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -78,33 +88,53 @@ def main() -> int:
     caps = caps_for_block(block)
     data = build_corpus(lanes * block)
     blocks = [data[i * block : (i + 1) * block] for i in range(lanes)]
+    log(f"corpus ready: {lanes} lanes x {block_kib} KiB on "
+        f"{jax.default_backend()}")
 
     import jax.numpy as jnp
+
+    encode = codec.encode_blocks_chunked
+    vm_mode = os.environ.get("X3TPU_BENCH_VM", "auto")
+    if vm_mode != "0":
+        try:
+            from x3tpu.vm import encode_blocks_vm_chunked as _vm_enc
+
+            encode = _vm_enc
+            log("using codec-VM kernel path")
+        except Exception as e:  # VM not available/capable: XLA path
+            if vm_mode == "1":
+                raise
+            log(f"codec-VM path unavailable ({e!r}); using XLA path")
 
     text, tlen = codec.pack_blocks(blocks, params, caps)
     text_j, tlen_j = jnp.asarray(text), jnp.asarray(tlen)
 
     # compile + warm up (chunked execution: bounded device programs)
-    out = codec.encode_blocks_chunked(text_j, tlen_j, params, caps)
+    out = encode(text_j, tlen_j, params, caps)
     jax.block_until_ready(out[1])
+    log("compile + warmup done")
 
     t0 = time.time()
-    words, byte_lens, counts, sizes, overflow = codec.encode_blocks_chunked(
+    words, byte_lens, counts, sizes, overflow = encode(
         text_j, tlen_j, params, caps
     )
     jax.block_until_ready(byte_lens)
     dt = time.time() - t0
+    log(f"timed encode: {dt:.2f}s")
 
     assert not bool(np.asarray(overflow.any_flag()).any()), "capacity overflow"
 
-    # verify round-trip on the device decoder
-    out_arr, out_lens, _, _, d_of = codec.decode_blocks_chunked(
-        words, byte_lens, params, caps
-    )
-    out_np = np.asarray(out_arr)
-    lens_np = np.asarray(out_lens)
+    # verify round-trip through the native host decoder (bit-exactness of
+    # host vs spec vs JAX is covered by tests/; this catches stream damage)
+    from x3tpu import host
+
+    words_np = np.asarray(words)
+    lens_np = np.asarray(byte_lens)
     for i, b in enumerate(blocks):
-        assert out_np[i, : lens_np[i]].tobytes() == b, f"round-trip fail {i}"
+        stream = words_np[i].astype("<u4").tobytes()[: lens_np[i]]
+        got = host.decode(stream, max_output=len(b) + 64)
+        assert got == b, f"round-trip fail lane {i}"
+    log("round-trip verified (host decoder)")
 
     mbs = len(data) / dt / 1e6
     print(json.dumps({
@@ -112,7 +142,7 @@ def main() -> int:
         "value": round(mbs, 4),
         "unit": "MB/s",
         "vs_baseline": round(mbs / BASELINE_ENCODE_MBS, 2),
-    }))
+    }), flush=True)
     return 0
 
 

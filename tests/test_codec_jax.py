@@ -84,6 +84,35 @@ def test_capacity_overflow_raises():
         codec.encode_blocks([data], SMALL_PARAMS, caps)
 
 
+def test_pair_overflow_exact_boundary():
+    """Regression (round-1 verdict): the pair-capacity flag must fire for
+    the first id that cannot have its own row — and not before.  Pair ids
+    run 0..S (0 = hub); the sticky flag fires one early, when the id about
+    to be assigned is the last representable one, so pair_cap == npairs is
+    the exact overflow-free minimum."""
+    from x3tpu import host
+    from x3tpu.parallel.runtime import encode_wave
+
+    data = (GOLDEN / "text_small.bin").read_bytes()[:4096]
+    npairs = host.measure_state(data, SMALL_PARAMS)["pairs"]
+    assert npairs > 8, "fixture too small to exercise the boundary"
+    base = dict(dict_cap=1 << 10, ctx_items_cap=64, block_bytes=1 << 13)
+    want = spec.encode(data, SMALL_PARAMS)
+
+    ok_caps = CodecCaps(pair_cap=npairs, **base)
+    [stream] = codec.encode_blocks([data], SMALL_PARAMS, ok_caps)
+    assert stream == want
+
+    bad_caps = CodecCaps(pair_cap=npairs - 1, **base)
+    with pytest.raises(codec.X3CapacityError) as ei:
+        codec.encode_blocks([data], SMALL_PARAMS, bad_caps)
+    assert "pairs" in ei.value.flags
+
+    # the wave runtime's capacity auto-retry recovers bit-exact output
+    res = encode_wave([data], SMALL_PARAMS, bad_caps)
+    assert res.payloads[0] == want
+
+
 def test_decode_write_at_buffer_edge():
     """Regression: a fragment write that exactly reaches the output-buffer
     end must not lose its last byte (scatter duplicate-index clipping)."""

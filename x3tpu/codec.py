@@ -350,7 +350,11 @@ def _enc_body(carry: EncCarry, params: X3Params, matcher: str = "xla") -> EncCar
         new_pair_id=carry.pair_n,
     )
     new_pair = hit & ~st["f1"]
-    pair_of = carry.pair_of | (new_pair & (carry.pair_n > carry.ctx0.tags.shape[1]))
+    # pair ids run 0..S (0 = hub, i>0 = small row i-1, S = pool_rows).
+    # Flag when the id about to be assigned is the last representable one:
+    # one early, so a clamped row index (context.py:104) can never alias a
+    # live context before the sticky flag is set.
+    pair_of = carry.pair_of | (new_pair & (carry.pair_n >= carry.ctx0.tags.shape[1]))
     pair_n = carry.pair_n + jnp.where(new_pair, 1, 0).astype(I32)
 
     # (9) advance
@@ -635,7 +639,8 @@ def _dec_body(carry: DecCarry, params: X3Params) -> DecCarry:
         carry.ctx1, v1, tag_hit, f1u, pos1u, hit, new_pair_id=carry.pair_n
     )
     new_pair = hit & ~f1u
-    pair_of = carry.pair_of | (new_pair & (carry.pair_n > carry.ctx0.tags.shape[1]))
+    # same one-early boundary as the encoder (see _enc_body step 8)
+    pair_of = carry.pair_of | (new_pair & (carry.pair_n >= carry.ctx0.tags.shape[1]))
     pair_n = carry.pair_n + jnp.where(new_pair, 1, 0).astype(I32)
 
     # (6) dictionary + output
