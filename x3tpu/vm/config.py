@@ -1,0 +1,160 @@
+"""Codec-VM static configuration and state layout.
+
+The codec VM runs the whole x3 event loop (x3.c:372-434 semantics) inside
+one Pallas kernel per chunk of events, removing the ~450 us/event XLA
+op-dispatch floor measured in round 1 (BENCH_NOTES.md).  Lanes are
+processed in groups of ``LANES = 8`` (the Mosaic [L,1]->[L,D] broadcast is
+only sound for L <= 8; CLAUDE.md), with groups as sequential grid steps.
+
+State placement (per group, per lane l in 0..7):
+
+VMEM-resident (fits the bench/small-block capacities; see ``vm_supported``):
+  * dictionary: 8 LE-u32 word planes packed side by side [8, 8*D] i32,
+    plus lens / rank_of / tag_of / index1-model freqs [8, D] i32 each
+    (dict.c:105-130 probe runs as dense word compares; MTF permutation
+    replaces the per-event cost qsort, dict.c:132-146)
+  * ctx hubs (context id 0 of each family — the unknown-pair fallback and
+    post-E_NEW reset context, x3.c:63-67): dense [8, H] planes
+  * adaptive models ev/ms/ch (x3.c:238-248) as [8, 128/128/256] freq rows
+  * per-lane scalar registers: one [8, 128] i32 row + one [8, 128] f32 row
+  * the bit-sink window: [8, 2*FLUSH_WORDS] i32, flushed to HBM in 1 KiB
+    chunks as lanes fill it (bio.c semantics, LSB-first LE-u32)
+
+HBM-resident, accessed by per-lane row DMA:
+  * non-hub context rows, one 128-lane i32 row per context id
+    (context.c item lists; find/stats/update run on the DMA'd row in VMEM)
+  * promoted rows: PB=16 consecutive HBM rows for contexts that outgrow
+    the inline row (capacity skew measured in round 1: p99 tiny, max ~1.5K)
+  * the input text (windows DMA'd as 1024-aligned segments, barrel-shifted
+    in-kernel to the event position) and the output word stream
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from x3tpu.config import CodecCaps, MAX_MATCH_LEN, X3Params
+
+LANES = 8          # lanes per group (Mosaic broadcast bound)
+PB = 16            # HBM rows per promoted context span
+IN0 = 63           # inline items, ctx0 family (1 + 2*63 = 127 lanes used)
+IN1 = 42           # inline items, ctx1 family (1 + 3*42 = 127)
+BIG0 = 896         # promoted items, ctx0 (tags rows 1..7, freqs 8..14)
+BIG1 = 640         # promoted items, ctx1 (tags 1..5, freqs 6..10, pair 11..15)
+FLUSH_WORDS = 256  # sink flush granule (1 KiB; rank-1 i32 DMA alignment)
+SEG_ALIGN = 1024   # text segment DMA alignment (rank-1 u8 memref tile)
+
+# regs_i columns (per-lane i32 scalar registers)
+R_P = 0            # input position
+R_TLEN = 1         # block length
+R_PREV_C1 = 2      # previous context1 (tag)
+R_C1 = 3           # context1 (tag)
+R_PAIR_N = 4       # registered pair count (next dense pair id)
+R_DICT_N = 5       # dictionary entries
+R_AC_LOW = 6       # AC low   (u32 value < 2^31, stored as i32)
+R_AC_HIGH = 7      # AC high
+R_AC_SCALE = 8     # AC underflow counter
+R_NBITS = 9        # sink total bits written
+R_WIN_BASE = 10    # sink window start, in words (multiple of FLUSH_WORDS)
+R_SEG_BASE = 11    # text-segment base byte offset (-1 = invalid)
+R_HUB0_N = 12      # ctx0 hub item count
+R_HUB1_N = 13      # ctx1 hub item count
+R_PROMO0_N = 14    # allocated ctx0 promoted spans
+R_PROMO1_N = 15    # allocated ctx1 promoted spans
+R_OFLOW = 16       # sticky overflow bits (see OF_*)
+R_COUNTS = 17      # 17..21: event counters (x3.c:42)
+R_DONE = 22        # lane finished (p >= tlen at loop entry)
+# decoder extras
+R_SRC_BASE = 23    # source window start, in words
+R_OPOS = 24        # decoder output position (bytes)
+R_SRC_NW = 25      # readable source words (end-minus-3 rule, bio.c:11)
+R_OUT_BASE = 26    # decoder output window base byte offset (FLUSH-aligned)
+
+OF_DICT = 1
+OF_CTX0 = 2
+OF_CTX1 = 4
+OF_PAIRS = 8
+OF_OUT = 16
+
+# regs_f columns: 0..4 = estimated coded bits per event class (x3.c:43)
+RF_SIZES = 0
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@dataclasses.dataclass(frozen=True)
+class VMCaps:
+    """Static VM capacities, derived from CodecCaps via :func:`vm_caps`."""
+
+    dict_cap: int          # D, power of two <= 8192
+    s0: int                # non-hub ctx0 rows per lane (pair capacity - 1)
+    m0: int                # promoted ctx0 spans per lane
+    m1: int                # promoted ctx1 spans per lane
+    hub0: int              # ctx0 hub item capacity
+    hub1: int              # ctx1 hub item capacity
+    window: int            # search window bytes (params.window)
+    block_bytes: int       # per-lane input capacity
+    out_words: int         # per-lane output words (multiple of FLUSH_WORDS)
+
+    @property
+    def s1(self) -> int:
+        # one ctx1 row per tag >= 1
+        return self.dict_cap - 1
+
+    @property
+    def r0(self) -> int:
+        return self.s0 + self.m0 * PB
+
+    @property
+    def r1(self) -> int:
+        return self.s1 + self.m1 * PB
+
+    @property
+    def wbuf(self) -> int:
+        """Extracted-window width: window + probe lookahead, lane-aligned."""
+        w = max(self.window, 2 * MAX_MATCH_LEN)
+        return _round_up(w + MAX_MATCH_LEN, 128)
+
+    @property
+    def segb(self) -> int:
+        """Resident text-segment bytes (alignment slack + window)."""
+        return _round_up(self.wbuf, SEG_ALIGN) + 2 * SEG_ALIGN
+
+    @property
+    def text_bytes(self) -> int:
+        """Per-lane text row: block + segment overhang, SEG_ALIGN-multiple."""
+        return _round_up(self.block_bytes + self.segb, SEG_ALIGN)
+
+
+class VMUnsupported(RuntimeError):
+    """The requested configuration exceeds what the VM kernel supports;
+    callers fall back to the XLA path."""
+
+
+def vm_caps(params: X3Params, caps: CodecCaps) -> VMCaps:
+    d = caps.dict_cap
+    if d & (d - 1) or not 128 <= d <= 8192:
+        raise VMUnsupported(f"dict_cap {d} outside VM range [128, 8192] pow2")
+    if caps.block_bytes > 1 << 20:
+        raise VMUnsupported(f"block_bytes {caps.block_bytes} > 1 MiB")
+    if params.window > 32 * 1024:
+        raise VMUnsupported(f"window {params.window} > 32 KiB")
+    hub = 1024
+    if caps.ctx_items_cap > BIG1 or caps.ctx0_items_cap > BIG0:
+        raise VMUnsupported("ctx item caps exceed promoted-row capacity")
+    s0 = min(caps.pair_cap, 1 << 15)
+    m0 = min(max(s0 // 32, 64), 1024)
+    m1 = min(max(d // 4, 64), 1024)
+    return VMCaps(
+        dict_cap=d,
+        s0=s0,
+        m0=m0,
+        m1=m1,
+        hub0=hub,
+        hub1=hub,
+        window=params.window,
+        block_bytes=caps.block_bytes,
+        out_words=_round_up(caps.out_words, FLUSH_WORDS),
+    )

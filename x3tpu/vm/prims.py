@@ -1,0 +1,236 @@
+"""Codec-VM in-kernel primitives.
+
+Pure traced helpers shared by the encoder and decoder kernels.  Everything
+here sticks to Mosaic-validated patterns (experiments/probe_mosaic.py,
+probe2_mosaic.py): [8, 1] broadcasts (sound at L = 8 only), one-hot
+scatter-adds, pltpu.roll barrel shifts, scalar-carried while loops with
+vector state bridged through scratch refs, and static-unrolled runs.
+
+The arithmetic-coder math mirrors x3tpu/ops/ac.py (itself bit-exact vs the
+reference ac.c): closed-form E1/E2/E3 renormalization; the underflow-run
+emission is a static unroll of AC_RUN_CHUNKS 31-bit chunks with a sticky
+overflow flag for the (astronomically rare) longer runs — the driver
+falls back to the XLA path on that flag, so output is never wrong.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from x3tpu.vm.config import LANES
+
+I32 = jnp.int32
+U32 = jnp.uint32
+F32 = jnp.float32
+
+TOP = jnp.uint32(0x7FFFFFFF)
+FIRST_QUARTER = jnp.uint32(0x20000000)
+HALF = jnp.uint32(0x40000000)
+M31 = jnp.uint32(0x7FFFFFFF)
+
+AC_RUN_CHUNKS = 6  # static underflow-run capacity: 6*31 = 186 bits
+
+
+def col_iota(width: int):
+    return jax.lax.broadcasted_iota(I32, (LANES, width), 1)
+
+
+def get_col(R, col: int):
+    return R[:, col : col + 1]
+
+
+def set_col(R, col: int, val):
+    return jnp.where(col_iota(R.shape[1]) == col, val, R)
+
+
+def f32_of_u32(x):
+    """Mosaic has no u32->f32 cast: split the top bit, cast via i32."""
+    lo = (x & jnp.uint32(0x7FFFFFFF)).astype(I32).astype(F32)
+    hi = (x >> 31).astype(I32).astype(F32)
+    return lo + hi * jnp.float32(2147483648.0)
+
+
+def imul_u32(x, y):
+    """u32 product mod 2^32 via i32 multiply (bit-identical; Mosaic's u32
+    vector multiply crashes the compiler on this stack — probe4)."""
+    return (x.astype(I32) * y.astype(I32)).astype(U32)
+
+
+def udiv_u32(a, b):
+    """Exact floor(a / b) for u32 a <= 2^31, b in [1, 2^31].
+
+    f32 estimate scaled by (1 - 2^-16) — an under-estimate even if the
+    hardware divide is several ulp off — exact u32 remainder, geometric
+    convergence over 4 rounds, bounded fixup (validated exhaustively in
+    probe4 M4/M4b).  b == 1 short-circuits (quotient exceeds the f32->i32
+    cast range)."""
+    a = a.astype(U32)
+    b = b.astype(U32)
+    is1 = b <= 1
+    bs = jnp.maximum(b, 2)
+    bf = f32_of_u32(bs)
+    C = jnp.float32(1.0 - 2.0 ** -16)
+    q = jnp.zeros_like(a)
+    r = a
+    for _ in range(4):
+        est = jnp.maximum(jnp.floor(f32_of_u32(r) / bf * C) - 1.0, 0.0)
+        estu = est.astype(I32).astype(U32)
+        q = q + estu
+        r = r - imul_u32(estu, bs)
+    for _ in range(6):
+        ge = r >= bs
+        q = q + jnp.where(ge, jnp.uint32(1), 0)
+        r = r - jnp.where(ge, bs, 0)
+    return jnp.where(is1, a, q), jnp.where(is1, jnp.uint32(0), r)
+
+
+def mask_u32(count):
+    """(1 << count) - 1 for count in [0, 32] (i32 in, u32 out)."""
+    c = jnp.minimum(count, 31).astype(U32)
+    m = (jnp.uint32(1) << c) - 1
+    return jnp.where(count >= 32, jnp.uint32(0xFFFFFFFF), m)
+
+
+def clz32(x):
+    return jax.lax.clz(x.astype(U32)).astype(I32)
+
+
+def bits_f32(span, total):
+    """-log2(span/total) with the reference's f32 semantics (x3.c:52-55)."""
+    p = span.astype(F32) / jnp.maximum(total, 1).astype(F32)
+    return -jnp.log2(jnp.maximum(p, jnp.float32(1e-38)))
+
+
+# ---------------------------------------------------------------------------
+# Bit sink: a [8, 2*FW] i32 VMEM window + (nbits, win_base) registers.
+# Word w of the stream lives at window column (w - win_base); the driver
+# flushes full FW-word halves to the HBM output between events.
+# ---------------------------------------------------------------------------
+
+
+def sink_put_bits(win, nbits, win_base, value, count, active):
+    """Append up to 32 bits per active lane (LSB of ``value`` first; exact
+    mirror of ops/bitio.sink_put_bits).  ``win`` is the window VALUE
+    [8, 2FW] i32; returns (win', nbits')."""
+    W2 = win.shape[1]
+    cnt = jnp.where(active, count.astype(I32), 0)
+    v = value.astype(U32) & mask_u32(cnt)
+    widx = (nbits >> 5) - win_base
+    off = (nbits & 31).astype(U32)
+    lo = (v << off).astype(I32)
+    sh = (jnp.uint32(32) - off) & 31
+    hi = jnp.where(off == 0, jnp.uint32(0), v >> sh).astype(I32)
+    put = active & (cnt > 0)
+    iota = col_iota(W2)
+    win = win + jnp.where((iota == widx) & put, lo, 0)
+    win = win + jnp.where((iota == widx + 1) & put, hi, 0)
+    return win, nbits + cnt
+
+
+def ac_enc_renorm_counts(low, high):
+    """(n, v, low2, high2, m): closed-form E1/E2 bit count + payload and
+    the renormalized interval (ops/ac.py:_renorm_counts, = ac.c:46-75)."""
+    x = low ^ high
+    n = clz32(x) - 1
+    nu = n.astype(U32)
+    v = jnp.where(n > 0, low >> (jnp.uint32(31) - nu), 0)
+    ones = (jnp.uint32(1) << nu) - 1
+    low1 = (low << nu) & M31
+    high1 = ((high << nu) | ones) & M31
+    m1 = clz32(~(low1 << 2))
+    m2 = clz32(high1 << 2)
+    m = jnp.minimum(jnp.minimum(m1, m2), 30)
+    mu = m.astype(U32)
+    sub = (HALF << mu) - HALF
+    low2 = (low1 << mu) - sub
+    high2 = (high1 << mu) - sub + (jnp.uint32(1) << mu) - 1
+    return n, v, low2, high2, m
+
+
+def bitrev32(x):
+    x = ((x & 0x55555555) << 1) | ((x >> 1) & 0x55555555)
+    x = ((x & 0x33333333) << 2) | ((x >> 2) & 0x33333333)
+    x = ((x & 0x0F0F0F0F) << 4) | ((x >> 4) & 0x0F0F0F0F)
+    x = ((x & 0x00FF00FF) << 8) | ((x >> 8) & 0x00FF00FF)
+    return (x << 16) | (x >> 16)
+
+
+def ac_encode(st, low_f, span, total, active):
+    """Code one interval [low_f, low_f+span)/total per active lane and
+    renormalize (ops/ac.py:ac_encode).  ``st`` is a dict with u32 [8,1]
+    ``low``/``high``, i32 ``scale``/``nbits``/``win_base``/``oflow`` and
+    the i32 [8, 2FW] ``win`` value; returns the updated dict."""
+    total_s = jnp.maximum(total.astype(U32), 1)
+    step, _ = udiv_u32(st["high"] - st["low"] + 1, total_s)
+    high = st["low"] + imul_u32(step, (low_f + span).astype(U32)) - 1
+    low = st["low"] + imul_u32(step, low_f.astype(U32))
+
+    n, v, low2, high2, m = ac_enc_renorm_counts(low, high)
+    n = jnp.where(active, n, 0)
+    emit = active & (n > 0)
+
+    win, nbits = st["win"], st["nbits"]
+    b0 = (v >> jnp.maximum(n - 1, 0).astype(U32)) & 1
+    win, nbits = sink_put_bits(
+        win, nbits, st["win_base"], b0, jnp.where(emit, 1, 0), emit
+    )
+    # underflow run: scale copies of !b0, as AC_RUN_CHUNKS static chunks
+    rb = (b0 & 1) ^ 1
+    left = jnp.where(emit, st["scale"], 0)
+    oflow = st["oflow"] | (left > 31 * AC_RUN_CHUNKS)
+    for _ in range(AC_RUN_CHUNKS):
+        chunk = jnp.clip(left, 0, 31)
+        pat = jnp.where(rb == 1, mask_u32(chunk), jnp.uint32(0))
+        do = emit & (chunk > 0)
+        win, nbits = sink_put_bits(
+            win, nbits, st["win_base"], pat, chunk, do
+        )
+        left = left - chunk
+    # remaining n-1 bits of v, MSB-first after b0 -> bit-reversed for the
+    # LSB-first writer
+    tail_n = jnp.maximum(n - 1, 0)
+    tail = v & mask_u32(tail_n)
+    sh = (jnp.uint32(32) - tail_n.astype(U32)) & 31
+    tail_rev = jnp.where(tail_n > 0, bitrev32(tail) >> sh, 0)
+    win, nbits = sink_put_bits(
+        win, nbits, st["win_base"], tail_rev, tail_n, emit
+    )
+
+    return dict(
+        st,
+        low=jnp.where(active, low2, st["low"]),
+        high=jnp.where(active, high2, st["high"]),
+        scale=jnp.where(emit, m, st["scale"] + jnp.where(active, m, 0)),
+        win=win,
+        nbits=nbits,
+        oflow=oflow,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bit source (decoder): a [8, 2*FW] i32 window + (buf, used) registers.
+# ---------------------------------------------------------------------------
+
+
+def src_get_bits(win, bitpos, src_base, nwords, count, active):
+    """Read up to 31 bits per active lane starting at absolute stream bit
+    ``bitpos`` from the resident source window (first stream bit in the
+    LSB).  Columns past ``nwords`` read the sentinel 0x80000000
+    (bio.c:30-42).  Returns (value u32 [8,1], bitpos')."""
+    W2 = win.shape[1]
+    cnt = jnp.where(active, count.astype(I32), 0)
+    widx = (bitpos >> 5) - src_base
+    off = (bitpos & 31).astype(U32)
+    iota = col_iota(W2)
+    sent = jnp.int32(-2147483648)  # 0x80000000
+    wsel = jnp.where(iota + src_base < nwords, win, sent)
+    w0 = jnp.sum(jnp.where(iota == widx, wsel, 0), axis=1, keepdims=True)
+    w1 = jnp.sum(jnp.where(iota == widx + 1, wsel, 0), axis=1, keepdims=True)
+    lo = w0.astype(U32) >> off
+    sh = (jnp.uint32(32) - off) & 31
+    hi = jnp.where(off == 0, jnp.uint32(0), w1.astype(U32) << sh)
+    val = (lo | hi) & mask_u32(cnt)
+    return val, bitpos + cnt

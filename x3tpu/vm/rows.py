@@ -1,0 +1,359 @@
+"""Codec-VM context-row machinery.
+
+A context (context.c: per-context list of (tag, freq) items in insertion
+order, plus — for the order-1 family — the dense pair id registered when
+the item was appended, tag_pair.c) is stored as ONE 128-lane i32 HBM row,
+DMA'd into VMEM scratch per event:
+
+  inline ctx0 row: [n | tags[63] | freqs[63] | spare]
+  inline ctx1 row: [n | tags[42] | freqs[42] | pairs[42]]
+
+A context that outgrows its inline row is *promoted* to a PB=16-row span
+in the same HBM array (header flips to -(span_index+1)):
+
+  ctx0 span: row 0 = [n | ...], tags rows 1..7 (896), freqs rows 8..14
+  ctx1 span: row 0 = [n | ...], tags 1..5 (640), freqs 6..10, pairs 11..15
+
+Context id 0 (the unknown-pair fallback / post-E_NEW reset context,
+x3.c:63-67) is the hottest and largest; it lives in dense VMEM hub planes
+instead.  Every operation computes the three paths (hub / inline / big)
+masked and selects per lane — the same structure as the XLA three-tier
+storage in x3tpu/models/context.py, re-laid-out for Mosaic.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from x3tpu.vm.config import IN0, IN1, LANES, PB
+from x3tpu.vm.prims import col_iota
+
+I32 = jnp.int32
+
+# inline row column layout
+C0_TAGS, C0_FREQS = 1, 64                  # ctx0: tags 1..63, freqs 64..126
+C1_TAGS, C1_FREQS, C1_PAIRS = 1, 43, 85    # ctx1: 42 items per section
+# big-span row layout (rows within the PB-row span)
+B0_TAGS, B0_NT = 1, 7                      # ctx0: tags rows 1..7
+B0_FREQS = 8                               # freqs rows 8..14
+B1_TAGS, B1_NT = 1, 5                      # ctx1: tags rows 1..5
+B1_FREQS, B1_PAIRS = 6, 11
+
+
+class Family(NamedTuple):
+    """Static layout of one context family inside the kernel."""
+
+    inline_cap: int     # IN0 | IN1
+    tags_col: int
+    freqs_col: int
+    pairs_col: Optional[int]
+    big_tags_row: int
+    big_nrows: int
+    big_freqs_row: int
+    big_pairs_row: Optional[int]
+
+    @property
+    def big_cap(self) -> int:
+        return self.big_nrows * 128
+
+
+FAM0 = Family(IN0, C0_TAGS, C0_FREQS, None, B0_TAGS, B0_NT, B0_FREQS, None)
+FAM1 = Family(IN1, C1_TAGS, C1_FREQS, C1_PAIRS, B1_TAGS, B1_NT, B1_FREQS,
+              B1_PAIRS)
+
+
+def _iota3(nrows: int):
+    """Flat item index over a [8, nrows, 128] section."""
+    r = jax.lax.broadcasted_iota(I32, (LANES, nrows, 128), 1)
+    c = jax.lax.broadcasted_iota(I32, (LANES, nrows, 128), 2)
+    return r * 128 + c
+
+
+class RowView(NamedTuple):
+    """Per-lane resolved view of one context's storage tier (values)."""
+
+    cid: jax.Array       # [8,1]
+    is_hub: jax.Array    # [8,1] bool
+    is_big: jax.Array    # [8,1] bool
+    n: jax.Array         # [8,1] item count
+
+
+def row_view(fam: Family, cid, in_scr, big_scr, hub_n, active):
+    """Resolve the tier for context ``cid``; inline/big content must
+    already be DMA'd into ``in_scr``/``big_scr`` for non-hub lanes."""
+    is_hub = cid == 0
+    hdr = in_scr[:, 0, 0:1]
+    is_big = active & ~is_hub & (hdr < 0)
+    n_big = big_scr[:, 0, 0:1]
+    n = jnp.where(is_hub, hub_n, jnp.where(is_big, n_big, hdr))
+    n = jnp.where(active, n, 0)
+    return RowView(cid, is_hub, is_big, n)
+
+
+def row_find(fam: Family, v: RowView, tag, in_scr, big_scr,
+             hub_t, hub_f, hub_p):
+    """Locate ``tag`` (ctx_query_tag_index, context.c:31-40).  Returns
+    (found [8,1]b, pos [8,1] — insertion index == model symbol, pair_id
+    [8,1]).  Tags are unique within a context, so positions come from
+    masked sums, no argmax."""
+    IN = fam.inline_cap
+    it = col_iota(IN)
+    tags_in = in_scr[:, 0, fam.tags_col : fam.tags_col + IN]
+    m_in = (tags_in == tag) & (it < v.n)
+    found_in = jnp.any(m_in, axis=1, keepdims=True)
+    pos_in = jnp.sum(jnp.where(m_in, it, 0), axis=1, keepdims=True)
+
+    bt = big_scr[:, fam.big_tags_row : fam.big_tags_row + fam.big_nrows, :]
+    i3 = _iota3(fam.big_nrows)
+    m_b = (bt == tag[:, :, None]) & (i3 < v.n[:, :, None])
+    found_b = jnp.any(m_b, axis=(1, 2))[:, None]
+    pos_b = jnp.sum(jnp.where(m_b, i3, 0), axis=(1, 2))[:, None]
+
+    H = hub_t.shape[1]
+    ih = col_iota(H)
+    hub_n = jnp.where(v.is_hub, v.n, 0)
+    m_h = (hub_t == tag) & (ih < hub_n)
+    found_h = jnp.any(m_h, axis=1, keepdims=True)
+    pos_h = jnp.sum(jnp.where(m_h, ih, 0), axis=1, keepdims=True)
+
+    found = jnp.where(v.is_hub, found_h,
+                      jnp.where(v.is_big, found_b, found_in))
+    pos = jnp.where(v.is_hub, pos_h, jnp.where(v.is_big, pos_b, pos_in))
+
+    if fam.pairs_col is None:
+        pair = jnp.zeros_like(pos)
+    else:
+        pr_in = in_scr[:, 0, fam.pairs_col : fam.pairs_col + IN]
+        p_in = jnp.sum(jnp.where(m_in, pr_in, 0), axis=1, keepdims=True)
+        bp = big_scr[:, fam.big_pairs_row : fam.big_pairs_row
+                     + fam.big_nrows, :]
+        p_b = jnp.sum(jnp.where(m_b, bp, 0), axis=(1, 2))[:, None]
+        p_h = jnp.sum(jnp.where(m_h, hub_p, 0), axis=1, keepdims=True)
+        pair = jnp.where(v.is_hub, p_h, jnp.where(v.is_big, p_b, p_in))
+    return found, pos, pair
+
+
+def row_stats(fam: Family, v: RowView, pos, in_scr, big_scr, hub_f):
+    """(low, span, total) of coding insertion index ``pos`` through the
+    context's throwaway model (context.c:95-133)."""
+    IN = fam.inline_cap
+    it = col_iota(IN)
+    fr_in = in_scr[:, 0, fam.freqs_col : fam.freqs_col + IN]
+    fr_in = jnp.where(it < v.n, fr_in, 0)
+    low_in = jnp.sum(jnp.where(it < pos, fr_in, 0), axis=1, keepdims=True)
+    span_in = jnp.sum(jnp.where(it == pos, fr_in, 0), axis=1, keepdims=True)
+    tot_in = jnp.sum(fr_in, axis=1, keepdims=True)
+
+    bf = big_scr[:, fam.big_freqs_row : fam.big_freqs_row + fam.big_nrows, :]
+    i3 = _iota3(fam.big_nrows)
+    bf = jnp.where(i3 < v.n[:, :, None], bf, 0)
+    low_b = jnp.sum(jnp.where(i3 < pos[:, :, None], bf, 0),
+                    axis=(1, 2))[:, None]
+    span_b = jnp.sum(jnp.where(i3 == pos[:, :, None], bf, 0),
+                     axis=(1, 2))[:, None]
+    tot_b = jnp.sum(bf, axis=(1, 2))[:, None]
+
+    H = hub_f.shape[1]
+    ih = col_iota(H)
+    hn = jnp.where(v.is_hub, v.n, 0)
+    fh = jnp.where(ih < hn, hub_f, 0)
+    low_h = jnp.sum(jnp.where(ih < pos, fh, 0), axis=1, keepdims=True)
+    span_h = jnp.sum(jnp.where(ih == pos, fh, 0), axis=1, keepdims=True)
+    tot_h = jnp.sum(fh, axis=1, keepdims=True)
+
+    low = jnp.where(v.is_hub, low_h, jnp.where(v.is_big, low_b, low_in))
+    span = jnp.where(v.is_hub, span_h, jnp.where(v.is_big, span_b, span_in))
+    tot = jnp.where(v.is_hub, tot_h, jnp.where(v.is_big, tot_b, tot_in))
+    return low, span, tot
+
+
+def row_decode_pos(fam: Family, v: RowView, value, in_scr, big_scr, hub_f,
+                   hub_t):
+    """Find the item whose cumulative interval contains ``value`` (u32
+    [8,1]); returns (pos, tag, low, span) — the decode-side search
+    (ac.c:167-179 over the throwaway model)."""
+    IN = fam.inline_cap
+    it = col_iota(IN)
+    fr_in = in_scr[:, 0, fam.freqs_col : fam.freqs_col + IN]
+    fr_in = jnp.where(it < v.n, fr_in, 0)
+    cum_in = jnp.cumsum(fr_in, axis=1) - fr_in
+    le_in = (it < v.n) & (cum_in.astype(jnp.uint32) <= value)
+    pos_in = jnp.maximum(
+        jnp.sum(le_in, axis=1, keepdims=True).astype(I32) - 1, 0
+    )
+    tg_in = in_scr[:, 0, fam.tags_col : fam.tags_col + IN]
+    tag_in = jnp.sum(jnp.where(it == pos_in, tg_in, 0), axis=1,
+                     keepdims=True)
+    low_in = jnp.sum(jnp.where(it == pos_in, cum_in, 0), axis=1,
+                     keepdims=True)
+    span_in = jnp.sum(jnp.where(it == pos_in, fr_in, 0), axis=1,
+                      keepdims=True)
+
+    # big: cumulative within-row + carry of previous rows
+    NR = fam.big_nrows
+    bf = big_scr[:, fam.big_freqs_row : fam.big_freqs_row + NR, :]
+    i3 = _iota3(NR)
+    bf = jnp.where(i3 < v.n[:, :, None], bf, 0)
+    row_tot = jnp.sum(bf, axis=2, keepdims=True)            # [8, NR, 1]
+    row_carry = jnp.cumsum(row_tot, axis=1) - row_tot       # excl prefix
+    cum_b = jnp.cumsum(bf, axis=2) - bf + row_carry
+    le_b = (i3 < v.n[:, :, None]) & (cum_b.astype(jnp.uint32)
+                                     <= value[:, :, None])
+    pos_b = jnp.maximum(
+        jnp.sum(le_b, axis=(1, 2))[:, None].astype(I32) - 1, 0
+    )
+    sel_b = i3 == pos_b[:, :, None]
+    bt = big_scr[:, fam.big_tags_row : fam.big_tags_row + NR, :]
+    tag_b = jnp.sum(jnp.where(sel_b, bt, 0), axis=(1, 2))[:, None]
+    low_b = jnp.sum(jnp.where(sel_b, cum_b, 0), axis=(1, 2))[:, None]
+    span_b = jnp.sum(jnp.where(sel_b, bf, 0), axis=(1, 2))[:, None]
+
+    H = hub_f.shape[1]
+    ih = col_iota(H)
+    hn = jnp.where(v.is_hub, v.n, 0)
+    fh = jnp.where(ih < hn, hub_f, 0)
+    cum_h = jnp.cumsum(fh, axis=1) - fh
+    le_h = (ih < hn) & (cum_h.astype(jnp.uint32) <= value)
+    pos_h = jnp.maximum(
+        jnp.sum(le_h, axis=1, keepdims=True).astype(I32) - 1, 0
+    )
+    tag_h = jnp.sum(jnp.where(ih == pos_h, hub_t, 0), axis=1, keepdims=True)
+    low_h = jnp.sum(jnp.where(ih == pos_h, cum_h, 0), axis=1, keepdims=True)
+    span_h = jnp.sum(jnp.where(ih == pos_h, fh, 0), axis=1, keepdims=True)
+
+    pos = jnp.where(v.is_hub, pos_h, jnp.where(v.is_big, pos_b, pos_in))
+    tag = jnp.where(v.is_hub, tag_h, jnp.where(v.is_big, tag_b, tag_in))
+    low = jnp.where(v.is_hub, low_h, jnp.where(v.is_big, low_b, low_in))
+    span = jnp.where(v.is_hub, span_h, jnp.where(v.is_big, span_b, span_in))
+    return pos, tag, low, span
+
+
+def row_update(fam: Family, v: RowView, tag, found, pos, active,
+               in_scr, big_scr, hub_t_ref, hub_f_ref, hub_p_ref,
+               hub_n, hub_cap, promo_n, promo_cap, new_pair_id=None):
+    """Post-event update (x3.c:197-209): bump the found item's freq or
+    append (tag, 1[, pair_id]); promote a full inline row to a fresh big
+    span.  Mutates the scratch refs and hub refs in place; returns
+    (hub_n', promo_n', did_promo [8,1]b, span_idx [8,1], oflow [8,1]b)."""
+    IN = fam.inline_cap
+    app = active & ~found
+    inc = active & found
+
+    # ---- hub path (dense VMEM planes)
+    H = hub_t_ref.shape[1]
+    ih = col_iota(H)
+    h_inc = v.is_hub & inc
+    hub_f_ref[:, :] = hub_f_ref[:, :] + jnp.where(
+        h_inc & (ih == pos), 1, 0
+    )
+    hub_room = hub_n < hub_cap
+    h_app = v.is_hub & app & hub_room
+    at_end = ih == hub_n
+    hub_t_ref[:, :] = jnp.where(h_app & at_end, tag, hub_t_ref[:, :])
+    hub_f_ref[:, :] = jnp.where(h_app & at_end, 1, hub_f_ref[:, :])
+    if new_pair_id is not None:
+        hub_p_ref[:, :] = jnp.where(h_app & at_end, new_pair_id,
+                                    hub_p_ref[:, :])
+    hub_n2 = hub_n + jnp.where(h_app, 1, 0)
+    oflow = v.is_hub & app & ~hub_room
+
+    # ---- promotion: inline row full, this append needs a big span
+    need = active & ~v.is_hub & ~v.is_big & app & (v.n >= IN)
+    can = promo_n < promo_cap
+    do_promo = need & can
+    oflow = oflow | (need & ~can)
+    span_idx_new = promo_n
+    it = col_iota(IN)
+    pad = jnp.zeros((LANES, 128 - IN), I32)
+
+    def padded(cols_base):
+        sec = in_scr[:, 0, cols_base : cols_base + IN]
+        return jnp.concatenate([sec, pad], axis=1)
+
+    dp3 = do_promo[:, :, None]
+    # header row: item count at col 0
+    c0 = col_iota(128) == 0
+    big_scr[:, 0, :] = jnp.where(
+        do_promo & c0, v.n, big_scr[:, 0, :]
+    )
+    # first content row of each section gets the inline items; the rest
+    # of the section is zeroed for promoting lanes
+    for base_row, col_base in (
+        (fam.big_tags_row, fam.tags_col),
+        (fam.big_freqs_row, fam.freqs_col),
+    ) + (((fam.big_pairs_row, fam.pairs_col),)
+         if fam.pairs_col is not None else ()):
+        big_scr[:, base_row, :] = jnp.where(
+            do_promo, padded(col_base), big_scr[:, base_row, :]
+        )
+        for r in range(1, fam.big_nrows):
+            big_scr[:, base_row + r, :] = jnp.where(
+                do_promo, 0, big_scr[:, base_row + r, :]
+            )
+    # inline header now redirects to the span
+    in_scr[:, 0, :] = jnp.where(
+        do_promo & c0, -(span_idx_new + 1), in_scr[:, 0, :]
+    )
+    promo_n2 = promo_n + jnp.where(do_promo, 1, 0)
+
+    big_now = v.is_big | do_promo
+
+    # ---- inline path
+    ido = active & ~v.is_hub & ~big_now
+    fc = col_iota(128)
+    i_inc_col = fam.freqs_col + pos
+    in_scr[:, 0, :] = in_scr[:, 0, :] + jnp.where(
+        (ido & inc) & (fc == i_inc_col), 1, 0
+    )
+    i_app = ido & app  # v.n < IN guaranteed (promotion above)
+    in_scr[:, 0, :] = jnp.where(
+        i_app & (fc == fam.tags_col + v.n), tag, in_scr[:, 0, :]
+    )
+    in_scr[:, 0, :] = jnp.where(
+        i_app & (fc == fam.freqs_col + v.n), 1, in_scr[:, 0, :]
+    )
+    if new_pair_id is not None:
+        in_scr[:, 0, :] = jnp.where(
+            i_app & (fc == fam.pairs_col + v.n), new_pair_id,
+            in_scr[:, 0, :]
+        )
+    in_scr[:, 0, :] = jnp.where(
+        i_app & (fc == 0), v.n + 1, in_scr[:, 0, :]
+    )
+
+    # ---- big path
+    NR = fam.big_nrows
+    i3 = _iota3(NR)
+    bdo = active & ~v.is_hub & big_now
+    b_inc = (bdo & inc)[:, :, None] & (i3 == pos[:, :, None])
+    fr = big_scr[:, fam.big_freqs_row : fam.big_freqs_row + NR, :]
+    big_scr[:, fam.big_freqs_row : fam.big_freqs_row + NR, :] = (
+        fr + jnp.where(b_inc, 1, 0)
+    )
+    big_room = v.n < fam.big_cap
+    b_app = bdo & app & big_room
+    oflow = oflow | (bdo & app & ~big_room)
+    at3 = b_app[:, :, None] & (i3 == v.n[:, :, None])
+    bt = big_scr[:, fam.big_tags_row : fam.big_tags_row + NR, :]
+    big_scr[:, fam.big_tags_row : fam.big_tags_row + NR, :] = jnp.where(
+        at3, tag[:, :, None], bt
+    )
+    fr = big_scr[:, fam.big_freqs_row : fam.big_freqs_row + NR, :]
+    big_scr[:, fam.big_freqs_row : fam.big_freqs_row + NR, :] = jnp.where(
+        at3, 1, fr
+    )
+    if new_pair_id is not None:
+        bp = big_scr[:, fam.big_pairs_row : fam.big_pairs_row + NR, :]
+        big_scr[:, fam.big_pairs_row : fam.big_pairs_row + NR, :] = (
+            jnp.where(at3, new_pair_id[:, :, None], bp)
+        )
+    big_scr[:, 0, :] = jnp.where(
+        b_app & c0, v.n + 1, big_scr[:, 0, :]
+    )
+
+    span_idx = jnp.where(do_promo, span_idx_new,
+                         -in_scr[:, 0, 0:1] - 1)
+    return hub_n2, promo_n2, do_promo, span_idx, oflow
