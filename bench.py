@@ -93,18 +93,29 @@ def main() -> int:
 
     import jax.numpy as jnp
 
+    # engine dispatch: the codec-VM Pallas kernel needs Mosaic (TPU); the
+    # CPU backend only runs it in interpret mode (too slow to bench).
+    # X3TPU_BENCH_VM: auto (VM on TPU) | 1 (force) | interpret | 0 (off)
     encode = codec.encode_blocks_chunked
     vm_mode = os.environ.get("X3TPU_BENCH_VM", "auto")
-    if vm_mode != "0":
-        try:
-            from x3tpu.vm import encode_blocks_vm_chunked as _vm_enc
+    use_vm = vm_mode in ("1", "interpret") or (
+        vm_mode == "auto" and jax.default_backend() != "cpu"
+    )
+    if use_vm:
+        from x3tpu import vm
 
-            encode = _vm_enc
-            log("using codec-VM kernel path")
-        except Exception as e:  # VM not available/capable: XLA path
-            if vm_mode == "1":
-                raise
-            log(f"codec-VM path unavailable ({e!r}); using XLA path")
+        def encode(text, tlen, params, caps,
+                   _xla=codec.encode_blocks_chunked):
+            try:
+                return vm.encode_blocks_vm_chunked(
+                    text, tlen, params, caps,
+                    interpret=(vm_mode == "interpret"),
+                )
+            except vm.VMUnsupported as e:
+                log(f"codec-VM unsupported here ({e}); using XLA path")
+                return _xla(text, tlen, params, caps)
+
+        log("using codec-VM kernel path")
 
     text, tlen = codec.pack_blocks(blocks, params, caps)
     text_j, tlen_j = jnp.asarray(text), jnp.asarray(tlen)

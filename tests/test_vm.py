@@ -1,0 +1,116 @@
+"""Codec-VM kernel tests (interpreter mode, CPU).
+
+The VM kernel (x3tpu/vm/kernel.py) runs the whole event loop
+(x3.c:372-434 semantics) in one Pallas program; these tests keep it
+bit-exact against the spec oracle and behavior-identical (including
+overflow flagging) to the XLA chunked driver it replaces on TPU.
+Interpreter mode executes the same traced program without Mosaic, so
+everything here runs on the CPU test mesh.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from x3tpu import codec, spec
+from x3tpu.config import CodecCaps, X3Params
+from x3tpu.vm import VMUnsupported, encode_blocks_vm_chunked
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+PARAMS = X3Params(max_match_count=4, window=256)
+
+
+def _blocks():
+    golden = (GOLDEN / "text_small.bin").read_bytes()
+    rng = np.random.default_rng(7)
+    return [
+        b"abracadabra " * 40,
+        b"",
+        golden[:1200],
+        rng.integers(0, 256, 400, np.uint8).tobytes(),
+        b"A",
+        b"\x00" * 1200,
+    ]
+
+
+def _encode_vm(blocks, params, caps, chunk_steps=4096):
+    text, tlen = codec.pack_blocks(blocks, params, caps)
+    return encode_blocks_vm_chunked(
+        text, tlen, params, caps, chunk_steps=chunk_steps, interpret=True
+    )
+
+
+def test_vm_encoder_matches_spec():
+    caps = CodecCaps(
+        dict_cap=1024, pair_cap=2048, ctx_items_cap=128,
+        ctx0_items_cap=128, ctx_small_cap=16, block_bytes=2048,
+    )
+    blocks = _blocks()
+    words, byte_lens, counts, sizes, of = _encode_vm(blocks, PARAMS, caps)
+    words = np.asarray(words)
+    byte_lens = np.asarray(byte_lens)
+    for f in of._fields:
+        assert not np.asarray(getattr(of, f)).any(), f"overflow {f}"
+    for i, b in enumerate(blocks):
+        got = words[i].astype("<u4").tobytes()[: byte_lens[i]]
+        assert got == spec.encode(b, PARAMS), f"block {i} ({len(b)}B)"
+
+
+def test_vm_overflow_parity_with_xla():
+    """At deliberately tiny capacities the VM must flag exactly the lanes
+    the XLA driver flags (the host auto-retry contract) and stay bit-exact
+    on the rest."""
+    caps = CodecCaps(
+        dict_cap=128, pair_cap=512, ctx_items_cap=128,
+        ctx0_items_cap=128, ctx_small_cap=16, block_bytes=2048,
+    )
+    blocks = _blocks()
+    text, tlen = codec.pack_blocks(blocks, PARAMS, caps)
+    vw, vl, vc, _, vof = encode_blocks_vm_chunked(
+        text, tlen, PARAMS, caps, chunk_steps=711, interpret=True
+    )
+    import jax.numpy as jnp
+
+    xw, xl, xc, _, xof = codec.encode_blocks_chunked(
+        jnp.asarray(text), jnp.asarray(tlen), PARAMS, caps
+    )
+    v_any = np.zeros(len(blocks), bool)
+    x_any = np.zeros(len(blocks), bool)
+    for f in vof._fields:
+        v_any |= np.asarray(getattr(vof, f))
+        x_any |= np.asarray(getattr(xof, f))
+    assert (v_any == x_any).all(), (v_any, x_any)
+    vw, vl = np.asarray(vw), np.asarray(vl)
+    xw, xl = np.asarray(xw), np.asarray(xl)
+    for i in range(len(blocks)):
+        if v_any[i]:
+            continue
+        got = vw[i].astype("<u4").tobytes()[: vl[i]]
+        want = xw[i].astype("<u4").tobytes()[: xl[i]]
+        assert got == want, f"lane {i}"
+        assert (np.asarray(vc)[i] == np.asarray(xc)[i]).all()
+
+
+def test_vm_engine_dispatch_roundtrip():
+    """caps.engine='vm_interpret' routes encode_wave through the VM kernel
+    (runtime._encode_one_device) and the result decodes on the XLA path."""
+    from x3tpu.parallel import runtime
+
+    caps = CodecCaps(
+        dict_cap=512, pair_cap=1024, ctx_items_cap=128, ctx0_items_cap=128,
+        ctx_small_cap=16, block_bytes=2048, engine="vm_interpret",
+    )
+    data = b"dispatch check: the quick brown fox " * 40
+    blob = runtime.compress(data, PARAMS, block_bytes=1024, caps=caps)
+    assert runtime.decompress(blob, PARAMS) == data
+
+
+def test_vm_unsupported_configs():
+    caps = CodecCaps(dict_cap=1 << 14, block_bytes=2048)
+    with pytest.raises(VMUnsupported):
+        _encode_vm([b"x"], PARAMS, caps)
+    caps = CodecCaps(dict_cap=1024, block_bytes=2 << 20)
+    with pytest.raises(VMUnsupported):
+        _encode_vm([b"x"], X3Params(window=1024), caps)

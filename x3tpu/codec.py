@@ -45,7 +45,6 @@ from x3tpu.models import context as cm
 from x3tpu.models import dictionary as dm
 from x3tpu.ops import ac as acm
 from x3tpu.ops import bitio
-from x3tpu.ops.gather_pallas import window_fetch
 from x3tpu.ops.match import best_match_sweep, gather_window, window_counts
 
 I32 = jnp.int32
@@ -262,17 +261,17 @@ def _literal_encode_loop(carry, miss, mlen, frag32=None):
     return ch, enc, sink, nbits
 
 
-def _enc_body(carry: EncCarry, params: X3Params, matcher: str = "xla") -> EncCarry:
+def _enc_body(carry: EncCarry, params: X3Params) -> EncCarry:
     lanes = carry.p.shape[0]
     lane = jnp.arange(lanes, dtype=I32)
     active = carry.p < carry.tlen
 
     # one per-lane window fetch per event feeds everything: probe target,
-    # window scan, veto targets and literal bytes.  A plain XLA gather here
-    # costs ~640us/event at L=32 (scalarized); the pallas mode DMAs it.
+    # window scan, veto targets and literal bytes.  Unrolled contiguous
+    # dynamic slices: a plain XLA gather here costs ~640us/event at L=32.
     W = max(params.window, MAX_MATCH_LEN)
     Wbuf = ((max(W, 2 * MAX_MATCH_LEN) + MAX_MATCH_LEN + 127) // 128) * 128
-    win = window_fetch(carry.text, carry.p, Wbuf, "xla")
+    win = gather_window(carry.text, carry.p, Wbuf)
     t32 = win[:, :MAX_MATCH_LEN]
 
     # (1) dictionary probe at p (x3.c:381)
@@ -399,9 +398,7 @@ def enc_active(carry: EncCarry) -> jax.Array:
     return jnp.any(carry.p < carry.tlen)
 
 
-def enc_chunk(
-    carry: EncCarry, params: X3Params, nsteps: int, matcher: str = "xla"
-) -> EncCarry:
+def enc_chunk(carry: EncCarry, params: X3Params, nsteps: int) -> EncCarry:
     """Run up to ``nsteps`` events (bounds single-program device time; the
     host loops chunks with donated carries)."""
 
@@ -411,7 +408,7 @@ def enc_chunk(
 
     def body(c):
         i, carry = c
-        return i + 1, _enc_body(carry, params, matcher)
+        return i + 1, _enc_body(carry, params)
 
     _, carry = jax.lax.while_loop(cond, body, (jnp.zeros((), I32), carry))
     return carry
@@ -446,9 +443,8 @@ def encode_lanes(
     (:func:`encode_blocks_chunked`), which bounds single-program device
     time."""
     carry = enc_init_carry(text, tlen, params, caps, seeds)
-    matcher = caps.matcher if caps.matcher != "auto" else "xla"
     carry = jax.lax.while_loop(
-        enc_active, lambda c: _enc_body(c, params, matcher), carry
+        enc_active, lambda c: _enc_body(c, params), carry
     )
     return enc_finalize(carry)
 
@@ -459,8 +455,7 @@ encode_blocks_jit = functools.partial(
 
 _enc_init_jit = jax.jit(enc_init_carry, static_argnames=("params", "caps"))
 _enc_chunk_jit = jax.jit(
-    enc_chunk, static_argnames=("params", "nsteps", "matcher"),
-    donate_argnums=(0,),
+    enc_chunk, static_argnames=("params", "nsteps"), donate_argnums=(0,)
 )
 _enc_active_jit = jax.jit(enc_active)
 _enc_finalize_jit = jax.jit(enc_finalize)
@@ -473,10 +468,9 @@ def encode_blocks_chunked(
     """Host-driven chunked encode: repeated bounded device programs with a
     donated carry (keeps each execution well under RPC/watchdog limits and
     provides natural progress/interruption points)."""
-    caps = caps.resolved()
     carry = _enc_init_jit(text, tlen, params, caps, seeds)
     while bool(_enc_active_jit(carry)):
-        carry = _enc_chunk_jit(carry, params, chunk_steps, caps.matcher)
+        carry = _enc_chunk_jit(carry, params, chunk_steps)
     return _enc_finalize_jit(carry)
 
 

@@ -78,7 +78,7 @@ class CodecCaps:
     ctx_promo_rows: int = 0        # big rows per family (0 = derive)
     block_bytes: int = 1 << 20     # max uncompressed bytes per lane/block
     out_words_factor: int = 2      # compressed buffer headroom (x3.c:580: 2x)
-    matcher: str = "auto"          # "auto" | "xla" | "pallas" | "pallas_interpret"
+    engine: str = "auto"           # "auto" | "xla" | "vm" | "vm_interpret"
 
     @property
     def out_words(self) -> int:
@@ -95,15 +95,15 @@ class CodecCaps:
         )
 
     def resolved(self) -> "CodecCaps":
-        """Resolve matcher='auto' by backend (pallas on TPU, xla elsewhere);
-        call outside jit."""
-        if self.matcher != "auto":
+        """Resolve engine='auto' by backend: the codec-VM Pallas kernel on
+        TPU, the XLA while-loop path elsewhere; call outside jit."""
+        if self.engine != "auto":
             return self
         import jax
 
         backend = jax.default_backend()
-        m = "pallas" if backend not in ("cpu",) else "xla"
-        return dataclasses.replace(self, matcher=m)
+        e = "vm" if backend not in ("cpu",) else "xla"
+        return dataclasses.replace(self, engine=e)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -135,6 +135,26 @@ def seeds_to_arrays(seed_bytes: Sequence[bytes]):
     return jnp.asarray(strs), jnp.asarray(lens)
 
 
+def _encode_one_device(text, tlen, params, caps, seeds):
+    """Single-device encode dispatch: the codec-VM Pallas kernel when the
+    resolved engine selects it and the configuration fits, else the XLA
+    chunked driver (same output contract either way)."""
+    engine = caps.resolved().engine
+    if engine in ("vm", "vm_interpret"):
+        from x3tpu import vm
+
+        try:
+            return vm.encode_blocks_vm_chunked(
+                jax.numpy.asarray(text), jax.numpy.asarray(tlen), params,
+                caps, seeds, interpret=(engine == "vm_interpret"),
+            )
+        except vm.VMUnsupported:
+            pass
+    return codec.encode_blocks_chunked(
+        jax.numpy.asarray(text), jax.numpy.asarray(tlen), params, caps, seeds
+    )
+
+
 def encode_wave(
     blocks_in: Sequence[bytes],
     params: X3Params,
@@ -157,11 +177,8 @@ def encode_wave(
                     text, tlen, params, caps, mesh, seeds=seeds
                 )
             else:
-                words, byte_lens, counts, sizes, overflow = (
-                    codec.encode_blocks_chunked(
-                        jax.numpy.asarray(text), jax.numpy.asarray(tlen),
-                        params, caps, seeds,
-                    )
+                words, byte_lens, counts, sizes, overflow = _encode_one_device(
+                    text, tlen, params, caps, seeds
                 )
             codec._check_overflow(overflow)
             break

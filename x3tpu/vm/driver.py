@@ -1,0 +1,170 @@
+"""Codec-VM host driver: state init, chunked kernel launches, finalize.
+
+API-compatible with codec.encode_blocks_chunked: returns (words u32
+[L, OW], byte_lens, counts, sizes, Overflow).  The EOF symbol and AC flush
+(x3.c:432-433, ac.c:115-126) run through the existing XLA coder on the
+merged bit sink — one tiny dispatch, zero duplicated bit-format logic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from x3tpu import codec
+from x3tpu.config import CodecCaps, E_EOF, E_LAST, EVENT_INIT_FREQS, X3Params
+from x3tpu.models import adaptive as am
+from x3tpu.ops import ac as acm
+from x3tpu.ops import bitio
+from x3tpu.vm.config import (
+    LANES, OF_CTX0, OF_CTX1, OF_DICT, OF_OUT, OF_PAIRS,
+    R_AC_HIGH, R_AC_LOW, R_AC_SCALE, R_COUNTS, R_NBITS, R_OFLOW, R_P,
+    R_TLEN, R_WIN_BASE, VMCaps, VMUnsupported, vm_caps,
+)
+from x3tpu.vm.kernel import build_encoder_call
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+@functools.partial(jax.jit, static_argnames=("vc", "G"))
+def _init_state(text_flat, tlen, vc: VMCaps, G: int):
+    """Initial VM state tuple (kernel inputs 1..19).  ``text_flat`` is the
+    byte-per-i32 text [G8*trows, 128]; ``tlen`` i32 [G8]."""
+    G8 = G * LANES
+    D = vc.dict_cap
+
+    def z(w, dt=jnp.int32):
+        return jnp.zeros((G8, w), dt)
+
+    regs = z(128)
+    regs = regs.at[:, R_TLEN].set(tlen.astype(I32))
+    regs = regs.at[:, R_AC_HIGH].set(jnp.int32(0x7FFFFFFF))
+    ev = z(128).at[:, : len(EVENT_INIT_FREQS)].set(
+        jnp.asarray(EVENT_INIT_FREQS, I32)[None, :]
+    )
+    ms = z(128).at[:, :32].set(1)
+    ch = jnp.ones((G8, 256), I32)
+    orows = vc.out_words // 128
+    return (
+        z(8 * D), z(D), z(D), z(D), z(D),
+        z(vc.hub0), z(vc.hub0), z(vc.hub1), z(vc.hub1), z(vc.hub1),
+        ev, ms, ch, regs, z(128, jnp.float32), z(512),
+        jnp.zeros((G8 * orows, 128), I32),
+        jnp.zeros((G8 * vc.r0, 128), I32),
+        jnp.zeros((G8 * vc.r1, 128), I32),
+    )
+
+
+@jax.jit
+def _any_active(regs):
+    return jnp.any(regs[:, R_P] < regs[:, R_TLEN])
+
+
+@functools.partial(jax.jit, static_argnames=("vc",))
+def _finalize(state, vc: VMCaps):
+    """Merge sink windows, code EOF, flush (mirror of codec.enc_finalize)."""
+    regs = state[13]
+    regsf = state[14]
+    sinkwin = state[15]
+    orows = vc.out_words // 128
+    G8 = regs.shape[0]
+    outw = state[16].reshape(G8, orows * 128)
+
+    win_base = regs[:, R_WIN_BASE]
+    outw = jax.vmap(
+        lambda row, w, b: jax.lax.dynamic_update_slice(row, w, (b,))
+    )(outw, sinkwin, win_base)
+
+    sink = bitio.BitSink(
+        words=outw.astype(U32),
+        nbits=regs[:, R_NBITS],
+        overflow=(regs[:, R_OFLOW] & OF_OUT) != 0,
+    )
+    enc = acm.AcEnc(
+        low=regs[:, R_AC_LOW].astype(U32),
+        high=regs[:, R_AC_HIGH].astype(U32),
+        scale=regs[:, R_AC_SCALE],
+    )
+    ev5 = state[10][:, :E_LAST]
+    every = jnp.ones((G8,), jnp.bool_)
+    eofsym = jnp.full((G8,), E_EOF, I32)
+    elow, espan, etot = am.model_encode_stats(ev5, eofsym)
+    enc, sink = acm.ac_encode(enc, sink, elow, elow + espan, etot, every)
+    sink = acm.ac_flush(enc, sink, every)
+
+    counts = regs[:, R_COUNTS : R_COUNTS + E_LAST]
+    sizes = regsf[:, :E_LAST]
+    of = regs[:, R_OFLOW]
+    overflow = codec.Overflow(
+        dict=(of & OF_DICT) != 0,
+        ctx0=(of & OF_CTX0) != 0,
+        ctx1=(of & OF_CTX1) != 0,
+        pairs=(of & OF_PAIRS) != 0,
+        out=sink.overflow,
+    )
+    return sink.words, bitio.sink_byte_len(sink), counts, sizes, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("vc", "G", "tb_in"))
+def _prep_text(text_u8, vc: VMCaps, G: int, tb_in: int):
+    """[L, TB_in] u8 -> byte-per-i32 [G8*trows, 128], zero-padded."""
+    G8 = G * LANES
+    L_in = text_u8.shape[0]
+    tb = vc.text_bytes
+    t = text_u8.astype(I32)
+    if tb_in < tb:
+        t = jnp.pad(t, ((0, 0), (0, tb - tb_in)))
+    else:
+        t = t[:, :tb]
+    if L_in < G8:
+        t = jnp.pad(t, ((0, G8 - L_in), (0, 0)))
+    return t.reshape(G8 * (tb // 128), 128)
+
+
+@functools.lru_cache(maxsize=8)
+def _get_step(vc: VMCaps, params: X3Params, nsteps: int, G: int,
+              interpret: bool):
+    call = build_encoder_call(vc, params, nsteps, G)
+
+    donate = tuple(range(1, 20))
+
+    @functools.partial(jax.jit, donate_argnums=donate)
+    def step(text_flat, *state):
+        return call(text_flat, *state, interpret=interpret)
+
+    return step
+
+
+def encode_blocks_vm_chunked(
+    text, tlen, params: X3Params, caps: CodecCaps, seeds=None,
+    chunk_steps: int = 4096, interpret: bool = False,
+):
+    """Chunked codec-VM encode; same contract as
+    codec.encode_blocks_chunked.  Raises VMUnsupported for configurations
+    the kernel cannot host (callers fall back to the XLA path)."""
+    if seeds is not None:
+        raise VMUnsupported("dictionary seeds not supported by the VM yet")
+    vc = vm_caps(params, caps)
+    L_in, tb_in = text.shape
+    G = (L_in + LANES - 1) // LANES
+    G8 = G * LANES
+
+    text_flat = _prep_text(jnp.asarray(text, jnp.uint8), vc, G, tb_in)
+    tlen_p = jnp.pad(jnp.asarray(tlen, I32), (0, G8 - L_in))
+    state = _init_state(text_flat, tlen_p, vc, G)
+    step = _get_step(vc, params, chunk_steps, G, interpret)
+    while bool(_any_active(state[13])):
+        state = step(text_flat, *state)
+    words, byte_lens, counts, sizes, overflow = _finalize(state, vc)
+    sl = slice(0, L_in)
+    return (
+        words[sl],
+        byte_lens[sl],
+        counts[sl],
+        sizes[sl],
+        codec.Overflow(*[getattr(overflow, f)[sl] for f in overflow._fields]),
+    )

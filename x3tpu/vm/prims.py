@@ -26,10 +26,12 @@ I32 = jnp.int32
 U32 = jnp.uint32
 F32 = jnp.float32
 
-TOP = jnp.uint32(0x7FFFFFFF)
-FIRST_QUARTER = jnp.uint32(0x20000000)
-HALF = jnp.uint32(0x40000000)
-M31 = jnp.uint32(0x7FFFFFFF)
+# plain Python ints: jnp scalars created at module level would be captured
+# as closure constants, which pallas kernels reject
+TOP = 0x7FFFFFFF
+FIRST_QUARTER = 0x20000000
+HALF = 0x40000000
+M31 = 0x7FFFFFFF
 
 AC_RUN_CHUNKS = 6  # static underflow-run capacity: 6*31 = 186 bits
 
@@ -144,7 +146,8 @@ def ac_enc_renorm_counts(low, high):
     m2 = clz32(high1 << 2)
     m = jnp.minimum(jnp.minimum(m1, m2), 30)
     mu = m.astype(U32)
-    sub = (HALF << mu) - HALF
+    half = jnp.uint32(HALF)
+    sub = (half << mu) - half
     low2 = (low1 << mu) - sub
     high2 = (high1 << mu) - sub + (jnp.uint32(1) << mu) - 1
     return n, v, low2, high2, m
