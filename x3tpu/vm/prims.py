@@ -62,31 +62,25 @@ def imul_u32(x, y):
 
 
 def udiv_u32(a, b):
-    """Exact floor(a / b) for u32 a <= 2^31, b in [1, 2^31].
+    """Exact (floor(a / b), a % b) for u32 a <= 2^31, b in [1, 2^31].
 
-    f32 estimate scaled by (1 - 2^-16) — an under-estimate even if the
-    hardware divide is several ulp off — exact u32 remainder, geometric
-    convergence over 4 rounds, bounded fixup (validated exhaustively in
-    probe4 M4/M4b).  b == 1 short-circuits (quotient exceeds the f32->i32
-    cast range)."""
+    Pure-integer restoring long division, 32 static rounds of
+    shift/compare/subtract.  An earlier f32-reciprocal variant (probe4
+    M4/M4b) was numerically exact but mixing its fptosi/f32-divide chain
+    with the bit sink's variable shifts crashes Mosaic ("Unsupported
+    target bitwidth for truncation", probe5 S7/S9); all-integer division
+    sidesteps the fragile pass entirely.  No overflow: before each shift
+    r < b <= 2^31, so (r << 1) | bit <= 2^32 - 1."""
     a = a.astype(U32)
-    b = b.astype(U32)
-    is1 = b <= 1
-    bs = jnp.maximum(b, 2)
-    bf = f32_of_u32(bs)
-    C = jnp.float32(1.0 - 2.0 ** -16)
+    b = jnp.maximum(b.astype(U32), 1)
     q = jnp.zeros_like(a)
-    r = a
-    for _ in range(4):
-        est = jnp.maximum(jnp.floor(f32_of_u32(r) / bf * C) - 1.0, 0.0)
-        estu = est.astype(I32).astype(U32)
-        q = q + estu
-        r = r - imul_u32(estu, bs)
-    for _ in range(6):
-        ge = r >= bs
-        q = q + jnp.where(ge, jnp.uint32(1), 0)
-        r = r - jnp.where(ge, bs, 0)
-    return jnp.where(is1, a, q), jnp.where(is1, jnp.uint32(0), r)
+    r = jnp.zeros_like(a)
+    for i in range(31, -1, -1):
+        r = (r << 1) | ((a >> i) & 1)
+        ge = r >= b
+        r = r - jnp.where(ge, b, 0)
+        q = q | jnp.where(ge, jnp.uint32(1) << i, 0)
+    return q, r
 
 
 def mask_u32(count):

@@ -65,11 +65,11 @@ FAM1 = Family(IN1, C1_TAGS, C1_FREQS, C1_PAIRS, B1_TAGS, B1_NT, B1_FREQS,
               B1_PAIRS)
 
 
-def _iota3(nrows: int):
-    """Flat item index over a [8, nrows, 128] section."""
-    r = jax.lax.broadcasted_iota(I32, (LANES, nrows, 128), 1)
-    c = jax.lax.broadcasted_iota(I32, (LANES, nrows, 128), 2)
-    return r * 128 + c
+# NOTE on shapes: every vector value in this module is kept rank-2
+# [8, 128-multiple].  Rank-3 values (and the rank-1 results of
+# axis=(1,2) reductions) crash Mosaic's vector layout inference
+# (VectorLayout::join in inferElementwise, observed on hardware), so the
+# big-span paths statically unroll over the span's rows instead.
 
 
 class RowView(NamedTuple):
@@ -106,11 +106,21 @@ def row_find(fam: Family, v: RowView, tag, in_scr, big_scr,
     found_in = jnp.any(m_in, axis=1, keepdims=True)
     pos_in = jnp.sum(jnp.where(m_in, it, 0), axis=1, keepdims=True)
 
-    bt = big_scr[:, fam.big_tags_row : fam.big_tags_row + fam.big_nrows, :]
-    i3 = _iota3(fam.big_nrows)
-    m_b = (bt == tag[:, :, None]) & (i3 < v.n[:, :, None])
-    found_b = jnp.any(m_b, axis=(1, 2))[:, None]
-    pos_b = jnp.sum(jnp.where(m_b, i3, 0), axis=(1, 2))[:, None]
+    found_b = jnp.zeros((LANES, 1), jnp.bool_)
+    pos_b = jnp.zeros((LANES, 1), I32)
+    p_b = jnp.zeros((LANES, 1), I32)
+    i128 = col_iota(128)
+    for r in range(fam.big_nrows):
+        idx = i128 + r * 128
+        bt_r = big_scr[:, fam.big_tags_row + r, :]
+        m_r = (bt_r == tag) & (idx < v.n)
+        found_b = found_b | jnp.any(m_r, axis=1, keepdims=True)
+        pos_b = pos_b + jnp.sum(jnp.where(m_r, idx, 0), axis=1,
+                                keepdims=True)
+        if fam.pairs_col is not None:
+            bp_r = big_scr[:, fam.big_pairs_row + r, :]
+            p_b = p_b + jnp.sum(jnp.where(m_r, bp_r, 0), axis=1,
+                                keepdims=True)
 
     H = hub_t.shape[1]
     ih = col_iota(H)
@@ -128,9 +138,6 @@ def row_find(fam: Family, v: RowView, tag, in_scr, big_scr,
     else:
         pr_in = in_scr[:, 0, fam.pairs_col : fam.pairs_col + IN]
         p_in = jnp.sum(jnp.where(m_in, pr_in, 0), axis=1, keepdims=True)
-        bp = big_scr[:, fam.big_pairs_row : fam.big_pairs_row
-                     + fam.big_nrows, :]
-        p_b = jnp.sum(jnp.where(m_b, bp, 0), axis=(1, 2))[:, None]
         p_h = jnp.sum(jnp.where(m_h, hub_p, 0), axis=1, keepdims=True)
         pair = jnp.where(v.is_hub, p_h, jnp.where(v.is_big, p_b, p_in))
     return found, pos, pair
@@ -147,14 +154,20 @@ def row_stats(fam: Family, v: RowView, pos, in_scr, big_scr, hub_f):
     span_in = jnp.sum(jnp.where(it == pos, fr_in, 0), axis=1, keepdims=True)
     tot_in = jnp.sum(fr_in, axis=1, keepdims=True)
 
-    bf = big_scr[:, fam.big_freqs_row : fam.big_freqs_row + fam.big_nrows, :]
-    i3 = _iota3(fam.big_nrows)
-    bf = jnp.where(i3 < v.n[:, :, None], bf, 0)
-    low_b = jnp.sum(jnp.where(i3 < pos[:, :, None], bf, 0),
-                    axis=(1, 2))[:, None]
-    span_b = jnp.sum(jnp.where(i3 == pos[:, :, None], bf, 0),
-                     axis=(1, 2))[:, None]
-    tot_b = jnp.sum(bf, axis=(1, 2))[:, None]
+    low_b = jnp.zeros((LANES, 1), I32)
+    span_b = jnp.zeros((LANES, 1), I32)
+    tot_b = jnp.zeros((LANES, 1), I32)
+    i128 = col_iota(128)
+    for r in range(fam.big_nrows):
+        idx = i128 + r * 128
+        bf_r = jnp.where(
+            idx < v.n, big_scr[:, fam.big_freqs_row + r, :], 0
+        )
+        low_b = low_b + jnp.sum(jnp.where(idx < pos, bf_r, 0), axis=1,
+                                keepdims=True)
+        span_b = span_b + jnp.sum(jnp.where(idx == pos, bf_r, 0), axis=1,
+                                  keepdims=True)
+        tot_b = tot_b + jnp.sum(bf_r, axis=1, keepdims=True)
 
     H = hub_f.shape[1]
     ih = col_iota(H)
@@ -192,24 +205,37 @@ def row_decode_pos(fam: Family, v: RowView, value, in_scr, big_scr, hub_f,
     span_in = jnp.sum(jnp.where(it == pos_in, fr_in, 0), axis=1,
                       keepdims=True)
 
-    # big: cumulative within-row + carry of previous rows
+    # big: cumulative within-row (2-D cumsum) + carry of previous rows
     NR = fam.big_nrows
-    bf = big_scr[:, fam.big_freqs_row : fam.big_freqs_row + NR, :]
-    i3 = _iota3(NR)
-    bf = jnp.where(i3 < v.n[:, :, None], bf, 0)
-    row_tot = jnp.sum(bf, axis=2, keepdims=True)            # [8, NR, 1]
-    row_carry = jnp.cumsum(row_tot, axis=1) - row_tot       # excl prefix
-    cum_b = jnp.cumsum(bf, axis=2) - bf + row_carry
-    le_b = (i3 < v.n[:, :, None]) & (cum_b.astype(jnp.uint32)
-                                     <= value[:, :, None])
-    pos_b = jnp.maximum(
-        jnp.sum(le_b, axis=(1, 2))[:, None].astype(I32) - 1, 0
-    )
-    sel_b = i3 == pos_b[:, :, None]
-    bt = big_scr[:, fam.big_tags_row : fam.big_tags_row + NR, :]
-    tag_b = jnp.sum(jnp.where(sel_b, bt, 0), axis=(1, 2))[:, None]
-    low_b = jnp.sum(jnp.where(sel_b, cum_b, 0), axis=(1, 2))[:, None]
-    span_b = jnp.sum(jnp.where(sel_b, bf, 0), axis=(1, 2))[:, None]
+    i128 = col_iota(128)
+    carry = jnp.zeros((LANES, 1), I32)
+    cnt = jnp.zeros((LANES, 1), I32)
+    cums = []
+    for r in range(NR):
+        idx = i128 + r * 128
+        bf_r = jnp.where(
+            idx < v.n, big_scr[:, fam.big_freqs_row + r, :], 0
+        )
+        cum_r = jnp.cumsum(bf_r, axis=1) - bf_r + carry
+        cums.append((bf_r, cum_r))
+        le_r = (idx < v.n) & (cum_r.astype(jnp.uint32) <= value)
+        cnt = cnt + jnp.sum(le_r, axis=1, keepdims=True).astype(I32)
+        carry = carry + jnp.sum(bf_r, axis=1, keepdims=True)
+    pos_b = jnp.maximum(cnt - 1, 0)
+    tag_b = jnp.zeros((LANES, 1), I32)
+    low_b = jnp.zeros((LANES, 1), I32)
+    span_b = jnp.zeros((LANES, 1), I32)
+    for r in range(NR):
+        idx = i128 + r * 128
+        sel_r = idx == pos_b
+        bf_r, cum_r = cums[r]
+        bt_r = big_scr[:, fam.big_tags_row + r, :]
+        tag_b = tag_b + jnp.sum(jnp.where(sel_r, bt_r, 0), axis=1,
+                                keepdims=True)
+        low_b = low_b + jnp.sum(jnp.where(sel_r, cum_r, 0), axis=1,
+                                keepdims=True)
+        span_b = span_b + jnp.sum(jnp.where(sel_r, bf_r, 0), axis=1,
+                                  keepdims=True)
 
     H = hub_f.shape[1]
     ih = col_iota(H)
@@ -273,7 +299,6 @@ def row_update(fam: Family, v: RowView, tag, found, pos, active,
         sec = in_scr[:, 0, cols_base : cols_base + IN]
         return jnp.concatenate([sec, pad], axis=1)
 
-    dp3 = do_promo[:, :, None]
     # header row: item count at col 0
     c0 = col_iota(128) == 0
     big_scr[:, 0, :] = jnp.where(
@@ -324,32 +349,29 @@ def row_update(fam: Family, v: RowView, tag, found, pos, active,
         i_app & (fc == 0), v.n + 1, in_scr[:, 0, :]
     )
 
-    # ---- big path
+    # ---- big path (per-row 2-D unroll; see the rank note up top)
     NR = fam.big_nrows
-    i3 = _iota3(NR)
+    i128 = col_iota(128)
     bdo = active & ~v.is_hub & big_now
-    b_inc = (bdo & inc)[:, :, None] & (i3 == pos[:, :, None])
-    fr = big_scr[:, fam.big_freqs_row : fam.big_freqs_row + NR, :]
-    big_scr[:, fam.big_freqs_row : fam.big_freqs_row + NR, :] = (
-        fr + jnp.where(b_inc, 1, 0)
-    )
+    b_inc = bdo & inc
     big_room = v.n < fam.big_cap
     b_app = bdo & app & big_room
     oflow = oflow | (bdo & app & ~big_room)
-    at3 = b_app[:, :, None] & (i3 == v.n[:, :, None])
-    bt = big_scr[:, fam.big_tags_row : fam.big_tags_row + NR, :]
-    big_scr[:, fam.big_tags_row : fam.big_tags_row + NR, :] = jnp.where(
-        at3, tag[:, :, None], bt
-    )
-    fr = big_scr[:, fam.big_freqs_row : fam.big_freqs_row + NR, :]
-    big_scr[:, fam.big_freqs_row : fam.big_freqs_row + NR, :] = jnp.where(
-        at3, 1, fr
-    )
-    if new_pair_id is not None:
-        bp = big_scr[:, fam.big_pairs_row : fam.big_pairs_row + NR, :]
-        big_scr[:, fam.big_pairs_row : fam.big_pairs_row + NR, :] = (
-            jnp.where(at3, new_pair_id[:, :, None], bp)
+    for r in range(NR):
+        idx = i128 + r * 128
+        fr_row = fam.big_freqs_row + r
+        big_scr[:, fr_row, :] = big_scr[:, fr_row, :] + jnp.where(
+            b_inc & (idx == pos), 1, 0
         )
+        at_r = b_app & (idx == v.n)
+        bt_row = fam.big_tags_row + r
+        big_scr[:, bt_row, :] = jnp.where(at_r, tag, big_scr[:, bt_row, :])
+        big_scr[:, fr_row, :] = jnp.where(at_r, 1, big_scr[:, fr_row, :])
+        if new_pair_id is not None:
+            bp_row = fam.big_pairs_row + r
+            big_scr[:, bp_row, :] = jnp.where(
+                at_r, new_pair_id, big_scr[:, bp_row, :]
+            )
     big_scr[:, 0, :] = jnp.where(
         b_app & c0, v.n + 1, big_scr[:, 0, :]
     )
