@@ -176,6 +176,38 @@ def test_distributed_single_process():
     assert out == payloads
 
 
+def test_distributed_two_processes(tmp_path):
+    """Real 2-process jax.distributed cluster on localhost CPU: global
+    device view, per-host encode, in-order variable-length payload gather
+    on process 0 with a decode check of every lane (P2/A7)."""
+    import os
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = str(pathlib.Path(__file__).parent / "multihost_worker.py")
+    env = dict(
+        os.environ,
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        JAX_PLATFORMS="",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"proc {i}:\n{outs[i].decode()[-3000:]}"
+    assert (tmp_path / "ok").read_text() == "ok"
+
+
 def test_profiling_trace(tmp_path):
     """jax.profiler device-trace helper captures a codec run."""
     from x3tpu.utils import profiling

@@ -33,6 +33,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from x3tpu.ops.bitio import (
     BitSink,
@@ -46,11 +47,11 @@ from x3tpu.ops.bitio import (
 U32 = jnp.uint32
 I32 = jnp.int32
 
-TOP = jnp.uint32(0x7FFFFFFF)
-FIRST_QUARTER = jnp.uint32(0x20000000)
-HALF = jnp.uint32(0x40000000)
-THIRD_QUARTER = jnp.uint32(0x60000000)
-M31 = jnp.uint32(0x7FFFFFFF)
+TOP = np.uint32(0x7FFFFFFF)
+FIRST_QUARTER = np.uint32(0x20000000)
+HALF = np.uint32(0x40000000)
+THIRD_QUARTER = np.uint32(0x60000000)
+M31 = np.uint32(0x7FFFFFFF)
 
 
 class AcEnc(NamedTuple):

@@ -14,11 +14,12 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 U32 = jnp.uint32
 I32 = jnp.int32
 
-SENTINEL = jnp.uint32(0x80000000)  # read-past-end word (bio.c:38)
+SENTINEL = np.uint32(0x80000000)  # read-past-end word (bio.c:38)
 
 
 class BitSink(NamedTuple):

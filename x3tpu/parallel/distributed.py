@@ -18,6 +18,7 @@ mesh); true multi-host runs need a pod slice.
 
 from __future__ import annotations
 
+import logging
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -33,19 +34,29 @@ def init_multihost(
     """Initialize jax.distributed (idempotent).  With no arguments, relies
     on the cluster environment (TPU pod metadata / env vars); outside a
     cluster this is a no-op.  Returns this process's id."""
-    if jax.process_count() > 1:
+    # idempotency probe that does NOT touch the backend (jax.process_count
+    # would initialize XLA, after which distributed.initialize refuses)
+    from jax._src import distributed as _jdist
+
+    if _jdist.global_state.client is not None:
+        return jax.process_index()
+    if coordinator_address is not None:
+        # explicit cluster request: a failure here means a misconfigured
+        # cluster — degrading silently to single-host would quietly do
+        # 1/N of the work, so let it raise
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
         return jax.process_index()
     try:
-        if coordinator_address is not None:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
-        else:
-            jax.distributed.initialize()
-    except Exception:
-        pass  # single host, no cluster environment
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError) as e:
+        # no cluster environment to auto-detect: normal single-host path
+        logging.getLogger(__name__).info(
+            "jax.distributed auto-init unavailable (%s); single-host", e
+        )
     return jax.process_index()
 
 

@@ -40,58 +40,81 @@ def _spec_like(tree, spec):
     return jax.tree.map(lambda _: spec, tree)
 
 
+def _sharded(fn, mesh, in_specs, args):
+    """shard_map ``fn`` with every output sharded over AXIS."""
+    out_shape = jax.eval_shape(fn, *args)
+    sm = _shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=_spec_like(out_shape, P(AXIS)),
+        check_vma=False,
+    )
+    return sm(*args)
+
+
 @functools.partial(
     jax.jit, static_argnames=("params", "caps", "mesh_holder", "has_seeds")
 )
-def _encode_sharded_jit(text, tlen, seeds, params, caps, mesh_holder,
-                        has_seeds=False):
+def _enc_init_sharded(text, tlen, seeds, params, caps, mesh_holder,
+                      has_seeds=False):
     mesh = mesh_holder.mesh
     if has_seeds:
-        fn = lambda t, l, s0, s1: codec.encode_lanes(
+        fn = lambda t, l, s0, s1: codec.enc_init_carry(
             t, l, params, caps, seeds=(s0, s1)
         )
-        args = (text, tlen, seeds[0], seeds[1])
-        in_specs = (P(AXIS), P(AXIS), P(), P())  # seeds replicated
-    else:
-        fn = lambda t, l: codec.encode_lanes(t, l, params, caps)
-        args = (text, tlen)
-        in_specs = (P(AXIS), P(AXIS))
-    out_shape = jax.eval_shape(fn, *args)
-    sm = _shard_map(
-        fn,
-        mesh=mesh,
-        in_specs=in_specs,
-        out_specs=_spec_like(out_shape, P(AXIS)),
-        check_vma=False,
-    )
-    return sm(*args)
+        return _sharded(fn, mesh, (P(AXIS), P(AXIS), P(), P()),
+                        (text, tlen, seeds[0], seeds[1]))
+    fn = lambda t, l: codec.enc_init_carry(t, l, params, caps)
+    return _sharded(fn, mesh, (P(AXIS), P(AXIS)), (text, tlen))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "nsteps", "mesh_holder"),
+    donate_argnums=(0,),
+)
+def _enc_chunk_sharded(carry, params, nsteps, mesh_holder):
+    fn = lambda c: codec.enc_chunk(c, params, nsteps)
+    specs = _spec_like(carry, P(AXIS))
+    return _sharded(fn, mesh_holder.mesh, (specs,), (carry,))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh_holder",))
+def _enc_finalize_sharded(carry, mesh_holder):
+    specs = _spec_like(carry, P(AXIS))
+    return _sharded(codec.enc_finalize, mesh_holder.mesh, (specs,), (carry,))
 
 
 @functools.partial(
     jax.jit, static_argnames=("params", "caps", "mesh_holder", "has_seeds")
 )
-def _decode_sharded_jit(words, byte_lens, seeds, params, caps, mesh_holder,
-                        has_seeds=False):
+def _dec_init_sharded(words, byte_lens, seeds, params, caps, mesh_holder,
+                      has_seeds=False):
     mesh = mesh_holder.mesh
     if has_seeds:
-        fn = lambda w, b, s0, s1: codec.decode_lanes(
+        fn = lambda w, b, s0, s1: codec.dec_init_carry(
             w, b, params, caps, seeds=(s0, s1)
         )
-        args = (words, byte_lens, seeds[0], seeds[1])
-        in_specs = (P(AXIS), P(AXIS), P(), P())
-    else:
-        fn = lambda w, b: codec.decode_lanes(w, b, params, caps)
-        args = (words, byte_lens)
-        in_specs = (P(AXIS), P(AXIS))
-    out_shape = jax.eval_shape(fn, *args)
-    sm = _shard_map(
-        fn,
-        mesh=mesh,
-        in_specs=in_specs,
-        out_specs=_spec_like(out_shape, P(AXIS)),
-        check_vma=False,
-    )
-    return sm(*args)
+        return _sharded(fn, mesh, (P(AXIS), P(AXIS), P(), P()),
+                        (words, byte_lens, seeds[0], seeds[1]))
+    fn = lambda w, b: codec.dec_init_carry(w, b, params, caps)
+    return _sharded(fn, mesh, (P(AXIS), P(AXIS)), (words, byte_lens))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "nsteps", "mesh_holder"),
+    donate_argnums=(0,),
+)
+def _dec_chunk_sharded(carry, params, nsteps, mesh_holder):
+    fn = lambda c: codec.dec_chunk(c, params, nsteps)
+    specs = _spec_like(carry, P(AXIS))
+    return _sharded(fn, mesh_holder.mesh, (specs,), (carry,))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh_holder",))
+def _dec_finalize_sharded(carry, mesh_holder):
+    specs = _spec_like(carry, P(AXIS))
+    return _sharded(codec.dec_finalize, mesh_holder.mesh, (specs,), (carry,))
 
 
 class MeshHolder:
@@ -112,25 +135,35 @@ class MeshHolder:
 
 
 def encode_sharded(text, tlen, params: X3Params, caps: CodecCaps, mesh: Mesh,
-                   seeds=None):
-    """Run the lane encoder with lanes sharded over the mesh.  The lane
-    count must be a multiple of the mesh size; seeds (if any) are broadcast
-    replicated to every device."""
+                   seeds=None, chunk_steps: int = 8192):
+    """Chunked sharded encode: lanes sharded over the mesh, the host
+    looping bounded chunk programs (each device execution covers at most
+    ``chunk_steps`` events — the >30 s single-execution device fault is the
+    reason the whole-loop program is never dispatched on hardware).  The
+    lane count must be a multiple of the mesh size; seeds (if any) are
+    broadcast replicated to every device."""
     sharding = NamedSharding(mesh, P(AXIS))
     text = jax.device_put(text, sharding)
     tlen = jax.device_put(tlen, sharding)
-    return _encode_sharded_jit(
-        text, tlen, seeds, params, caps, MeshHolder(mesh),
-        has_seeds=seeds is not None,
+    mh = MeshHolder(mesh)
+    carry = _enc_init_sharded(
+        text, tlen, seeds, params, caps, mh, has_seeds=seeds is not None
     )
+    while bool(codec._enc_active_jit(carry)):
+        carry = _enc_chunk_sharded(carry, params, chunk_steps, mh)
+    return _enc_finalize_sharded(carry, mh)
 
 
 def decode_sharded(words, byte_lens, params: X3Params, caps: CodecCaps,
-                   mesh: Mesh, seeds=None):
+                   mesh: Mesh, seeds=None, chunk_steps: int = 8192):
+    """Chunked sharded decode (see :func:`encode_sharded`)."""
     sharding = NamedSharding(mesh, P(AXIS))
     words = jax.device_put(words, sharding)
     byte_lens = jax.device_put(byte_lens, sharding)
-    return _decode_sharded_jit(
-        words, byte_lens, seeds, params, caps, MeshHolder(mesh),
-        has_seeds=seeds is not None,
+    mh = MeshHolder(mesh)
+    carry = _dec_init_sharded(
+        words, byte_lens, seeds, params, caps, mh, has_seeds=seeds is not None
     )
+    while bool(codec._dec_active_jit(carry)):
+        carry = _dec_chunk_sharded(carry, params, chunk_steps, mh)
+    return _dec_finalize_sharded(carry, mh)

@@ -72,7 +72,8 @@ def udiv_u32(a, b):
     sidesteps the fragile pass entirely.  No overflow: before each shift
     r < b <= 2^31, so (r << 1) | bit <= 2^32 - 1."""
     a = a.astype(U32)
-    b = jnp.maximum(b.astype(U32), 1)
+    b = b.astype(U32)
+    b = jnp.where(b == 0, jnp.uint32(1), b)  # arith.maxui won't legalize
     q = jnp.zeros_like(a)
     r = jnp.zeros_like(a)
     for i in range(31, -1, -1):
@@ -160,7 +161,8 @@ def ac_encode(st, low_f, span, total, active):
     renormalize (ops/ac.py:ac_encode).  ``st`` is a dict with u32 [8,1]
     ``low``/``high``, i32 ``scale``/``nbits``/``win_base``/``oflow`` and
     the i32 [8, 2FW] ``win`` value; returns the updated dict."""
-    total_s = jnp.maximum(total.astype(U32), 1)
+    total_u = total.astype(U32)
+    total_s = jnp.where(total_u == 0, jnp.uint32(1), total_u)
     step, _ = udiv_u32(st["high"] - st["low"] + 1, total_s)
     high = st["low"] + imul_u32(step, (low_f + span).astype(U32)) - 1
     low = st["low"] + imul_u32(step, low_f.astype(U32))

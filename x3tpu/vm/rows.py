@@ -129,8 +129,11 @@ def row_find(fam: Family, v: RowView, tag, in_scr, big_scr,
     found_h = jnp.any(m_h, axis=1, keepdims=True)
     pos_h = jnp.sum(jnp.where(m_h, ih, 0), axis=1, keepdims=True)
 
-    found = jnp.where(v.is_hub, found_h,
-                      jnp.where(v.is_big, found_b, found_in))
+    # logical (not where) select: i1-operand arith.select hits an
+    # unsupported i8->i1 truncation in Mosaic (hardware compile error)
+    found = ((v.is_hub & found_h)
+             | (~v.is_hub & v.is_big & found_b)
+             | (~v.is_hub & ~v.is_big & found_in))
     pos = jnp.where(v.is_hub, pos_h, jnp.where(v.is_big, pos_b, pos_in))
 
     if fam.pairs_col is None:
