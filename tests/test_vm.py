@@ -114,3 +114,71 @@ def test_vm_unsupported_configs():
     caps = CodecCaps(dict_cap=1024, block_bytes=2 << 20)
     with pytest.raises(VMUnsupported):
         _encode_vm([b"x"], X3Params(window=1024), caps)
+
+
+# ---------------------------------------------------------------------------
+# Decoder kernel (kernel_dec.py)
+# ---------------------------------------------------------------------------
+
+
+def _pack_streams(streams):
+    IW = max(1, max((len(s) + 3) // 4 for s in streams))
+    words = np.zeros((len(streams), IW), "<u4")
+    for i, s in enumerate(streams):
+        pad = s + b"\x00" * (-len(s) % 4)
+        words[i, : len(pad) // 4] = np.frombuffer(pad, "<u4")
+    return words, np.array([len(s) for s in streams], np.int32)
+
+
+def test_vm_decoder_matches_spec():
+    """VM decode of spec-encoded streams reproduces the input bytes and
+    the reference event counters (decode twin of
+    test_vm_encoder_matches_spec)."""
+    from x3tpu.vm import decode_blocks_vm_chunked
+
+    caps = CodecCaps(
+        dict_cap=1024, pair_cap=2048, ctx_items_cap=128,
+        ctx0_items_cap=128, ctx_small_cap=16, block_bytes=2048,
+    )
+    blocks = _blocks()
+    words, byte_lens = _pack_streams([spec.encode(b, PARAMS) for b in blocks])
+    out, opos, counts, sizes, of = decode_blocks_vm_chunked(
+        words, byte_lens, PARAMS, caps, chunk_steps=977, interpret=True
+    )
+    out, opos = np.asarray(out), np.asarray(opos)
+    for f in of._fields:
+        assert not np.asarray(getattr(of, f)).any(), f"overflow {f}"
+    for i, b in enumerate(blocks):
+        assert out[i, : opos[i]].tobytes() == b, f"block {i} ({len(b)}B)"
+
+
+def test_vm_decoder_matches_xla_decoder():
+    """VM and XLA decoders agree on output, counts, and sizes for
+    VM-encoded streams (full VM round trip)."""
+    import jax.numpy as jnp
+
+    from x3tpu.vm import decode_blocks_vm_chunked
+
+    caps = CodecCaps(
+        dict_cap=1024, pair_cap=2048, ctx_items_cap=128,
+        ctx0_items_cap=128, ctx_small_cap=16, block_bytes=2048,
+    )
+    blocks = _blocks()
+    words, byte_lens, _, _, eof = _encode_vm(blocks, PARAMS, caps)
+    for f in eof._fields:
+        assert not np.asarray(getattr(eof, f)).any()
+    vout, vpos, vcnt, vsz, vof = decode_blocks_vm_chunked(
+        np.asarray(words), np.asarray(byte_lens), PARAMS, caps,
+        interpret=True,
+    )
+    xout, xpos, xcnt, xsz, xof = codec.decode_blocks_chunked(
+        jnp.asarray(words), jnp.asarray(byte_lens), PARAMS, caps
+    )
+    assert (np.asarray(vpos) == np.asarray(xpos)).all()
+    assert (np.asarray(vout) == np.asarray(xout)).all()
+    assert (np.asarray(vcnt) == np.asarray(xcnt)).all()
+    np.testing.assert_allclose(
+        np.asarray(vsz), np.asarray(xsz), rtol=1e-5, atol=1e-3
+    )
+    for i, b in enumerate(blocks):
+        assert np.asarray(vout)[i, : np.asarray(vpos)[i]].tobytes() == b

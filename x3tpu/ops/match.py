@@ -49,7 +49,7 @@ def window_counts(win: jax.Array, window: int) -> jax.Array:
     0 is position p.  Scans s in [p+1, p+window-32) (backend.c:66) as a
     running prefix-AND over 32 shifted slice compares — all contiguous
     slices of the resident window (the expensive part, the per-lane dynamic
-    window *fetch*, happens once per event in ops/gather_pallas.py)."""
+    window *fetch*, happens once per event in codec.gather_window)."""
     lanes = win.shape[0]
     S = window - MAX_MATCH_LEN - 1
     if S <= 0:

@@ -7,11 +7,15 @@ the reference binary (tests/test_vm.py).
 """
 
 from x3tpu.vm.config import VMCaps, VMUnsupported, vm_caps
-from x3tpu.vm.driver import encode_blocks_vm_chunked
+from x3tpu.vm.driver import (
+    decode_blocks_vm_chunked,
+    encode_blocks_vm_chunked,
+)
 
 __all__ = [
     "VMCaps",
     "VMUnsupported",
     "vm_caps",
+    "decode_blocks_vm_chunked",
     "encode_blocks_vm_chunked",
 ]

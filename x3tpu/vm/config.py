@@ -68,7 +68,11 @@ R_DONE = 22        # lane finished (p >= tlen at loop entry)
 R_SRC_BASE = 23    # source window start, in words
 R_OPOS = 24        # decoder output position (bytes)
 R_SRC_NW = 25      # readable source words (end-minus-3 rule, bio.c:11)
-R_OUT_BASE = 26    # decoder output window base byte offset (FLUSH-aligned)
+R_OUT_BASE = 26    # decoder output window base byte offset (OBF-aligned)
+R_AC_BUF = 27      # AC decode buffer (31-bit value window, ac.c:133-140)
+
+OBW = 512          # decoder output window bytes (byte-per-i32)
+OBF = 256          # output flush granule bytes (2 rows of 128)
 
 OF_DICT = 1
 OF_CTX0 = 2

@@ -168,3 +168,155 @@ def encode_blocks_vm_chunked(
         sizes[sl],
         codec.Overflow(*[getattr(overflow, f)[sl] for f in overflow._fields]),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decoder driver
+# ---------------------------------------------------------------------------
+
+from x3tpu.vm.config import (  # noqa: E402
+    FLUSH_WORDS, OBF, OBW, R_AC_BUF, R_DONE, R_OPOS, R_OUT_BASE, R_SRC_NW,
+)
+from x3tpu.vm.kernel_dec import build_decoder_call  # noqa: E402
+
+
+def _dec_srows(vc: VMCaps, in_words: int) -> int:
+    """Per-lane source rows: the whole stream buffer plus refill margin."""
+    return (in_words + 127) // 128 + 2 * (FLUSH_WORDS // 128)
+
+
+def _dec_obrows(vc: VMCaps) -> int:
+    """Per-lane output byte rows (byte-per-i32) with window margin."""
+    return (vc.block_bytes + 127) // 128 + 2 * (OBF // 128) + 2
+
+
+@functools.partial(jax.jit, static_argnames=("vc", "G", "srows", "obrows"))
+def _init_state_dec(words, byte_lens, vc: VMCaps, G: int, srows: int,
+                    obrows: int):
+    """Initial decoder VM state (kernel inputs 1..20).  ``words`` is the
+    compressed stream u32 [L, IW]; ``byte_lens`` its per-lane sizes."""
+    G8 = G * LANES
+    D = vc.dict_cap
+    L_in, IW = words.shape
+
+    def z(w, dt=jnp.int32):
+        return jnp.zeros((G8, w), dt)
+
+    # source rows: byte order is word-per-i32 (words laid out 128/row)
+    w_i = words.astype(jnp.int32)
+    if L_in < G8:
+        w_i = jnp.pad(w_i, ((0, G8 - L_in), (0, 0)))
+        byte_lens = jnp.pad(jnp.asarray(byte_lens, I32), (0, G8 - L_in))
+    else:
+        byte_lens = jnp.asarray(byte_lens, I32)
+    pad_w = srows * 128 - IW
+    srcflat = jnp.pad(w_i, ((0, 0), (0, pad_w))).reshape(G8 * srows, 128)
+
+    # prime the AC decode buffer with exactly 31 bits (ac.c:133-140),
+    # through the XLA bit source for exactness
+    src = bitio.source_init(w_i.astype(U32), byte_lens)
+    dec, _src2 = acm.dec_init(src, G8)
+
+    srcwin = jnp.pad(w_i, ((0, 0), (0, max(0, 2 * FLUSH_WORDS - IW))))[
+        :, : 2 * FLUSH_WORDS
+    ].astype(I32)
+
+    regs = z(128)
+    regs = regs.at[:, R_AC_HIGH].set(jnp.int32(0x7FFFFFFF))
+    regs = regs.at[:, R_AC_BUF].set(dec.buf.astype(I32))
+    regs = regs.at[:, R_NBITS].set(31)
+    regs = regs.at[:, R_SRC_NW].set(src.nwords)
+    regs = regs.at[:, R_DONE].set((byte_lens <= 0).astype(I32))
+    ev = z(128).at[:, : len(EVENT_INIT_FREQS)].set(
+        jnp.asarray(EVENT_INIT_FREQS, I32)[None, :]
+    )
+    ms = z(128).at[:, :32].set(1)
+    ch = jnp.ones((G8, 256), I32)
+    return srcflat, (
+        z(8 * D), z(D), z(D), z(D), z(D),
+        z(vc.hub0), z(vc.hub0), z(vc.hub1), z(vc.hub1), z(vc.hub1),
+        ev, ms, ch, regs, z(128, jnp.float32),
+        srcwin, z(OBW),
+        jnp.zeros((G8 * obrows, 128), I32),
+        jnp.zeros((G8 * vc.r0, 128), I32),
+        jnp.zeros((G8 * vc.r1, 128), I32),
+    )
+
+
+@jax.jit
+def _any_active_dec(regs):
+    return jnp.any(regs[:, R_DONE] == 0)
+
+
+@functools.partial(jax.jit, static_argnames=("vc", "obrows"))
+def _finalize_dec(state, vc: VMCaps, obrows: int):
+    """Merge the resident output window, unpack bytes, collect stats."""
+    regs = state[13]
+    regsf = state[14]
+    outwin = state[16]
+    G8 = regs.shape[0]
+    outb = state[17].reshape(G8, obrows * 128)
+
+    out_base = regs[:, R_OUT_BASE]
+    outb = jax.vmap(
+        lambda row, w, b: jax.lax.dynamic_update_slice(row, w, (b,))
+    )(outb, outwin, out_base)
+
+    out = outb[:, : vc.block_bytes].astype(jnp.uint8)
+    opos = regs[:, R_OPOS]
+    counts = regs[:, R_COUNTS : R_COUNTS + E_LAST]
+    sizes = regsf[:, :E_LAST]
+    of = regs[:, R_OFLOW]
+    overflow = codec.Overflow(
+        dict=(of & OF_DICT) != 0,
+        ctx0=(of & OF_CTX0) != 0,
+        ctx1=(of & OF_CTX1) != 0,
+        pairs=(of & OF_PAIRS) != 0,
+        out=(of & OF_OUT) != 0,
+    )
+    return out, opos, counts, sizes, overflow
+
+
+@functools.lru_cache(maxsize=8)
+def _get_step_dec(vc: VMCaps, params: X3Params, nsteps: int, G: int,
+                  srows: int, obrows: int, interpret: bool):
+    call = build_decoder_call(vc, params, nsteps, G, srows, obrows)
+
+    donate = tuple(range(1, 21))
+
+    @functools.partial(jax.jit, donate_argnums=donate)
+    def step(srcflat, *state):
+        return call(srcflat, *state, interpret=interpret)
+
+    return step
+
+
+def decode_blocks_vm_chunked(
+    words, byte_lens, params: X3Params, caps: CodecCaps, seeds=None,
+    chunk_steps: int = 4096, interpret: bool = False,
+):
+    """Chunked codec-VM decode; same contract as
+    codec.decode_blocks_chunked: returns (out u8 [L, block_bytes],
+    out_lens, counts, sizes, Overflow)."""
+    if seeds is not None:
+        raise VMUnsupported("dictionary seeds not supported by the VM yet")
+    vc = vm_caps(params, caps)
+    L_in, IW = words.shape
+    G = (L_in + LANES - 1) // LANES
+    srows = _dec_srows(vc, IW)
+    obrows = _dec_obrows(vc)
+
+    srcflat, state = _init_state_dec(
+        jnp.asarray(words, U32), jnp.asarray(byte_lens, I32), vc, G,
+        srows, obrows,
+    )
+    step = _get_step_dec(vc, params, chunk_steps, G, srows, obrows,
+                         interpret)
+    while bool(_any_active_dec(state[13])):
+        state = step(srcflat, *state)
+    out, opos, counts, sizes, overflow = _finalize_dec(state, vc, obrows)
+    sl = slice(0, L_in)
+    return (
+        out[sl], opos[sl], counts[sl], sizes[sl],
+        codec.Overflow(*[getattr(overflow, f)[sl] for f in overflow._fields]),
+    )

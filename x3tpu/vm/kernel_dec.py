@@ -1,0 +1,776 @@
+"""The codec-VM decoder kernel: the whole x3 decode loop in one Pallas
+program.
+
+Mirror of kernel.py for the decode direction (x3.c:285-353 semantics, as
+modeled by x3tpu/codec.py:_dec_body).  One launch decodes up to ``nsteps``
+events per lane of a group; all adaptive state is identical to the
+encoder's (dictionary planes, hub/inline/promoted context rows, dense
+model rows) so the two kernels stay in lockstep by construction.  The
+decode direction has NO window scan and NO mode-selection probability
+sweep — the mode arrives explicitly in the stream (x3.c:150-172 is
+encoder-only) — so a decode event is substantially cheaper than its
+encode twin.
+
+Per-event phases:
+  A  source-window refill (read-ahead DMA of compressed words)
+  B  start ctx1 row DMAs for (prev_c1, c1)        [x3.c:63-67]
+  C  decode event symbol via model_events          [x3.c:293]
+  D  E_NEW: length + literal bytes (serial loop)   [x3.c:272-283]
+  E  hit: pair lookup, ctx0 row DMA, payload decode by mode
+                                                   [x3.c:57-129]
+  F  dictionary MTF / insert (+ dup lookup)        [x3.c:309-317, 337-348]
+  G  context updates + pair registration           [x3.c:99-127]
+  H  output emit + flush, row write-backs, advance
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from x3tpu.config import (
+    E_CTX0, E_CTX1, E_EOF, E_IDX1, E_NEW, MAX_MATCH_LEN, X3Params,
+)
+from x3tpu.vm import prims
+from x3tpu.vm import rows as rw
+from x3tpu.vm.config import (
+    FLUSH_WORDS, LANES, OBF, OBW, OF_CTX0, OF_CTX1, OF_DICT, OF_OUT,
+    OF_PAIRS, PB, R_AC_BUF, R_AC_HIGH, R_AC_LOW, R_C1, R_COUNTS, R_DICT_N,
+    R_DONE, R_HUB0_N, R_HUB1_N, R_NBITS, R_OFLOW, R_OPOS, R_OUT_BASE,
+    R_PAIR_N, R_PREV_C1, R_PROMO0_N, R_PROMO1_N, R_SRC_BASE, R_SRC_NW,
+    VMCaps,
+)
+from x3tpu.vm.kernel import _model_stats, _pack_words, _probe_matchlen
+from x3tpu.vm.prims import col_iota, get_col, set_col
+
+I32 = jnp.int32
+U32 = jnp.uint32
+F32 = jnp.float32
+L = LANES
+MML = MAX_MATCH_LEN
+FW = FLUSH_WORDS
+FWROWS = FLUSH_WORDS // 128
+OBROWS_F = OBF // 128
+
+# xfer scratch columns (vector -> scalar handoffs for DMA addressing)
+XC_SREF, XC_SROW = 0, 1
+XC_RPREV, XC_RCUR, XC_BPREV, XC_BCUR, XC_RC0, XC_BC0 = 2, 3, 4, 5, 6, 7
+XC_WB1, XC_WB1B, XC_WB1S, XC_WB0, XC_WB0B, XC_WB0S = 8, 9, 10, 11, 12, 13
+XC_FLUSH, XC_FROW = 14, 15
+# acw scratch columns (AC state bridge across the literal while-loop)
+AC_LOW, AC_HIGH, AC_BUF, AC_BITPOS = 0, 1, 2, 3
+
+
+def _st_of(R, srcwin):
+    """AC decode state dict from the register row + source window value."""
+    return dict(
+        low=get_col(R, R_AC_LOW).astype(U32),
+        high=get_col(R, R_AC_HIGH).astype(U32),
+        buf=get_col(R, R_AC_BUF).astype(U32),
+        bitpos=get_col(R, R_NBITS),
+        src_base=get_col(R, R_SRC_BASE),
+        nwords=get_col(R, R_SRC_NW),
+        win=srcwin,
+    )
+
+
+def decoder_kernel(
+    # inputs
+    srcflat, dictw_i, dlens_i, drank_i, dtago_i, ixf_i,
+    h0t_i, h0f_i, h1t_i, h1f_i, h1p_i, ev_i, ms_i, ch_i,
+    regsi_i, regsf_i, srcwin_i, outwin_i,
+    outb_i, c0r_i, c1r_i,
+    # outputs (aliased with inputs 1..20)
+    dictw, dlens, drank, dtago, ixf,
+    h0t, h0f, h1t, h1f, h1p, ev, ms, ch,
+    regsi, regsf, srcwin, outwin,
+    outb, c0r, c1r,
+    # scratch
+    sseg, c0in, c0big, c1pin, c1pbig, c1cin, c1cbig,
+    stage, frag_scr, acw, acwf, xfer,
+    sem_src, sem_row, sem_wb, sem_out,
+    *, vc: VMCaps, params: X3Params, nsteps: int, srows: int, obrows: int,
+):
+    g = pl.program_id(0)
+    D = vc.dict_cap
+    S0, S1 = vc.s0, vc.s1
+    R0, R1 = vc.r0, vc.r1
+    OCAP = vc.block_bytes
+
+    # carried VMEM state: copy input -> aliased output, use out refs after
+    for a, b in (
+        (dictw_i, dictw), (dlens_i, dlens), (drank_i, drank),
+        (dtago_i, dtago), (ixf_i, ixf), (h0t_i, h0t), (h0f_i, h0f),
+        (h1t_i, h1t), (h1f_i, h1f), (h1p_i, h1p), (ev_i, ev), (ms_i, ms),
+        (ch_i, ch), (regsi_i, regsi), (regsf_i, regsf),
+        (srcwin_i, srcwin), (outwin_i, outwin),
+    ):
+        b[:, :] = a[:, :]
+
+    iota128 = col_iota(128)
+    iotaD = col_iota(D)
+    iota32c = col_iota(MML)
+
+    def lane_rowbase(l, rper):
+        return (g * L + l) * rper
+
+    def event_body(carry):
+        step, _alive = carry
+        R = regsi[:, :]
+        done = get_col(R, R_DONE) != 0
+        active = ~done
+
+        # ================= A: source refill =================
+        bitpos = get_col(R, R_NBITS)
+        src_base = get_col(R, R_SRC_BASE)
+        widx = (bitpos >> 5) - src_base
+        refill = active & (widx >= FW)
+        src_base2 = src_base + jnp.where(refill, FW, 0)
+        srow = (src_base2 + FW) >> 7
+        can_dma = refill & (srow + FWROWS <= srows)
+        xfer[:, :] = set_col(
+            set_col(xfer[:, :], XC_SREF, can_dma.astype(I32)),
+            XC_SROW, srow,
+        )
+        for l in range(L):
+            @pl.when(xfer[l, XC_SREF] != 0)
+            def _(l=l):
+                r = lane_rowbase(l, srows) + xfer[l, XC_SROW]
+                pltpu.make_async_copy(
+                    srcflat.at[pl.ds(r, FWROWS), :], sseg.at[l],
+                    sem_src.at[l],
+                ).start()
+        for l in range(L):
+            @pl.when(xfer[l, XC_SREF] != 0)
+            def _(l=l):
+                r = lane_rowbase(l, srows) + xfer[l, XC_SROW]
+                pltpu.make_async_copy(
+                    srcflat.at[pl.ds(r, FWROWS), :], sseg.at[l],
+                    sem_src.at[l],
+                ).wait()
+
+        @pl.when(jnp.any(refill))
+        def _():
+            iota2 = col_iota(2 * FW)
+            shifted = jnp.concatenate(
+                [srcwin[:, FW:], jnp.zeros((L, FW), I32)], axis=1
+            )
+            merged = shifted
+            for r in range(FWROWS):
+                lo = FW + r * 128
+                placed = jnp.concatenate(
+                    [jnp.zeros((L, lo), I32), sseg[:, r, :],
+                     jnp.zeros((L, 2 * FW - lo - 128), I32)]
+                    if lo + 128 < 2 * FW else
+                    [jnp.zeros((L, lo), I32), sseg[:, r, :]],
+                    axis=1,
+                )
+                merged = jnp.where(
+                    can_dma & (iota2 >= lo) & (iota2 < lo + 128),
+                    placed, merged,
+                )
+            srcwin[:, :] = jnp.where(refill, merged, srcwin[:, :])
+
+        # ================= B: start ctx1 row DMAs =================
+        prev_c1 = get_col(R, R_PREV_C1)
+        c1 = get_col(R, R_C1)
+        rprev = jnp.where(active & (prev_c1 >= 1), prev_c1 - 1, -1)
+        rcur = jnp.where(active & (c1 >= 1), c1 - 1, -1)
+        xfer[:, :] = set_col(
+            set_col(xfer[:, :], XC_RPREV, rprev), XC_RCUR, rcur
+        )
+        for l in range(L):
+            @pl.when(xfer[l, XC_RPREV] >= 0)
+            def _(l=l):
+                r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
+                pltpu.make_async_copy(
+                    c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
+                ).start()
+
+            @pl.when(xfer[l, XC_RCUR] >= 0)
+            def _(l=l):
+                r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
+                pltpu.make_async_copy(
+                    c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
+                ).start()
+
+        # ================= C: event symbol (x3.c:293) =================
+        st = _st_of(R, srcwin[:, :])
+        evv = ev[:, :]
+        etot = jnp.sum(evv, axis=1, keepdims=True)
+        estep, evalue = prims.ac_decode_value(st, etot)
+        esym, elow, espan = prims.model_decode(evv, evalue, 128)
+        esym = jnp.where(active, esym, E_EOF)
+        st = prims.ac_decode_update(st, estep, elow, espan, active)
+        ev[:, :] = evv + jnp.where((iota128 == esym) & active, 1, 0)
+
+        eof = active & (esym == E_EOF)
+        is_new = active & (esym == E_NEW)
+        hit = active & ~eof & ~is_new
+
+        # ================= D: E_NEW length + literals =================
+        msv = ms[:, :]
+        mstot = jnp.sum(msv, axis=1, keepdims=True)
+        lstep, lvalue = prims.ac_decode_value(st, mstot)
+        lsym, lslow, lsspan = prims.model_decode(msv, lvalue, 128)
+        st = prims.ac_decode_update(st, lstep, lslow, lsspan, is_new)
+        ms[:, :] = msv + jnp.where((iota128 == lsym) & is_new, 1, 0)
+        length_new = jnp.where(is_new, lsym + 1, 0)
+
+        # literal bytes: scalar-carried loop, AC state bridged via scratch
+        acw[:, :] = set_col(
+            set_col(
+                set_col(
+                    set_col(jnp.zeros((L, 128), I32), AC_LOW,
+                            st["low"].astype(I32)),
+                    AC_HIGH, st["high"].astype(I32)),
+                AC_BUF, st["buf"].astype(I32)),
+            AC_BITPOS, st["bitpos"],
+        )
+        acwf[:, :] = jnp.zeros((L, 128), F32)
+        frag_scr[:, :] = jnp.zeros((L, 128), I32)
+        kmax = jnp.max(jnp.where(is_new, length_new, 0))
+
+        def lit_step(k, _):
+            @pl.when(k < kmax)
+            def _():
+                a2 = acw[:, :]
+                st2 = dict(
+                    low=get_col(a2, AC_LOW).astype(U32),
+                    high=get_col(a2, AC_HIGH).astype(U32),
+                    buf=get_col(a2, AC_BUF).astype(U32),
+                    bitpos=get_col(a2, AC_BITPOS),
+                    src_base=st["src_base"],
+                    nwords=st["nwords"],
+                    win=srcwin[:, :],
+                )
+                act = is_new & (k < length_new)
+                chv = ch[:, :]
+                btot = jnp.sum(chv, axis=1, keepdims=True)
+                bstep, bvalue = prims.ac_decode_value(st2, btot)
+                bsym, blow, bspan = prims.model_decode(chv, bvalue, 256)
+                st2 = prims.ac_decode_update(st2, bstep, blow, bspan, act)
+                ch[:, :] = chv + jnp.where(
+                    (col_iota(256) == bsym) & act, 1, 0
+                )
+                frag_scr[:, :] = jnp.where(
+                    (col_iota(128) == k) & act, bsym, frag_scr[:, :]
+                )
+                acwf[:, :] = acwf[:, :] + jnp.where(
+                    (col_iota(128) == 0) & act,
+                    prims.bits_f32(bspan, btot), 0.0,
+                )
+                acw[:, :] = set_col(
+                    set_col(
+                        set_col(
+                            set_col(acw[:, :], AC_LOW,
+                                    st2["low"].astype(I32)),
+                            AC_HIGH, st2["high"].astype(I32)),
+                        AC_BUF, st2["buf"].astype(I32)),
+                    AC_BITPOS, st2["bitpos"],
+                )
+
+            return 0
+
+        jax.lax.fori_loop(0, MML, lit_step, 0)
+        a2 = acw[:, :]
+        st = dict(
+            st,
+            low=get_col(a2, AC_LOW).astype(U32),
+            high=get_col(a2, AC_HIGH).astype(U32),
+            buf=get_col(a2, AC_BUF).astype(U32),
+            bitpos=get_col(a2, AC_BITPOS),
+            win=srcwin[:, :],
+        )
+        lit_bits = acwf[:, 0:1]
+        frag32 = frag_scr[:, :MML]
+        tw_frag = _pack_words(
+            jnp.where(iota32c < length_new, frag32, 0)
+        )
+
+        # ================= E: hit payload (x3.c:57-129) ===============
+        for l in range(L):
+            @pl.when(xfer[l, XC_RPREV] >= 0)
+            def _(l=l):
+                r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
+                pltpu.make_async_copy(
+                    c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
+                ).wait()
+
+            @pl.when(xfer[l, XC_RCUR] >= 0)
+            def _(l=l):
+                r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
+                pltpu.make_async_copy(
+                    c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
+                ).wait()
+
+        hp = c1pin[:, 0, 0:1]
+        hc = c1cin[:, 0, 0:1]
+        bprev = jnp.where((rprev >= 0) & (hp < 0), -hp - 1, -1)
+        bcur = jnp.where((rcur >= 0) & (hc < 0), -hc - 1, -1)
+        xfer[:, :] = set_col(
+            set_col(xfer[:, :], XC_BPREV, bprev), XC_BCUR, bcur
+        )
+        for l in range(L):
+            @pl.when(xfer[l, XC_BPREV] >= 0)
+            def _(l=l):
+                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
+                pltpu.make_async_copy(
+                    c1r.at[pl.ds(r, PB), :], c1pbig.at[l],
+                    sem_row.at[l, 2],
+                ).start()
+
+            @pl.when(xfer[l, XC_BCUR] >= 0)
+            def _(l=l):
+                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
+                pltpu.make_async_copy(
+                    c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
+                    sem_row.at[l, 3],
+                ).start()
+        for l in range(L):
+            @pl.when(xfer[l, XC_BPREV] >= 0)
+            def _(l=l):
+                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
+                pltpu.make_async_copy(
+                    c1r.at[pl.ds(r, PB), :], c1pbig.at[l],
+                    sem_row.at[l, 2],
+                ).wait()
+
+            @pl.when(xfer[l, XC_BCUR] >= 0)
+            def _(l=l):
+                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
+                pltpu.make_async_copy(
+                    c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
+                    sem_row.at[l, 3],
+                ).wait()
+
+        hub1n = get_col(R, R_HUB1_N)
+        v_prev = rw.row_view(rw.FAM1, prev_c1, c1pin, c1pbig, hub1n, active)
+        pair_found, _, pair_id = rw.row_find(
+            rw.FAM1, v_prev, c1, c1pin, c1pbig, h1t[:, :], h1f[:, :],
+            h1p[:, :],
+        )
+        cid0 = jnp.where(pair_found & active, pair_id, 0)
+
+        rc0 = jnp.where(active & (cid0 >= 1), cid0 - 1, -1)
+        xfer[:, :] = set_col(xfer[:, :], XC_RC0, rc0)
+        for l in range(L):
+            @pl.when(xfer[l, XC_RC0] >= 0)
+            def _(l=l):
+                r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
+                pltpu.make_async_copy(
+                    c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
+                ).start()
+        for l in range(L):
+            @pl.when(xfer[l, XC_RC0] >= 0)
+            def _(l=l):
+                r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
+                pltpu.make_async_copy(
+                    c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
+                ).wait()
+        h0 = c0in[:, 0, 0:1]
+        bc0 = jnp.where((rc0 >= 0) & (h0 < 0), -h0 - 1, -1)
+        xfer[:, :] = set_col(xfer[:, :], XC_BC0, bc0)
+        for l in range(L):
+            @pl.when(xfer[l, XC_BC0] >= 0)
+            def _(l=l):
+                r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
+                pltpu.make_async_copy(
+                    c0r.at[pl.ds(r, PB), :], c0big.at[l], sem_row.at[l, 5]
+                ).start()
+        for l in range(L):
+            @pl.when(xfer[l, XC_BC0] >= 0)
+            def _(l=l):
+                r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
+                pltpu.make_async_copy(
+                    c0r.at[pl.ds(r, PB), :], c0big.at[l], sem_row.at[l, 5]
+                ).wait()
+
+        hub0n = get_col(R, R_HUB0_N)
+        v0 = rw.row_view(rw.FAM0, cid0, c0in, c0big, hub0n, active)
+        v_cur = rw.row_view(rw.FAM1, c1, c1cin, c1cbig, hub1n, active)
+
+        is0 = hit & (esym == E_CTX0)
+        is1 = hit & (esym == E_CTX1)
+        isx = hit & (esym == E_IDX1)
+
+        _, _, tot0 = rw.row_stats(
+            rw.FAM0, v0, jnp.zeros((L, 1), I32), c0in, c0big, h0f[:, :]
+        )
+        _, _, tot1 = rw.row_stats(
+            rw.FAM1, v_cur, jnp.zeros((L, 1), I32), c1cin, c1cbig,
+            h1f[:, :]
+        )
+        ixv = ixf[:, :]
+        ixtot = jnp.sum(ixv, axis=1, keepdims=True)
+        ptot = jnp.where(is0, tot0, jnp.where(is1, tot1, ixtot))
+        ptot = jnp.maximum(ptot, 1)
+        pstep, pvalue = prims.ac_decode_value(st, ptot)
+        pos0d, tag0d, low0d, span0d = rw.row_decode_pos(
+            rw.FAM0, v0, pvalue, c0in, c0big, h0f[:, :], h0t[:, :]
+        )
+        pos1d, tag1d, low1d, span1d = rw.row_decode_pos(
+            rw.FAM1, v_cur, pvalue, c1cin, c1cbig, h1f[:, :], h1t[:, :]
+        )
+        rankd, ixlowd, ixspand = prims.model_decode(ixv, pvalue, D)
+        dtago_v0 = dtago[:, :]
+        slot_x = jnp.sum(jnp.where(iotaD == rankd, dtago_v0, 0), axis=1,
+                         keepdims=True)
+
+        slot_hit = jnp.where(is0, tag0d, jnp.where(is1, tag1d, slot_x))
+        plow = jnp.where(is0, low0d, jnp.where(is1, low1d, ixlowd))
+        pspan = jnp.where(is0, span0d, jnp.where(is1, span1d, ixspand))
+        st = prims.ac_decode_update(st, pstep, plow, pspan, hit)
+        ixf[:, :] = ixv + jnp.where((iotaD == rankd) & isx, 1, 0)
+
+        # stats mirror (x3.c:294, 78-96, 275-281)
+        ev_bits = prims.bits_f32(espan, etot)
+        ms_bits = prims.bits_f32(lsspan, mstot)
+        pay_bits = prims.bits_f32(pspan, ptot)
+        add_bits = jnp.where(
+            hit, ev_bits + pay_bits,
+            jnp.where(is_new, ev_bits + ms_bits + lit_bits,
+                      jnp.where(eof, ev_bits, 0.0)),
+        )
+        regsf[:, :] = regsf[:, :] + jnp.where(
+            iota128 == esym, add_bits, 0.0
+        )
+        counts_add = jnp.where((iota128 == R_COUNTS + esym) & active, 1, 0)
+
+        # ================= F: dictionary (x3.c:309-317, 337-348) ======
+        d_n = get_col(R, R_DICT_N)
+        dictw_v = dictw[:, :]
+        dlens_v = dlens[:, :]
+        drank_v = drank[:, :]
+        dtago_v = dtago_v0
+        validD = iotaD < d_n
+
+        # dup lookup of the decoded fragment (pre-insert state)
+        frag_mlen = _probe_matchlen(dictw_v, tw_frag, D)
+        dup = jnp.any(
+            validD & (dlens_v == length_new) & (frag_mlen >= length_new)
+            & is_new,
+            axis=1, keepdims=True,
+        )
+
+        # MTF of the hit slot (rank = recency rank of slot_hit)
+        rank_mtf = jnp.sum(jnp.where(iotaD == slot_hit, drank_v, 0), axis=1,
+                           keepdims=True)
+        bump = validD & hit & (drank_v < rank_mtf)
+        drank_v = jnp.where(bump, drank_v + 1, drank_v)
+        drank_v = jnp.where((iotaD == slot_hit) & hit, 0, drank_v)
+        shifted = pltpu.roll(dtago_v, 1, axis=1)
+        dtago_v = jnp.where(hit & (iotaD <= rank_mtf), shifted, dtago_v)
+        dtago_v = jnp.where(hit & (iotaD == 0), slot_hit, dtago_v)
+
+        # insert on E_NEW unless duplicate
+        room = d_n < D
+        ins = is_new & ~dup & room
+        of_dict = is_new & ~dup & ~room
+        slot_new = jnp.minimum(d_n, D - 1)
+
+        @pl.when(jnp.any(ins))
+        def _():
+            for w in range(8):
+                cols = slice(w * D, (w + 1) * D)
+                dictw[:, cols] = jnp.where(
+                    ins & (iotaD == slot_new), tw_frag[w], dictw[:, cols]
+                )
+
+        dlens[:, :] = jnp.where(ins & (iotaD == slot_new), length_new,
+                                dlens_v)
+        drank_v = jnp.where(ins & validD, drank_v + 1, drank_v)
+        drank_v = jnp.where(ins & (iotaD == slot_new), 0, drank_v)
+        shifted2 = pltpu.roll(dtago_v, 1, axis=1)
+        dtago_v = jnp.where(ins & (iotaD > 0), shifted2, dtago_v)
+        dtago_v = jnp.where(ins & (iotaD == 0), slot_new, dtago_v)
+        drank[:, :] = drank_v
+        dtago[:, :] = dtago_v
+        ixf[:, :] = jnp.where(ins & (iotaD == slot_new), 1, ixf[:, :])
+        d_n2 = d_n + jnp.where(ins, 1, 0)
+
+        # ================= G: context updates (x3.c:99-127) ===========
+        pair_n = get_col(R, R_PAIR_N)
+        promo0 = get_col(R, R_PROMO0_N)
+        promo1 = get_col(R, R_PROMO1_N)
+        f0u, pos0u, _ = rw.row_find(
+            rw.FAM0, v0, slot_hit, c0in, c0big, h0t[:, :], h0f[:, :], None
+        )
+        f1u, pos1u, _ = rw.row_find(
+            rw.FAM1, v_cur, slot_hit, c1cin, c1cbig, h1t[:, :], h1f[:, :],
+            h1p[:, :],
+        )
+        hub0n2, promo0_2, dp0, span0_idx, of0 = rw.row_update(
+            rw.FAM0, v0, slot_hit, f0u, pos0u, hit, c0in, c0big,
+            h0t, h0f, None, hub0n, vc.hub0, promo0, vc.m0,
+        )
+        hub1n2, promo1_2, dp1, span1_idx, of1 = rw.row_update(
+            rw.FAM1, v_cur, slot_hit, f1u, pos1u, hit, c1cin, c1cbig,
+            h1t, h1f, h1p, hub1n, vc.hub1, promo1, vc.m1,
+            new_pair_id=pair_n,
+        )
+        new_pair = hit & ~f1u
+        of_pairs = new_pair & (pair_n >= S0)
+        pair_n2 = pair_n + jnp.where(new_pair, 1, 0)
+
+        # ================= H: output emit + flush + write-backs =======
+        # dictionary entry bytes of the hit slot (pre-insert state; a hit
+        # lane never inserts, so dlens_v/dictw post-insert reads would be
+        # identical for it — use the pre-insert values for clarity)
+        hlen = jnp.sum(jnp.where(iotaD == slot_hit, dlens_v, 0), axis=1,
+                       keepdims=True)
+        dbytes = []
+        for w in range(8):
+            dw = jnp.sum(
+                jnp.where(iotaD == slot_hit,
+                          dictw_v[:, w * D : (w + 1) * D], 0),
+                axis=1, keepdims=True,
+            )
+            for b in range(4):
+                dbytes.append((dw >> (8 * b)) & 0xFF)
+        dict_bytes = jnp.concatenate(dbytes, axis=1)
+
+        length = jnp.where(is_new, length_new, jnp.where(hit, hlen, 0))
+        data32 = jnp.where(is_new, frag32, dict_bytes)
+        data32 = jnp.where(iota32c < length, data32, 0)
+
+        opos = get_col(R, R_OPOS)
+        out_base = get_col(R, R_OUT_BASE)
+        emit = (is_new | hit) & (length > 0)
+        of_out = emit & (opos + length > OCAP)
+        ok_emit = emit & ~of_out
+
+        off = jnp.where(ok_emit, opos - out_base, 0)
+        x = jnp.concatenate(
+            [jnp.where(ok_emit, data32, 0), jnp.zeros((L, OBW - MML), I32)],
+            axis=1,
+        )
+        for b in range(9):  # OBW = 512 -> 9-bit barrel shift
+            bit = (off >> b) & 1
+            rolled = pltpu.roll(x, 1 << b, axis=1)
+            x = jnp.where(bit == 1, rolled, x)
+        outwin[:, :] = outwin[:, :] + x
+        opos2 = opos + jnp.where(ok_emit, length, 0)
+
+        # flush a full OBF-byte half to HBM
+        flush = (opos2 - out_base >= OBF) & (out_base + OBF <= obrows * 128)
+        xfer[:, :] = set_col(
+            set_col(xfer[:, :], XC_FLUSH, flush.astype(I32)),
+            XC_FROW, out_base >> 7,
+        )
+
+        @pl.when(jnp.any(flush))
+        def _():
+            for r in range(OBROWS_F):
+                stage[:, r, :] = outwin[:, r * 128 : (r + 1) * 128]
+
+        for l in range(L):
+            @pl.when(xfer[l, XC_FLUSH] != 0)
+            def _(l=l):
+                r = lane_rowbase(l, obrows) + xfer[l, XC_FROW]
+                pltpu.make_async_copy(
+                    stage.at[l], outb.at[pl.ds(r, OBROWS_F), :],
+                    sem_out.at[l],
+                ).start()
+        for l in range(L):
+            @pl.when(xfer[l, XC_FLUSH] != 0)
+            def _(l=l):
+                r = lane_rowbase(l, obrows) + xfer[l, XC_FROW]
+                pltpu.make_async_copy(
+                    stage.at[l], outb.at[pl.ds(r, OBROWS_F), :],
+                    sem_out.at[l],
+                ).wait()
+
+        shifted_out = jnp.concatenate(
+            [outwin[:, OBF:], jnp.zeros((L, OBF), I32)], axis=1
+        )
+        outwin[:, :] = jnp.where(flush, shifted_out, outwin[:, :])
+        out_base2 = out_base + jnp.where(flush, OBF, 0)
+
+        # ctx row write-backs (started after updates, waited before the
+        # next event's reads)
+        wb0 = hit & (cid0 >= 1)
+        wb0b = wb0 & (v0.is_big | dp0)
+        wb1 = hit & (c1 >= 1)
+        wb1b = wb1 & (v_cur.is_big | dp1)
+        xf = xfer[:, :]
+        xf = set_col(xf, XC_WB0, wb0.astype(I32))
+        xf = set_col(xf, XC_WB0B, wb0b.astype(I32))
+        xf = set_col(xf, XC_WB0S, span0_idx)
+        xf = set_col(xf, XC_WB1, wb1.astype(I32))
+        xf = set_col(xf, XC_WB1B, wb1b.astype(I32))
+        xf = set_col(xf, XC_WB1S, span1_idx)
+        xfer[:, :] = xf
+        for l in range(L):
+            @pl.when(xfer[l, XC_WB0] != 0)
+            def _(l=l):
+                r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
+                pltpu.make_async_copy(
+                    c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
+                ).start()
+
+            @pl.when(xfer[l, XC_WB0B] != 0)
+            def _(l=l):
+                r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
+                pltpu.make_async_copy(
+                    c0big.at[l], c0r.at[pl.ds(r, PB), :], sem_wb.at[l, 1]
+                ).start()
+
+            @pl.when(xfer[l, XC_WB1] != 0)
+            def _(l=l):
+                r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
+                pltpu.make_async_copy(
+                    c1cin.at[l], c1r.at[pl.ds(r, 1), :], sem_wb.at[l, 2]
+                ).start()
+
+            @pl.when(xfer[l, XC_WB1B] != 0)
+            def _(l=l):
+                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
+                pltpu.make_async_copy(
+                    c1cbig.at[l], c1r.at[pl.ds(r, PB), :], sem_wb.at[l, 3]
+                ).start()
+        for l in range(L):
+            @pl.when(xfer[l, XC_WB0] != 0)
+            def _(l=l):
+                r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
+                pltpu.make_async_copy(
+                    c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
+                ).wait()
+
+            @pl.when(xfer[l, XC_WB0B] != 0)
+            def _(l=l):
+                r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
+                pltpu.make_async_copy(
+                    c0big.at[l], c0r.at[pl.ds(r, PB), :], sem_wb.at[l, 1]
+                ).wait()
+
+            @pl.when(xfer[l, XC_WB1] != 0)
+            def _(l=l):
+                r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
+                pltpu.make_async_copy(
+                    c1cin.at[l], c1r.at[pl.ds(r, 1), :], sem_wb.at[l, 2]
+                ).wait()
+
+            @pl.when(xfer[l, XC_WB1B] != 0)
+            def _(l=l):
+                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
+                pltpu.make_async_copy(
+                    c1cbig.at[l], c1r.at[pl.ds(r, PB), :], sem_wb.at[l, 3]
+                ).wait()
+
+        # ================= advance ====================================
+        prev2 = jnp.where(hit, c1, jnp.where(is_new, 0, prev_c1))
+        c1_2 = jnp.where(hit, slot_hit, jnp.where(is_new, 0, c1))
+        done2 = done | eof | of_out
+
+        of_bits = (
+            jnp.where(of_dict, OF_DICT, 0)
+            | jnp.where(of0, OF_CTX0, 0)
+            | jnp.where(of1, OF_CTX1, 0)
+            | jnp.where(of_pairs, OF_PAIRS, 0)
+            | jnp.where(of_out, OF_OUT, 0)
+        )
+
+        Rn = R
+        Rn = set_col(Rn, R_PREV_C1, prev2)
+        Rn = set_col(Rn, R_C1, c1_2)
+        Rn = set_col(Rn, R_PAIR_N, pair_n2)
+        Rn = set_col(Rn, R_DICT_N, d_n2)
+        Rn = set_col(Rn, R_AC_LOW, st["low"].astype(I32))
+        Rn = set_col(Rn, R_AC_HIGH, st["high"].astype(I32))
+        Rn = set_col(Rn, R_AC_BUF, st["buf"].astype(I32))
+        Rn = set_col(Rn, R_NBITS, st["bitpos"])
+        Rn = set_col(Rn, R_SRC_BASE, src_base2)
+        Rn = set_col(Rn, R_OPOS, opos2)
+        Rn = set_col(Rn, R_OUT_BASE, out_base2)
+        Rn = set_col(Rn, R_HUB0_N, hub0n2)
+        Rn = set_col(Rn, R_HUB1_N, hub1n2)
+        Rn = set_col(Rn, R_PROMO0_N, promo0_2)
+        Rn = set_col(Rn, R_PROMO1_N, promo1_2)
+        Rn = set_col(Rn, R_DONE, done2.astype(I32))
+        Rn = set_col(Rn, R_OFLOW, get_col(R, R_OFLOW) | of_bits)
+        Rn = Rn + counts_add
+        regsi[:, :] = Rn
+
+        alive = jnp.sum((~done2).astype(I32)) > 0
+        return step + 1, alive
+
+    def cond(carry):
+        step, alive = carry
+        return (step < nsteps) & alive
+
+    jax.lax.while_loop(cond, event_body, (jnp.int32(0), jnp.bool_(True)))
+
+
+def build_decoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
+                       srows: int, obrows: int):
+    """Construct the jitted pallas_call for (vc, params, nsteps, G)."""
+    D = vc.dict_cap
+    G8 = G * L
+    W2 = 2 * FW
+
+    kern = functools.partial(
+        decoder_kernel, vc=vc, params=params, nsteps=nsteps,
+        srows=srows, obrows=obrows,
+    )
+
+    def vspec(width):
+        return pl.BlockSpec((L, width), lambda g: (g, 0),
+                            memory_space=pltpu.VMEM)
+
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    carried_widths = [
+        8 * D, D, D, D, D, vc.hub0, vc.hub0, vc.hub1, vc.hub1, vc.hub1,
+        128, 128, 256, 128, 128, W2, OBW,
+    ]
+    in_specs = (
+        [anyspec]
+        + [vspec(w) for w in carried_widths]
+        + [anyspec, anyspec, anyspec]
+    )
+    out_specs = [vspec(w) for w in carried_widths] + [anyspec] * 3
+
+    out_shape = []
+    for i, w in enumerate(carried_widths):
+        dt = jnp.float32 if i == 14 else jnp.int32
+        out_shape.append(jax.ShapeDtypeStruct((G8, w), dt))
+    out_shape.append(jax.ShapeDtypeStruct((G8 * obrows, 128), jnp.int32))
+    out_shape.append(jax.ShapeDtypeStruct((G8 * vc.r0, 128), jnp.int32))
+    out_shape.append(jax.ShapeDtypeStruct((G8 * vc.r1, 128), jnp.int32))
+
+    scratch = [
+        pltpu.VMEM((L, FWROWS, 128), I32),      # sseg
+        pltpu.VMEM((L, 1, 128), I32),           # c0in
+        pltpu.VMEM((L, PB, 128), I32),          # c0big
+        pltpu.VMEM((L, 1, 128), I32),           # c1pin
+        pltpu.VMEM((L, PB, 128), I32),          # c1pbig
+        pltpu.VMEM((L, 1, 128), I32),           # c1cin
+        pltpu.VMEM((L, PB, 128), I32),           # c1cbig
+        pltpu.VMEM((L, OBROWS_F, 128), I32),    # stage
+        pltpu.VMEM((L, 128), I32),              # frag_scr
+        pltpu.VMEM((L, 128), I32),              # acw
+        pltpu.VMEM((L, 128), jnp.float32),      # acwf
+        pltpu.VMEM((L, 128), I32),              # xfer
+        pltpu.SemaphoreType.DMA((L,)),          # sem_src
+        pltpu.SemaphoreType.DMA((L, 6)),        # sem_row
+        pltpu.SemaphoreType.DMA((L, 4)),        # sem_wb
+        pltpu.SemaphoreType.DMA((L,)),          # sem_out
+    ]
+
+    def call(srcflat, *state, interpret=False):
+        return pl.pallas_call(
+            kern,
+            grid=(G,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            input_output_aliases={i + 1: i for i in range(20)},
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(srcflat, *state)
+
+    return call

@@ -233,3 +233,84 @@ def src_get_bits(win, bitpos, src_base, nwords, count, active):
     hi = jnp.where(off == 0, jnp.uint32(0), w1.astype(U32) << sh)
     val = (lo | hi) & mask_u32(cnt)
     return val, bitpos + cnt
+
+
+def cumsum_excl(x):
+    """Exclusive prefix sum along axis 1 via log2(W) pltpu.roll rounds
+    (jnp.cumsum is untested under Mosaic on this stack; roll is proven —
+    probe_mosaic.py)."""
+    W = x.shape[1]
+    iota = col_iota(W)
+    acc = x
+    sh = 1
+    while sh < W:
+        rolled = pltpu.roll(acc, sh, axis=1)
+        acc = acc + jnp.where(iota >= sh, rolled, 0)
+        sh *= 2
+    # inclusive -> exclusive
+    rolled = pltpu.roll(acc, 1, axis=1)
+    return jnp.where(iota >= 1, rolled, 0)
+
+
+def ac_decode_value(st, total):
+    """(step, value) of the pending symbol (ac.c:128-131, 183-185;
+    ops/ac.py:ac_decode_value).  ``st`` carries u32 [8,1] ``low``/``high``/
+    ``buf``."""
+    total_u = total.astype(U32)
+    total_s = jnp.where(total_u == 0, jnp.uint32(1), total_u)
+    step, _ = udiv_u32(st["high"] - st["low"] + 1, total_s)
+    step_s = jnp.where(step == 0, jnp.uint32(1), step)
+    value, _ = udiv_u32(st["buf"] - st["low"], step_s)
+    return step, value
+
+
+def ac_decode_update(st, step, low_f, span, active):
+    """Narrow to the decoded symbol's interval and renormalize, consuming
+    n+m stream bits (ac.c:142-165, 192-195; ops/ac.py:ac_decode_update).
+    ``st`` is a dict with u32 [8,1] ``low``/``high``/``buf``, i32
+    ``bitpos``/``src_base``/``nwords`` and the i32 [8, 2FW] ``win``
+    source-window value; returns the updated dict."""
+    high = st["low"] + imul_u32(step, (low_f + span).astype(U32)) - 1
+    low = st["low"] + imul_u32(step, low_f.astype(U32))
+
+    n, v, low2, high2, m = ac_enc_renorm_counts(low, high)
+    k = jnp.where(active, n + m, 0)
+    raw, bitpos = src_get_bits(
+        st["win"], st["bitpos"], st["src_base"], st["nwords"], k, active
+    )
+    # stream bits arrive LSB-first; the decoder shifts them in MSB-first
+    sh = (jnp.uint32(32) - k.astype(U32)) & 31
+    grp = jnp.where(k > 0, bitrev32(raw) >> sh, 0)
+    mu = m.astype(U32)
+    g1 = grp >> mu                                # first n bits
+    g2 = grp & ((jnp.uint32(1) << mu) - 1)        # last m bits
+
+    nu = n.astype(U32)
+    # E1/E2: buf1 = (buf << n) - (v << 31) + g1   (u32 wraparound exact)
+    buf1 = (st["buf"] << nu) - (v << 31) + g1
+    # E3:    buf2 = (buf1 << m) - H(2^m - 1) + g2
+    half = jnp.uint32(HALF)
+    sub = (half << mu) - half
+    buf2 = (buf1 << mu) - sub + g2
+
+    return dict(
+        st,
+        low=jnp.where(active, low2, st["low"]),
+        high=jnp.where(active, high2, st["high"]),
+        buf=jnp.where(active, buf2, st["buf"]),
+        bitpos=bitpos,
+    )
+
+
+def model_decode(freqs, value, width):
+    """Find the symbol of a dense model row whose cumulative interval
+    contains ``value`` (models/adaptive.py:model_decode_sym).  Returns
+    (sym, low, span)."""
+    iota = col_iota(width)
+    valid = freqs > 0
+    cum = cumsum_excl(freqs)
+    le = valid & (cum.astype(U32) <= value)
+    sym = jnp.maximum(jnp.sum(le, axis=1, keepdims=True).astype(I32) - 1, 0)
+    low = jnp.sum(jnp.where(iota == sym, cum, 0), axis=1, keepdims=True)
+    span = jnp.sum(jnp.where(iota == sym, freqs, 0), axis=1, keepdims=True)
+    return sym, low, span

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from x3tpu.vm.config import IN0, IN1, LANES, PB
-from x3tpu.vm.prims import col_iota
+from x3tpu.vm.prims import col_iota, cumsum_excl
 
 I32 = jnp.int32
 
@@ -195,7 +195,7 @@ def row_decode_pos(fam: Family, v: RowView, value, in_scr, big_scr, hub_f,
     it = col_iota(IN)
     fr_in = in_scr[:, 0, fam.freqs_col : fam.freqs_col + IN]
     fr_in = jnp.where(it < v.n, fr_in, 0)
-    cum_in = jnp.cumsum(fr_in, axis=1) - fr_in
+    cum_in = cumsum_excl(fr_in)
     le_in = (it < v.n) & (cum_in.astype(jnp.uint32) <= value)
     pos_in = jnp.maximum(
         jnp.sum(le_in, axis=1, keepdims=True).astype(I32) - 1, 0
@@ -219,7 +219,7 @@ def row_decode_pos(fam: Family, v: RowView, value, in_scr, big_scr, hub_f,
         bf_r = jnp.where(
             idx < v.n, big_scr[:, fam.big_freqs_row + r, :], 0
         )
-        cum_r = jnp.cumsum(bf_r, axis=1) - bf_r + carry
+        cum_r = cumsum_excl(bf_r) + carry
         cums.append((bf_r, cum_r))
         le_r = (idx < v.n) & (cum_r.astype(jnp.uint32) <= value)
         cnt = cnt + jnp.sum(le_r, axis=1, keepdims=True).astype(I32)
@@ -244,7 +244,7 @@ def row_decode_pos(fam: Family, v: RowView, value, in_scr, big_scr, hub_f,
     ih = col_iota(H)
     hn = jnp.where(v.is_hub, v.n, 0)
     fh = jnp.where(ih < hn, hub_f, 0)
-    cum_h = jnp.cumsum(fh, axis=1) - fh
+    cum_h = cumsum_excl(fh)
     le_h = (ih < hn) & (cum_h.astype(jnp.uint32) <= value)
     pos_h = jnp.maximum(
         jnp.sum(le_h, axis=1, keepdims=True).astype(I32) - 1, 0
