@@ -182,3 +182,30 @@ def test_vm_decoder_matches_xla_decoder():
     )
     for i, b in enumerate(blocks):
         assert np.asarray(vout)[i, : np.asarray(vpos)[i]].tobytes() == b
+
+
+def test_vm_decoder_source_refill():
+    """Streams longer than the resident source window (2*FLUSH_WORDS words
+    = 2 KiB) force read-ahead refills; regression for the src_base handoff
+    in the refill event (the AC reads of that event must use the shifted
+    window's base, not the register value)."""
+    from x3tpu.vm import decode_blocks_vm_chunked
+
+    caps = CodecCaps(
+        dict_cap=1024, pair_cap=4096, ctx_items_cap=128,
+        ctx0_items_cap=128, ctx_small_cap=16, block_bytes=6144,
+    )
+    rng = np.random.default_rng(3)
+    blocks = [
+        rng.integers(0, 256, 6000, np.uint8).tobytes(),  # ~7 KB stream
+        (b"the quick brown fox " * 300)[:6000],
+    ]
+    words, byte_lens = _pack_streams([spec.encode(b, PARAMS) for b in blocks])
+    out, opos, _, _, of = decode_blocks_vm_chunked(
+        words, byte_lens, PARAMS, caps, chunk_steps=4096, interpret=True
+    )
+    out, opos = np.asarray(out), np.asarray(opos)
+    for f in of._fields:
+        assert not np.asarray(getattr(of, f)).any(), f"overflow {f}"
+    for i, b in enumerate(blocks):
+        assert out[i, : opos[i]].tobytes() == b, f"block {i}"

@@ -93,6 +93,12 @@ def caps_for_block(block_bytes: int, ratio_hint: float = 1.0) -> CodecCaps:
     # with pow2 rounding plus overflow auto-retry covers the tail
     d = int(np.clip(_pow2(block_bytes // 16), 1 << 10, 1 << 16))
     items = int(np.clip(_pow2(d // 4), 256, 2048))
+    # at VM-hostable dictionary sizes (<= 8192), keep the per-context item
+    # cap within the VM's promoted-row capacity (rows.py BIG1 = 640) so the
+    # codec-VM kernel can host these configs; measured item growth at these
+    # block sizes is far below 640 and the overflow auto-retry covers tails
+    if d <= 8192:
+        items = min(items, 640)
     # tiered context storage: the small pool costs pair_cap*16*8B/lane and
     # promoted rows (pair_cap/8)*items*8B/lane — measured growth at 4 MB
     # diverse text is 194K pairs / 1.5K max items, which now fits
@@ -152,6 +158,25 @@ def _encode_one_device(text, tlen, params, caps, seeds):
             pass
     return codec.encode_blocks_chunked(
         jax.numpy.asarray(text), jax.numpy.asarray(tlen), params, caps, seeds
+    )
+
+
+def _decode_one_device(words, byte_lens, params, caps, seeds):
+    """Single-device decode dispatch (see _encode_one_device)."""
+    engine = caps.resolved().engine
+    if engine in ("vm", "vm_interpret"):
+        from x3tpu import vm
+
+        try:
+            return vm.decode_blocks_vm_chunked(
+                words, byte_lens, params, caps, seeds,
+                interpret=(engine == "vm_interpret"),
+            )
+        except vm.VMUnsupported:
+            pass
+    return codec.decode_blocks_chunked(
+        jax.numpy.asarray(words), jax.numpy.asarray(byte_lens), params, caps,
+        seeds,
     )
 
 
@@ -240,11 +265,8 @@ def decode_wave(
                     words, byte_lens, params, caps, mesh, seeds=seeds
                 )
             else:
-                out, out_lens, counts, sizes, overflow = (
-                    codec.decode_blocks_chunked(
-                        jax.numpy.asarray(words), jax.numpy.asarray(byte_lens),
-                        params, caps, seeds,
-                    )
+                out, out_lens, counts, sizes, overflow = _decode_one_device(
+                    words, byte_lens, params, caps, seeds
                 )
             codec._check_overflow(overflow)
             break

@@ -127,8 +127,8 @@ def _prep_text(text_u8, vc: VMCaps, G: int, tb_in: int):
 
 @functools.lru_cache(maxsize=8)
 def _get_step(vc: VMCaps, params: X3Params, nsteps: int, G: int,
-              interpret: bool):
-    call = build_encoder_call(vc, params, nsteps, G)
+              interpret: bool, ablate: frozenset = frozenset()):
+    call = build_encoder_call(vc, params, nsteps, G, ablate)
 
     donate = tuple(range(1, 20))
 
@@ -142,6 +142,7 @@ def _get_step(vc: VMCaps, params: X3Params, nsteps: int, G: int,
 def encode_blocks_vm_chunked(
     text, tlen, params: X3Params, caps: CodecCaps, seeds=None,
     chunk_steps: int = 4096, interpret: bool = False,
+    ablate: frozenset = frozenset(),
 ):
     """Chunked codec-VM encode; same contract as
     codec.encode_blocks_chunked.  Raises VMUnsupported for configurations
@@ -156,7 +157,7 @@ def encode_blocks_vm_chunked(
     text_flat = _prep_text(jnp.asarray(text, jnp.uint8), vc, G, tb_in)
     tlen_p = jnp.pad(jnp.asarray(tlen, I32), (0, G8 - L_in))
     state = _init_state(text_flat, tlen_p, vc, G)
-    step = _get_step(vc, params, chunk_steps, G, interpret)
+    step = _get_step(vc, params, chunk_steps, G, interpret, ablate)
     while bool(_any_active(state[13])):
         state = step(text_flat, *state)
     words, byte_lens, counts, sizes, overflow = _finalize(state, vc)

@@ -168,6 +168,7 @@ def encoder_kernel(
     stage, run_scr, cnt_scr, rem_scr, res_scr, xfer, acw, acwf,
     sem_seg, sem_row, sem_wb, sem_out,
     *, vc: VMCaps, params: X3Params, nsteps: int, trows: int, orows: int,
+    ablate: frozenset = frozenset(),
 ):
     g = pl.program_id(0)
     D = vc.dict_cap
@@ -179,6 +180,10 @@ def encoder_kernel(
     R0, R1 = vc.r0, vc.r1
     SCAN = params.window - MML - 1
     SCANP = max((SCAN + 127) // 128 * 128, 128)
+    # perf-ablation gates (hardware budget dissection ONLY -- any non-empty
+    # ablate set produces WRONG output; see experiments/hw_vm_ablate.py)
+    DO_DMA = "nodma" not in ablate
+    ac_step = (lambda st, *a: st) if "noac" in ablate else prims.ac_encode
 
     # ---- copy carried VMEM state into the (aliased) output blocks; all
     # further access goes through the out refs
@@ -243,20 +248,21 @@ def encoder_kernel(
         xfer[:, :] = set_col(
             set_col(xfer[:, :], XC_RPREV, rprev), XC_RCUR, rcur
         )
-        for l in range(L):
-            @pl.when(xfer[l, XC_RPREV] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
-                ).start()
+        if DO_DMA:
+            for l in range(L):
+                @pl.when(xfer[l, XC_RPREV] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
+                    pltpu.make_async_copy(
+                        c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
+                    ).start()
 
-            @pl.when(xfer[l, XC_RCUR] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
-                ).start()
+                @pl.when(xfer[l, XC_RCUR] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
+                    pltpu.make_async_copy(
+                        c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
+                    ).start()
 
         # ================= C: window extraction =================
         off = p - row0 * 128
@@ -272,9 +278,17 @@ def encoder_kernel(
         d_n = get_col(R, R_DICT_N)
         dictw_v = dictw[:, :]
         dlens_v = dlens[:, :]
-        found, slot, dlen, probe_mlen = _probe(dictw_v, dlens_v, d_n, tw, D)
+        if "noprobe" in ablate:
+            found = jnp.zeros((L, 1), jnp.bool_)
+            slot = jnp.zeros((L, 1), I32)
+            dlen = jnp.zeros((L, 1), I32)
+            probe_mlen = jnp.zeros((L, D), I32)
+        else:
+            found, slot, dlen, probe_mlen = _probe(
+                dictw_v, dlens_v, d_n, tw, D
+            )
 
-        if SCAN > 0:
+        if SCAN > 0 and "noscan" not in ablate:
             iota_s = col_iota(SCANP)
             run0 = (iota_s < SCAN) & (win[:, 1 : 1 + SCANP] == win[:, 0:1])
             run_scr[:, :] = run0.astype(I32)
@@ -302,20 +316,21 @@ def encoder_kernel(
             counts = jnp.zeros((L, MML), I32)
 
         # ================= E: spans, pair lookup, ctx0 DMA ============
-        for l in range(L):
-            @pl.when(xfer[l, XC_RPREV] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
-                ).wait()
+        if DO_DMA:
+            for l in range(L):
+                @pl.when(xfer[l, XC_RPREV] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
+                    pltpu.make_async_copy(
+                        c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
+                    ).wait()
 
-            @pl.when(xfer[l, XC_RCUR] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
-                ).wait()
+                @pl.when(xfer[l, XC_RCUR] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
+                    pltpu.make_async_copy(
+                        c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
+                    ).wait()
 
         hp = c1pin[:, 0, 0:1]
         hc = c1cin[:, 0, 0:1]
@@ -324,38 +339,40 @@ def encoder_kernel(
         xfer[:, :] = set_col(
             set_col(xfer[:, :], XC_BPREV, bprev), XC_BCUR, bcur
         )
-        for l in range(L):
-            @pl.when(xfer[l, XC_BPREV] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, PB), :], c1pbig.at[l],
-                    sem_row.at[l, 2],
-                ).start()
+        if DO_DMA:
+            for l in range(L):
+                @pl.when(xfer[l, XC_BPREV] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
+                    pltpu.make_async_copy(
+                        c1r.at[pl.ds(r, PB), :], c1pbig.at[l],
+                        sem_row.at[l, 2],
+                    ).start()
 
-            @pl.when(xfer[l, XC_BCUR] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
-                    sem_row.at[l, 3],
-                ).start()
-        for l in range(L):
-            @pl.when(xfer[l, XC_BPREV] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, PB), :], c1pbig.at[l],
-                    sem_row.at[l, 2],
-                ).wait()
+                @pl.when(xfer[l, XC_BCUR] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
+                    pltpu.make_async_copy(
+                        c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
+                        sem_row.at[l, 3],
+                    ).start()
+        if DO_DMA:
+            for l in range(L):
+                @pl.when(xfer[l, XC_BPREV] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
+                    pltpu.make_async_copy(
+                        c1r.at[pl.ds(r, PB), :], c1pbig.at[l],
+                        sem_row.at[l, 2],
+                    ).wait()
 
-            @pl.when(xfer[l, XC_BCUR] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
-                    sem_row.at[l, 3],
-                ).wait()
+                @pl.when(xfer[l, XC_BCUR] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
+                    pltpu.make_async_copy(
+                        c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
+                        sem_row.at[l, 3],
+                    ).wait()
 
         hub1n = get_col(R, R_HUB1_N)
         v_prev = rw.row_view(rw.FAM1, prev_c1, c1pin, c1pbig, hub1n, active)
@@ -367,18 +384,21 @@ def encoder_kernel(
 
         rc0 = jnp.where(active & (cid0 >= 1), cid0 - 1, -1)
         xfer[:, :] = set_col(xfer[:, :], XC_RC0, rc0)
-        for l in range(L):
-            @pl.when(xfer[l, XC_RC0] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
-                pltpu.make_async_copy(
-                    c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
-                ).start()
+        if DO_DMA:
+            for l in range(L):
+                @pl.when(xfer[l, XC_RC0] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
+                    pltpu.make_async_copy(
+                        c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
+                    ).start()
 
         # ================= F: sweep + vetoes (backend.c:76-97) ========
         T = params.max_match_count
         f1, f2 = params.magic_factor1, params.magic_factor2
-        if T < 1:
+        if "nosweep" in ablate:
+            fbm = jnp.ones((L, 1), I32)
+        elif T < 1:
             fbm = jnp.ones((L, 1), I32)
         elif f1 == 0 and f2 == 0:
             cand0 = counts >= 2
@@ -454,30 +474,33 @@ def encoder_kernel(
             fbm = res_scr[:, 0:1]
 
         # ================= wait ctx0, span DMA ========================
-        for l in range(L):
-            @pl.when(xfer[l, XC_RC0] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
-                pltpu.make_async_copy(
-                    c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
-                ).wait()
+        if DO_DMA:
+            for l in range(L):
+                @pl.when(xfer[l, XC_RC0] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
+                    pltpu.make_async_copy(
+                        c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
+                    ).wait()
         h0 = c0in[:, 0, 0:1]
         bc0 = jnp.where((rc0 >= 0) & (h0 < 0), -h0 - 1, -1)
         xfer[:, :] = set_col(xfer[:, :], XC_BC0, bc0)
-        for l in range(L):
-            @pl.when(xfer[l, XC_BC0] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
-                pltpu.make_async_copy(
-                    c0r.at[pl.ds(r, PB), :], c0big.at[l], sem_row.at[l, 5]
-                ).start()
-        for l in range(L):
-            @pl.when(xfer[l, XC_BC0] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
-                pltpu.make_async_copy(
-                    c0r.at[pl.ds(r, PB), :], c0big.at[l], sem_row.at[l, 5]
-                ).wait()
+        if DO_DMA:
+            for l in range(L):
+                @pl.when(xfer[l, XC_BC0] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
+                    pltpu.make_async_copy(
+                        c0r.at[pl.ds(r, PB), :], c0big.at[l], sem_row.at[l, 5]
+                    ).start()
+        if DO_DMA:
+            for l in range(L):
+                @pl.when(xfer[l, XC_BC0] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
+                    pltpu.make_async_copy(
+                        c0r.at[pl.ds(r, PB), :], c0big.at[l], sem_row.at[l, 5]
+                    ).wait()
 
         # ================= G: mode stats + selection (x3.c:150-172) ===
         hub0n = get_col(R, R_HUB0_N)
@@ -555,7 +578,7 @@ def encoder_kernel(
         )
         esym = jnp.where(hit, mode, E_NEW)
         elow, espan, _et = _model_stats(evv, esym, 128)
-        acst = prims.ac_encode(acst, elow, espan, etot, active)
+        acst = ac_step(acst, elow, espan, etot, active)
         ev[:, :] = evv + jnp.where((iota128 == esym) & active, 1, 0)
 
         # payload symbol (x3.c:179-190 / 257-261)
@@ -570,7 +593,7 @@ def encoder_kernel(
                  jnp.where(isx, ixspan, msspan)))
         ptot = jnp.where(is0, tot0, jnp.where(is1, tot1,
                 jnp.where(isx, ixtot, mstot)))
-        acst = prims.ac_encode(acst, plow, pspan, ptot, active)
+        acst = ac_step(acst, plow, pspan, ptot, active)
         ixf[:, :] = ixv + jnp.where((iotaD == rank) & isx, 1, 0)
         ms[:, :] = msv + jnp.where((iota128 == mlen - 1) & miss, 1, 0)
 
@@ -590,7 +613,8 @@ def encoder_kernel(
         )
         sinkw[:, :] = acst["win"]
         acwf[:, :] = jnp.zeros((L, 128), F32)
-        kmax = jnp.max(jnp.where(miss, mlen, 0))
+        kmax = (jnp.int32(0) if "nolit" in ablate
+                else jnp.max(jnp.where(miss, mlen, 0)))
 
         def lit_step(k, _):
             @pl.when(k < kmax)
@@ -617,7 +641,7 @@ def encoder_kernel(
                 bspan = jnp.sum(jnp.where(i256 == byte, chv, 0), axis=1,
                                 keepdims=True)
                 btot = jnp.sum(chv, axis=1, keepdims=True)
-                st2 = prims.ac_encode(st2, blow, bspan, btot, act)
+                st2 = ac_step(st2, blow, bspan, btot, act)
                 ch[:, :] = chv + jnp.where((i256 == byte) & act, 1, 0)
                 acwf[:, :] = acwf[:, :] + jnp.where(
                     (col_iota(128) == 0) & act,
@@ -730,34 +754,35 @@ def encoder_kernel(
         xf = set_col(xf, XC_WB1B, wb1b.astype(I32))
         xf = set_col(xf, XC_WB1S, span1_idx)
         xfer[:, :] = xf
-        for l in range(L):
-            @pl.when(xfer[l, XC_WB0] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
-                pltpu.make_async_copy(
-                    c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
-                ).start()
+        if DO_DMA:
+            for l in range(L):
+                @pl.when(xfer[l, XC_WB0] != 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
+                    pltpu.make_async_copy(
+                        c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
+                    ).start()
 
-            @pl.when(xfer[l, XC_WB0B] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
-                pltpu.make_async_copy(
-                    c0big.at[l], c0r.at[pl.ds(r, PB), :], sem_wb.at[l, 1]
-                ).start()
+                @pl.when(xfer[l, XC_WB0B] != 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
+                    pltpu.make_async_copy(
+                        c0big.at[l], c0r.at[pl.ds(r, PB), :], sem_wb.at[l, 1]
+                    ).start()
 
-            @pl.when(xfer[l, XC_WB1] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
-                pltpu.make_async_copy(
-                    c1cin.at[l], c1r.at[pl.ds(r, 1), :], sem_wb.at[l, 2]
-                ).start()
+                @pl.when(xfer[l, XC_WB1] != 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
+                    pltpu.make_async_copy(
+                        c1cin.at[l], c1r.at[pl.ds(r, 1), :], sem_wb.at[l, 2]
+                    ).start()
 
-            @pl.when(xfer[l, XC_WB1B] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
-                pltpu.make_async_copy(
-                    c1cbig.at[l], c1r.at[pl.ds(r, PB), :], sem_wb.at[l, 3]
-                ).start()
+                @pl.when(xfer[l, XC_WB1B] != 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
+                    pltpu.make_async_copy(
+                        c1cbig.at[l], c1r.at[pl.ds(r, PB), :], sem_wb.at[l, 3]
+                    ).start()
 
         # sink flush: move a full FLUSH_WORDS half out to HBM
         win_base = acst["win_base"]
@@ -796,34 +821,35 @@ def encoder_kernel(
         win_base2 = win_base + jnp.where(flush, FLUSH_WORDS, 0)
 
         # wait row write-backs before the next event's reads
-        for l in range(L):
-            @pl.when(xfer[l, XC_WB0] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
-                pltpu.make_async_copy(
-                    c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
-                ).wait()
+        if DO_DMA:
+            for l in range(L):
+                @pl.when(xfer[l, XC_WB0] != 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
+                    pltpu.make_async_copy(
+                        c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
+                    ).wait()
 
-            @pl.when(xfer[l, XC_WB0B] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
-                pltpu.make_async_copy(
-                    c0big.at[l], c0r.at[pl.ds(r, PB), :], sem_wb.at[l, 1]
-                ).wait()
+                @pl.when(xfer[l, XC_WB0B] != 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
+                    pltpu.make_async_copy(
+                        c0big.at[l], c0r.at[pl.ds(r, PB), :], sem_wb.at[l, 1]
+                    ).wait()
 
-            @pl.when(xfer[l, XC_WB1] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
-                pltpu.make_async_copy(
-                    c1cin.at[l], c1r.at[pl.ds(r, 1), :], sem_wb.at[l, 2]
-                ).wait()
+                @pl.when(xfer[l, XC_WB1] != 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
+                    pltpu.make_async_copy(
+                        c1cin.at[l], c1r.at[pl.ds(r, 1), :], sem_wb.at[l, 2]
+                    ).wait()
 
-            @pl.when(xfer[l, XC_WB1B] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
-                pltpu.make_async_copy(
-                    c1cbig.at[l], c1r.at[pl.ds(r, PB), :], sem_wb.at[l, 3]
-                ).wait()
+                @pl.when(xfer[l, XC_WB1B] != 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
+                    pltpu.make_async_copy(
+                        c1cbig.at[l], c1r.at[pl.ds(r, PB), :], sem_wb.at[l, 3]
+                    ).wait()
 
         # advance (x3.c:397-428 mirror of codec.py step 9)
         p2 = p + jnp.where(hit, dlen, jnp.where(miss, mlen, 0))
@@ -874,7 +900,8 @@ def encoder_kernel(
     jax.lax.while_loop(cond, event_body, (jnp.int32(0), jnp.bool_(True)))
 
 
-def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int):
+def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
+                       ablate: frozenset = frozenset()):
     """Construct the jitted pallas_call for (vc, params, nsteps, G)."""
     D = vc.dict_cap
     SR = _seg_rows(vc)
@@ -886,7 +913,7 @@ def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int):
 
     kern = functools.partial(
         encoder_kernel, vc=vc, params=params, nsteps=nsteps,
-        trows=trows, orows=orows,
+        trows=trows, orows=orows, ablate=ablate,
     )
 
     def vspec(width):

@@ -199,7 +199,9 @@ def decoder_kernel(
                 ).start()
 
         # ================= C: event symbol (x3.c:293) =================
-        st = _st_of(R, srcwin[:, :])
+        # NB: src_base2, not the register value — the refill above already
+        # shifted the window, so reads this event must use the new base
+        st = dict(_st_of(R, srcwin[:, :]), src_base=src_base2)
         evv = ev[:, :]
         etot = jnp.sum(evv, axis=1, keepdims=True)
         estep, evalue = prims.ac_decode_value(st, etot)
