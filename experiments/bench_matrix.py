@@ -1,0 +1,210 @@
+"""BASELINE.json config-matrix benchmark vs the reference binary.
+
+Silesia is not fetchable from this container (zero egress), so each config
+runs on a DOCUMENTED PROXY corpus assembled from real container files in
+the same class (see build_corpora).  For every config the same exact bytes
+go through (a) our codec on the current JAX backend and (b) the reference
+C binary (built from /root/reference sources copied to /tmp), recording
+ratio + MB/s for both and a bit-exact cross-decode check: the C binary
+must decode our stream byte-for-byte.
+
+Usage: python experiments/bench_matrix.py [--cpu] [config ...]
+Configs: text xml tabular binary sweep  (default: all but sweep)
+"""
+
+import json
+import pathlib
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, "/root/repo")
+
+T0 = time.time()
+SP = pathlib.Path("/opt/venv/lib/python3.12/site-packages")
+
+
+def log(msg):
+    print(f"[matrix +{time.time()-T0:6.1f}s] {msg}", flush=True)
+
+
+def _concat_files(paths, total):
+    out = []
+    acc = 0
+    for p in paths:
+        try:
+            b = p.read_bytes()
+        except OSError:
+            continue
+        out.append(b)
+        acc += len(b)
+        if acc >= total:
+            break
+    blob = b"".join(out)
+    if len(blob) < total:  # repeat deterministically if scarce
+        blob = (blob * (total // max(len(blob), 1) + 1))
+    return blob[:total]
+
+
+def build_corpora():
+    """Proxy corpora per Silesia file class, from real container files."""
+    corp = {}
+    # dickens/webster-class: English prose -> concatenated package docs
+    docs = sorted(SP.rglob("*.md")) + sorted(SP.rglob("*.rst"))
+    corp["text"] = _concat_files(docs, 1 << 20)
+    # xml-class: real XML files (dm_control schema et al.)
+    xmls = sorted(SP.rglob("*.xml"))
+    corp["xml"] = _concat_files(xmls, 512 << 10)
+    # nci-class (highly redundant database): Unicode collation table
+    allkeys = pathlib.Path("/usr/share/perl/5.36.0/Unicode/Collate/allkeys.txt")
+    if allkeys.exists():
+        corp["tabular"] = _concat_files([allkeys], 1 << 20)
+    # mozilla/samba-class: executable binary
+    sos = sorted(SP.rglob("*.so"), key=lambda p: -p.stat().st_size)
+    corp["binary"] = _concat_files(sos[:1], 1 << 20)
+    return corp
+
+
+def build_reference():
+    ref = pathlib.Path("/tmp/x3ref")
+    binp = ref / "x3"
+    if binp.exists():
+        return binp
+    ref.mkdir(exist_ok=True)
+    for f in pathlib.Path("/root/reference").glob("*"):
+        if f.is_file():
+            shutil.copy(f, ref / f.name)
+    subprocess.run(["make", "BUILD=release", "-C", str(ref)], check=True,
+                   capture_output=True)
+    return binp
+
+
+def run_reference(binp, data, args):
+    """(ratio, encode_MB/s, decode_MB/s, stream) from the C binary."""
+    src = pathlib.Path("/tmp/x3ref/in.bin")
+    src.write_bytes(data)
+    for p in ("/tmp/x3ref/in.bin.x3", "/tmp/x3ref/out.bin"):
+        pathlib.Path(p).unlink(missing_ok=True)
+    t0 = time.time()
+    r = subprocess.run(
+        [str(binp), "-z", "-f"] + args + [str(src)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    te = time.time() - t0
+    stream = pathlib.Path("/tmp/x3ref/in.bin.x3").read_bytes()
+    t0 = time.time()
+    r = subprocess.run(
+        [str(binp), "-d", "-f", "/tmp/x3ref/in.bin.x3"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    td = time.time() - t0
+    got = src.read_bytes()
+    assert got == data, "reference round-trip failed"
+    mb = len(data) / 1e6
+    return len(data) / len(stream), mb / te, mb / td, stream
+
+
+def run_ours(data, params, block_bytes):
+    """(ratio, encode MB/s, decode MB/s, payloads) block-DP on the current
+    backend via the runtime (VM kernel on TPU, XLA on CPU)."""
+    from x3tpu import codec
+    from x3tpu.parallel import runtime
+
+    caps = runtime.caps_for_block(block_bytes)
+    blocks = [data[i : i + block_bytes]
+              for i in range(0, len(data), block_bytes)]
+    # warmup/compile on first block set
+    t0 = time.time()
+    res = runtime.encode_wave(blocks, params, caps)
+    tc = time.time() - t0
+    t0 = time.time()
+    res = runtime.encode_wave(blocks, params, caps)
+    te = time.time() - t0
+    t0 = time.time()
+    dec = runtime.decode_wave(res.payloads, [len(b) for b in blocks],
+                              params, caps)
+    td0 = time.time() - t0
+    t0 = time.time()
+    dec = runtime.decode_wave(res.payloads, [len(b) for b in blocks],
+                              params, caps)
+    td = time.time() - t0
+    assert b"".join(dec.payloads) == data, "our round-trip failed"
+    comp = sum(len(p) for p in res.payloads)
+    mb = len(data) / 1e6
+    return len(data) / comp, mb / te, mb / td, res.payloads, tc
+
+
+def cross_decode(binp, payloads, blocks):
+    """C binary decodes our per-block streams bit-exactly."""
+    for i, (p, b) in enumerate(zip(payloads, blocks)):
+        f = pathlib.Path("/tmp/x3ref/x.x3")
+        f.write_bytes(p)
+        r = subprocess.run([str(binp), "-d", "-f", str(f)],
+                           capture_output=True)
+        assert r.returncode == 0, f"block {i}: C decode rc {r.returncode}"
+        got = pathlib.Path("/tmp/x3ref/x").read_bytes()
+        assert got == b, f"block {i}: C cross-decode mismatch"
+    return True
+
+
+def main():
+    from x3tpu.config import X3Params
+
+    want = [a for a in sys.argv[1:] if not a.startswith("--")]
+    corp = build_corpora()
+    binp = build_reference()
+    log(f"corpora: { {k: len(v) for k, v in corp.items()} }")
+
+    # (name, corpus, reference args, params, block_bytes)
+    CONFIGS = [
+        ("text", "text", ["-t", "15", "-w", "8"], X3Params(), 128 << 10),
+        ("xml-bigwin", "xml", ["-t", "15", "-w", "32"],
+         X3Params(window=32 * 1024), 128 << 10),
+        ("tabular-bigwin", "tabular", ["-t", "15", "-w", "32"],
+         X3Params(window=32 * 1024), 128 << 10),
+        ("binary", "binary", ["-t", "15", "-w", "8"], X3Params(), 128 << 10),
+    ]
+    rows = []
+    for name, ckey, rargs, params, bb in CONFIGS:
+        if want and name not in want and ckey not in want:
+            continue
+        data = corp.get(ckey)
+        if data is None:
+            log(f"{name}: corpus missing, skipped")
+            continue
+        log(f"config {name}: {len(data)} bytes, block {bb >> 10} KiB ...")
+        try:
+            ratio, enc, dec, payloads, tc = run_ours(data, params, bb)
+        except Exception as e:
+            log(f"{name}: OURS FAILED {type(e).__name__}: {str(e)[:200]}")
+            continue
+        log(f"  ours: ratio {ratio:.4f} enc {enc:.4f} MB/s dec {dec:.4f} "
+            f"MB/s (compile {tc:.0f}s)")
+        rratio, renc, rdec, _ = run_reference(binp, data, rargs)
+        log(f"  ref : ratio {rratio:.4f} enc {renc:.4f} MB/s dec {rdec:.4f} MB/s")
+        blocks = [data[i : i + bb] for i in range(0, len(data), bb)]
+        xok = cross_decode(binp, payloads, blocks)
+        log(f"  C-binary cross-decode of our streams: {'OK' if xok else 'FAIL'}")
+        rows.append(dict(
+            config=name, bytes=len(data), block_kib=bb >> 10,
+            ours_ratio=round(ratio, 4), ours_enc_mbs=round(enc, 4),
+            ours_dec_mbs=round(dec, 4), ref_ratio=round(rratio, 4),
+            ref_enc_mbs=round(renc, 4), ref_dec_mbs=round(rdec, 4),
+            cross_decode_ok=xok,
+        ))
+    print(json.dumps(rows, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 
 I32 = jnp.int32
 INTERPRET = "--interpret" in sys.argv
+if INTERPRET:
+    jax.config.update("jax_platforms", "cpu")
 
 
 def run(name, kernel, L, D, idx, want):
@@ -100,21 +102,22 @@ def main():
         want_e = np.zeros((L, D), np.int32)
         want_e[:, 0] = [vals[l, idx[l, 0]] for l in range(L)]
 
-        def ke(v_ref, o_ref, L=L, D=D, idxc=idx):
+        def ke(v_ref, idx_ref, o_ref, L=L, D=D):
             iota = jax.lax.broadcasted_iota(I32, (L, D), 1)
-            idxj = jnp.asarray(idxc)
-            sel = jnp.sum(jnp.where(iota == idxj, v_ref[:, :], 0), axis=1,
-                          keepdims=True)
+            sel = jnp.sum(
+                jnp.where(iota == idx_ref[:, 0:1], v_ref[:, :], 0),
+                axis=1, keepdims=True,
+            )
             o_ref[:, :] = jnp.where(iota == 0, sel, 0)
 
         try:
             out = pl.pallas_call(
                 ke,
                 out_shape=jax.ShapeDtypeStruct((L, D), jnp.int32),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 interpret=INTERPRET,
-            )(vals)
+            )(vals, idx)
             ok = (np.asarray(out) == want_e).all()
             print(f"  e masked-reduce: {'OK' if ok else 'WRONG RESULTS'}",
                   flush=True)

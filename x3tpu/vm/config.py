@@ -32,10 +32,16 @@ HBM-resident, accessed by per-lane row DMA:
 from __future__ import annotations
 
 import dataclasses
+import os
 
 from x3tpu.config import CodecCaps, MAX_MATCH_LEN, X3Params
 
-LANES = 8          # lanes per group (Mosaic broadcast bound)
+LANES = int(os.environ.get("X3TPU_VM_LANES", "8"))  # lanes per group
+# DO NOT raise the default: isolated broadcast probes (probe7) pass at
+# L=16/32 on hardware, but the FULL encoder kernel still produces wrong
+# results on most lanes at L=32 (hw_vm_bench 2026-08-17) — the round-1
+# L>8 miscompile persists in kernel-scale programs.  Interpret mode is
+# exact at any L; the knob exists for future-toolchain revalidation.
 PB = 16            # HBM rows per promoted context span
 IN0 = 63           # inline items, ctx0 family (1 + 2*63 = 127 lanes used)
 IN1 = 42           # inline items, ctx1 family (1 + 3*42 = 127)
