@@ -191,8 +191,10 @@ def test_vm_decoder_source_refill():
     window's base, not the register value)."""
     from x3tpu.vm import decode_blocks_vm_chunked
 
+    # pair_cap 8192: the random block's ~4.8K one-byte dictionary hits
+    # each register a tag pair, overflowing a 4096 cap (correctly flagged)
     caps = CodecCaps(
-        dict_cap=1024, pair_cap=4096, ctx_items_cap=128,
+        dict_cap=1024, pair_cap=8192, ctx_items_cap=128,
         ctx0_items_cap=128, ctx_small_cap=16, block_bytes=6144,
     )
     rng = np.random.default_rng(3)

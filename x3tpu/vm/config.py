@@ -149,8 +149,10 @@ def vm_caps(params: X3Params, caps: CodecCaps) -> VMCaps:
         raise VMUnsupported(f"dict_cap {d} outside VM range [128, 8192] pow2")
     if caps.block_bytes > 1 << 20:
         raise VMUnsupported(f"block_bytes {caps.block_bytes} > 1 MiB")
-    if params.window > 32 * 1024:
-        raise VMUnsupported(f"window {params.window} > 32 KiB")
+    if params.window > 16 * 1024:
+        # the 32 KiB-window kernel crashes the remote Mosaic compiler
+        # (bench_matrix 2026-08-17); larger windows take the XLA path
+        raise VMUnsupported(f"window {params.window} > 16 KiB")
     hub = 1024
     if caps.ctx_items_cap > BIG1 or caps.ctx0_items_cap > BIG0:
         raise VMUnsupported("ctx item caps exceed promoted-row capacity")

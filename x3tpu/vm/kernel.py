@@ -165,7 +165,7 @@ def encoder_kernel(
     outw, c0r, c1r,
     # scratch
     tseg, seg32, c0in, c0big, c1pin, c1pbig, c1cin, c1cbig,
-    stage, run_scr, cnt_scr, rem_scr, res_scr, xfer, acw, acwf,
+    stage, rem_scr, res_scr, xfer, acw, acwf,
     sem_seg, sem_row, sem_wb, sem_out,
     *, vc: VMCaps, params: X3Params, nsteps: int, trows: int, orows: int,
     ablate: frozenset = frozenset(),
@@ -289,29 +289,20 @@ def encoder_kernel(
             )
 
         if SCAN > 0 and "noscan" not in ablate:
+            # all 32 rounds unconditionally: pure vector work with NO
+            # vector->scalar syncs.  (The earlier per-round
+            # pl.when(jnp.any(run)) gating cost a pipeline sync per round
+            # — more than the skipped compute was worth.)
             iota_s = col_iota(SCANP)
-            run0 = (iota_s < SCAN) & (win[:, 1 : 1 + SCANP] == win[:, 0:1])
-            run_scr[:, :] = run0.astype(I32)
-            cnt_scr[:, :] = jnp.where(
-                iota128 == 0,
-                jnp.sum(run0.astype(I32), axis=1, keepdims=True),
-                0,
-            )
+            run = (iota_s < SCAN) & (win[:, 1 : 1 + SCANP] == win[:, 0:1])
+            counts_l = [jnp.sum(run.astype(I32), axis=1, keepdims=True)]
             for i in range(1, MML):
-                pred = jnp.any(run_scr[:, :] != 0)
-
-                @pl.when(pred)
-                def _(i=i):
-                    run = (run_scr[:, :] != 0) & (
-                        win[:, 1 + i : 1 + i + SCANP] == win[:, i : i + 1]
-                    )
-                    run_scr[:, :] = run.astype(I32)
-                    cnt_scr[:, :] = cnt_scr[:, :] + jnp.where(
-                        iota128 == i,
-                        jnp.sum(run.astype(I32), axis=1, keepdims=True),
-                        0,
-                    )
-            counts = cnt_scr[:, 0:MML]
+                run = run & (
+                    win[:, 1 + i : 1 + i + SCANP] == win[:, i : i + 1]
+                )
+                counts_l.append(jnp.sum(run.astype(I32), axis=1,
+                                        keepdims=True))
+            counts = jnp.concatenate(counts_l, axis=1)
         else:
             counts = jnp.zeros((L, MML), I32)
 
@@ -421,56 +412,62 @@ def encoder_kernel(
                 [cand0.astype(I32), jnp.zeros((L, 128 - MML), I32)], 1
             )
 
-            def sweep_round(it, _):
+            # scalar-carried while_loop: exits as soon as every lane is
+            # resolved (typically 1-3 rounds), paying ONE vector->scalar
+            # sync per executed round instead of a pl.when pred for all 32
+            def sweep_cond(c):
+                it, unresolved = c
+                return (it < MML) & unresolved
+
+            def sweep_round(c):
+                it, _ = c
                 result = res_scr[:, 0:1]
-                pred = jnp.any(result == 0)
-
-                @pl.when(pred)
-                def _():
-                    result = res_scr[:, 0:1]
-                    remaining = rem_scr[:, 0:MML] != 0
-                    unresolved = result == 0
-                    key = jnp.where(remaining, level * MML + iota32c, -1)
-                    has = jnp.any(remaining, axis=1, keepdims=True)
-                    kmx = jnp.max(key, axis=1, keepdims=True)
-                    bi = jnp.maximum(
-                        jnp.max(jnp.where(key == kmx, iota32c, -1),
-                                axis=1, keepdims=True),
-                        0,
+                remaining = rem_scr[:, 0:MML] != 0
+                unresolved = result == 0
+                key = jnp.where(remaining, level * MML + iota32c, -1)
+                has = jnp.any(remaining, axis=1, keepdims=True)
+                kmx = jnp.max(key, axis=1, keepdims=True)
+                bi = jnp.maximum(
+                    jnp.max(jnp.where(key == kmx, iota32c, -1),
+                            axis=1, keepdims=True),
+                    0,
+                )
+                result = jnp.where(unresolved & ~has, 1, result)
+                pending = unresolved & has
+                vetoed = jnp.zeros((L, 1), jnp.bool_)
+                if f1 > 0:
+                    vl = _probe_best_len(
+                        dictw_v, dlens_v, d_n,
+                        _pack_words(_select32(win, bi)), D,
                     )
-                    result = jnp.where(unresolved & ~has, 1, result)
-                    pending = unresolved & has
-                    vetoed = jnp.zeros((L, 1), jnp.bool_)
-                    if f1 > 0:
-                        vl = _probe_best_len(
+                    vetoed = vetoed | (
+                        pending & (bi >= 2) & (vl > 0)
+                        & (vl * f1 > bi + 1)
+                    )
+                if f2 > 0:
+                    veto2 = jnp.zeros((L, 1), jnp.bool_)
+                    for o in range(1, MML):
+                        vl_o = _probe_best_len(
                             dictw_v, dlens_v, d_n,
-                            _pack_words(_select32(win, bi)), D,
+                            _pack_words(win[:, o : o + MML]), D,
                         )
-                        vetoed = vetoed | (
-                            pending & (bi >= 2) & (vl > 0)
-                            & (vl * f1 > bi + 1)
+                        veto2 = veto2 | (
+                            (o <= bi) & (vl_o > 0)
+                            & ((vl_o - o) * f2 > bi + 1)
                         )
-                    if f2 > 0:
-                        veto2 = jnp.zeros((L, 1), jnp.bool_)
-                        for o in range(1, MML):
-                            vl_o = _probe_best_len(
-                                dictw_v, dlens_v, d_n,
-                                _pack_words(win[:, o : o + MML]), D,
-                            )
-                            veto2 = veto2 | (
-                                (o <= bi) & (vl_o > 0)
-                                & ((vl_o - o) * f2 > bi + 1)
-                            )
-                        vetoed = vetoed | (pending & (bi >= 1) & veto2)
-                    result = jnp.where(pending & ~vetoed, bi + 1, result)
-                    res_scr[:, :] = jnp.where(iota128 == 0, result,
-                                              res_scr[:, :])
-                    clear = vetoed & (iota128 == bi)
-                    rem_scr[:, :] = jnp.where(clear, 0, rem_scr[:, :])
+                    vetoed = vetoed | (pending & (bi >= 1) & veto2)
+                result = jnp.where(pending & ~vetoed, bi + 1, result)
+                res_scr[:, :] = jnp.where(iota128 == 0, result,
+                                          res_scr[:, :])
+                clear = vetoed & (iota128 == bi)
+                rem_scr[:, :] = jnp.where(clear, 0, rem_scr[:, :])
+                still = jnp.sum((result == 0).astype(I32)) > 0
+                return it + 1, still
 
-                return 0
-
-            jax.lax.fori_loop(0, MML, sweep_round, 0)
+            unresolved0 = jnp.sum(active.astype(I32)) > 0
+            jax.lax.while_loop(
+                sweep_cond, sweep_round, (jnp.int32(0), unresolved0)
+            )
             fbm = res_scr[:, 0:1]
 
         # ================= wait ctx0, span DMA ========================
@@ -954,8 +951,6 @@ def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
         pltpu.VMEM((L, 1, 128), I32),           # c1cin
         pltpu.VMEM((L, PB, 128), I32),          # c1cbig
         pltpu.VMEM((L, 2, 128), I32),           # stage
-        pltpu.VMEM((L, SCANP), I32),            # run_scr
-        pltpu.VMEM((L, 128), I32),              # cnt_scr
         pltpu.VMEM((L, 128), I32),              # rem_scr
         pltpu.VMEM((L, 128), I32),              # res_scr
         pltpu.VMEM((L, 128), I32),              # xfer

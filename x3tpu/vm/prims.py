@@ -33,7 +33,10 @@ FIRST_QUARTER = 0x20000000
 HALF = 0x40000000
 M31 = 0x7FFFFFFF
 
-AC_RUN_CHUNKS = 6  # static underflow-run capacity: 6*31 = 186 bits
+AC_RUN_CHUNKS = 2  # static underflow-run capacity: 2*31 = 62 bits
+# (a run needs `scale` consecutive E3 scalings without an E1/E2 emit —
+# p ~ 2^-62 per event at 62 bits; the sticky overflow flag + host
+# retry keep correctness either way, so shorter unroll = fewer ops)
 
 
 def col_iota(width: int):
@@ -163,7 +166,7 @@ def ac_encode(st, low_f, span, total, active):
     the i32 [8, 2FW] ``win`` value; returns the updated dict."""
     total_u = total.astype(U32)
     total_s = jnp.where(total_u == 0, jnp.uint32(1), total_u)
-    step, _ = udiv_u32(st["high"] - st["low"] + 1, total_s)
+    step, _ = udiv_u32_fast(st["high"] - st["low"] + 1, total_s)
     high = st["low"] + imul_u32(step, (low_f + span).astype(U32)) - 1
     low = st["low"] + imul_u32(step, low_f.astype(U32))
 
@@ -258,9 +261,9 @@ def ac_decode_value(st, total):
     ``buf``."""
     total_u = total.astype(U32)
     total_s = jnp.where(total_u == 0, jnp.uint32(1), total_u)
-    step, _ = udiv_u32(st["high"] - st["low"] + 1, total_s)
+    step, _ = udiv_u32_fast(st["high"] - st["low"] + 1, total_s)
     step_s = jnp.where(step == 0, jnp.uint32(1), step)
-    value, _ = udiv_u32(st["buf"] - st["low"], step_s)
+    value, _ = udiv_u32_fast(st["buf"] - st["low"], step_s)
     return step, value
 
 
@@ -314,3 +317,50 @@ def model_decode(freqs, value, width):
     low = jnp.sum(jnp.where(iota == sym, cum, 0), axis=1, keepdims=True)
     span = jnp.sum(jnp.where(iota == sym, freqs, 0), axis=1, keepdims=True)
     return sym, low, span
+
+
+def udiv_u32_fast(a, b):
+    """(floor(a / b), a % b) for u32 a <= 2^31, b in [1, 2^31] via two-stage
+    f32 division with exact integer correction (~45 ops vs the restoring
+    loop's ~200).  Stage quotients are < 2^16, where f32 division is exact
+    to +-1 after floor; a conservative -2 bias plus 4 unrolled correction
+    rounds makes the result exact.  Gated by probe8 on hardware (the
+    round-1 fptosi+sink crash was later traced to maxui/bool-select
+    legalization, both avoided here)."""
+    a = a.astype(U32)
+    b = b.astype(U32)
+    b = jnp.where(b == 0, jnp.uint32(1), b)
+    af = f32_of_u32(a)
+
+    def correct(q_est, divisor, limit):
+        # q0 <= true quotient guaranteed by the -2 bias; <= 4 rounds up
+        q0 = jnp.maximum(q_est - 2, 0).astype(U32)
+        r0 = a_cur[0] - imul_u32(q0, divisor)
+        for _ in range(4):
+            ge = r0 >= divisor
+            q0 = q0 + jnp.where(ge, jnp.uint32(1), jnp.uint32(0))
+            r0 = r0 - jnp.where(ge, divisor, jnp.uint32(0))
+        return q0, r0
+
+    # path A (b > 2^15): quotient < 2^16, one f32 division
+    bfA = f32_of_u32(b)
+    qA_est = jnp.floor(af / bfA).astype(I32)
+    a_cur = [a]
+    qA, rA = correct(qA_est, b, None)
+
+    # path B (b <= 2^15): q_hi = a // (b << 16), then low 16 bits
+    bh = b << 16
+    bfB = f32_of_u32(bh)
+    qh_est = jnp.floor(af / bfB).astype(I32)
+    a_cur = [a]
+    qh, rh = correct(qh_est, bh, None)
+    rhf = f32_of_u32(rh)
+    ql_est = jnp.floor(rhf / bfA).astype(I32)
+    a_cur = [rh]
+    ql, rB = correct(ql_est, b, None)
+    qB = (qh << 16) | ql
+
+    big_b = b > 0x7FFF
+    q = jnp.where(big_b, qA, qB)
+    r = jnp.where(big_b, rA, rB)
+    return q, r
