@@ -204,6 +204,56 @@ def encoder_kernel(
     def lane_rowbase(l, rper):
         return (g * L + l) * rper
 
+    # ---- pre-loop: prime the prev-ctx1 row cache.  The event loop never
+    # fetches the prev row from HBM: after a hit the (updated) cur row
+    # scratch is swapped into the prev scratch — they are the same context
+    # (x3.c:406: prev_context1 = context1) — and after a miss prev becomes
+    # the hub.  Only the first event of a launch needs the HBM copy.
+    # (probe9 cost model: a gated-out per-lane DMA region costs ~0.5 us;
+    # dropping two per-event slots saves ~8 us/event-group.)
+    if DO_DMA:
+        R0v = regsi[:, :]
+        prev0 = get_col(R0v, R_PREV_C1)
+        act0 = get_col(R0v, R_P) < get_col(R0v, R_TLEN)
+        rp0 = jnp.where(act0 & (prev0 >= 1), prev0 - 1, -1)
+        xfer[:, :] = set_col(jnp.zeros((L, 128), I32), XC_RPREV, rp0)
+        for l in range(L):
+            @pl.when(xfer[l, XC_RPREV] >= 0)
+            def _(l=l):
+                r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
+                pltpu.make_async_copy(
+                    c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
+                ).start()
+        for l in range(L):
+            @pl.when(xfer[l, XC_RPREV] >= 0)
+            def _(l=l):
+                r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
+                pltpu.make_async_copy(
+                    c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
+                ).wait()
+        hp0 = c1pin[:, 0, 0:1]
+        bp0 = jnp.where((rp0 >= 0) & (hp0 < 0), -hp0 - 1, -1)
+        xfer[:, :] = set_col(xfer[:, :], XC_BPREV, bp0)
+
+        @pl.when(jnp.any(bp0 >= 0))
+        def _():
+            for l in range(L):
+                @pl.when(xfer[l, XC_BPREV] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
+                    pltpu.make_async_copy(
+                        c1r.at[pl.ds(r, PB), :], c1pbig.at[l],
+                        sem_row.at[l, 2],
+                    ).start()
+            for l in range(L):
+                @pl.when(xfer[l, XC_BPREV] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
+                    pltpu.make_async_copy(
+                        c1r.at[pl.ds(r, PB), :], c1pbig.at[l],
+                        sem_row.at[l, 2],
+                    ).wait()
+
     def event_body(carry):
         step, _alive = carry
         R = regsi[:, :]
@@ -219,44 +269,39 @@ def encoder_kernel(
         xfer[:, :] = set_col(
             set_col(xfer[:, :], XC_NEED, need.astype(I32)), XC_ROW0, row0
         )
-        for l in range(L):
-            @pl.when(xfer[l, XC_NEED] != 0)
-            def _(l=l):
-                r0 = lane_rowbase(l, trows) + xfer[l, XC_ROW0]
-                pltpu.make_async_copy(
-                    text32.at[pl.ds(r0, SR), :], tseg.at[l], sem_seg.at[l]
-                ).start()
-        for l in range(L):
-            @pl.when(xfer[l, XC_NEED] != 0)
-            def _(l=l):
-                r0 = lane_rowbase(l, trows) + xfer[l, XC_ROW0]
-                pltpu.make_async_copy(
-                    text32.at[pl.ds(r0, SR), :], tseg.at[l], sem_seg.at[l]
-                ).wait()
-
+        # refill is ~1/100 events: ONE scalar gate around the whole phase
+        # (a gated-out per-lane DMA region still costs ~0.5 us, probe9)
         @pl.when(jnp.any(need))
         def _():
+            for l in range(L):
+                @pl.when(xfer[l, XC_NEED] != 0)
+                def _(l=l):
+                    r0 = lane_rowbase(l, trows) + xfer[l, XC_ROW0]
+                    pltpu.make_async_copy(
+                        text32.at[pl.ds(r0, SR), :], tseg.at[l],
+                        sem_seg.at[l],
+                    ).start()
+            for l in range(L):
+                @pl.when(xfer[l, XC_NEED] != 0)
+                def _(l=l):
+                    r0 = lane_rowbase(l, trows) + xfer[l, XC_ROW0]
+                    pltpu.make_async_copy(
+                        text32.at[pl.ds(r0, SR), :], tseg.at[l],
+                        sem_seg.at[l],
+                    ).wait()
             for r in range(SR):
                 cols = slice(r * 128, (r + 1) * 128)
                 seg32[:, cols] = jnp.where(need, tseg[:, r, :], seg32[:, cols])
 
-        # ================= B: start ctx1 row DMAs =================
+        # ================= B: start ctx1 cur row DMA =================
+        # (the prev row is never fetched in-loop: c1pin/c1pbig hold it —
+        # primed before the loop, swapped from the cur row after each hit)
         prev_c1 = get_col(R, R_PREV_C1)
         c1 = get_col(R, R_C1)
-        rprev = jnp.where(active & (prev_c1 >= 1), prev_c1 - 1, -1)
         rcur = jnp.where(active & (c1 >= 1), c1 - 1, -1)
-        xfer[:, :] = set_col(
-            set_col(xfer[:, :], XC_RPREV, rprev), XC_RCUR, rcur
-        )
+        xfer[:, :] = set_col(xfer[:, :], XC_RCUR, rcur)
         if DO_DMA:
             for l in range(L):
-                @pl.when(xfer[l, XC_RPREV] >= 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
-                    pltpu.make_async_copy(
-                        c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
-                    ).start()
-
                 @pl.when(xfer[l, XC_RCUR] >= 0)
                 def _(l=l):
                     r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
@@ -309,13 +354,6 @@ def encoder_kernel(
         # ================= E: spans, pair lookup, ctx0 DMA ============
         if DO_DMA:
             for l in range(L):
-                @pl.when(xfer[l, XC_RPREV] >= 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
-                    pltpu.make_async_copy(
-                        c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
-                    ).wait()
-
                 @pl.when(xfer[l, XC_RCUR] >= 0)
                 def _(l=l):
                     r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
@@ -323,47 +361,30 @@ def encoder_kernel(
                         c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
                     ).wait()
 
-        hp = c1pin[:, 0, 0:1]
         hc = c1cin[:, 0, 0:1]
-        bprev = jnp.where((rprev >= 0) & (hp < 0), -hp - 1, -1)
         bcur = jnp.where((rcur >= 0) & (hc < 0), -hc - 1, -1)
-        xfer[:, :] = set_col(
-            set_col(xfer[:, :], XC_BPREV, bprev), XC_BCUR, bcur
-        )
+        xfer[:, :] = set_col(xfer[:, :], XC_BCUR, bcur)
         if DO_DMA:
-            for l in range(L):
-                @pl.when(xfer[l, XC_BPREV] >= 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
-                    pltpu.make_async_copy(
-                        c1r.at[pl.ds(r, PB), :], c1pbig.at[l],
-                        sem_row.at[l, 2],
-                    ).start()
-
-                @pl.when(xfer[l, XC_BCUR] >= 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
-                    pltpu.make_async_copy(
-                        c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
-                        sem_row.at[l, 3],
-                    ).start()
-        if DO_DMA:
-            for l in range(L):
-                @pl.when(xfer[l, XC_BPREV] >= 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
-                    pltpu.make_async_copy(
-                        c1r.at[pl.ds(r, PB), :], c1pbig.at[l],
-                        sem_row.at[l, 2],
-                    ).wait()
-
-                @pl.when(xfer[l, XC_BCUR] >= 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
-                    pltpu.make_async_copy(
-                        c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
-                        sem_row.at[l, 3],
-                    ).wait()
+            # promoted rows are rare (most blocks never promote): one
+            # scalar gate for the whole big-span fetch
+            @pl.when(jnp.any(bcur >= 0))
+            def _():
+                for l in range(L):
+                    @pl.when(xfer[l, XC_BCUR] >= 0)
+                    def _(l=l):
+                        r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
+                        pltpu.make_async_copy(
+                            c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
+                            sem_row.at[l, 3],
+                        ).start()
+                for l in range(L):
+                    @pl.when(xfer[l, XC_BCUR] >= 0)
+                    def _(l=l):
+                        r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
+                        pltpu.make_async_copy(
+                            c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
+                            sem_row.at[l, 3],
+                        ).wait()
 
         hub1n = get_col(R, R_HUB1_N)
         v_prev = rw.row_view(rw.FAM1, prev_c1, c1pin, c1pbig, hub1n, active)
@@ -483,21 +504,24 @@ def encoder_kernel(
         bc0 = jnp.where((rc0 >= 0) & (h0 < 0), -h0 - 1, -1)
         xfer[:, :] = set_col(xfer[:, :], XC_BC0, bc0)
         if DO_DMA:
-            for l in range(L):
-                @pl.when(xfer[l, XC_BC0] >= 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
-                    pltpu.make_async_copy(
-                        c0r.at[pl.ds(r, PB), :], c0big.at[l], sem_row.at[l, 5]
-                    ).start()
-        if DO_DMA:
-            for l in range(L):
-                @pl.when(xfer[l, XC_BC0] >= 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
-                    pltpu.make_async_copy(
-                        c0r.at[pl.ds(r, PB), :], c0big.at[l], sem_row.at[l, 5]
-                    ).wait()
+            @pl.when(jnp.any(bc0 >= 0))
+            def _():
+                for l in range(L):
+                    @pl.when(xfer[l, XC_BC0] >= 0)
+                    def _(l=l):
+                        r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
+                        pltpu.make_async_copy(
+                            c0r.at[pl.ds(r, PB), :], c0big.at[l],
+                            sem_row.at[l, 5],
+                        ).start()
+                for l in range(L):
+                    @pl.when(xfer[l, XC_BC0] >= 0)
+                    def _(l=l):
+                        r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
+                        pltpu.make_async_copy(
+                            c0r.at[pl.ds(r, PB), :], c0big.at[l],
+                            sem_row.at[l, 5],
+                        ).wait()
 
         # ================= G: mode stats + selection (x3.c:150-172) ===
         hub0n = get_col(R, R_HUB0_N)
@@ -613,9 +637,11 @@ def encoder_kernel(
         kmax = (jnp.int32(0) if "nolit" in ablate
                 else jnp.max(jnp.where(miss, mlen, 0)))
 
-        def lit_step(k, _):
-            @pl.when(k < kmax)
-            def _():
+        # early-exit scalar while: most events are dictionary hits with
+        # zero literal bytes, and even a skipped gated round costs ~145 ns
+        # (probe9) — 32 of them per event added up
+        def lit_step(k):
+            if True:
                 a2 = acw[:, :]
                 st2 = dict(
                     low=get_col(a2, AC_LOW).astype(U32),
@@ -657,9 +683,9 @@ def encoder_kernel(
                 )
                 sinkw[:, :] = st2["win"]
 
-            return 0
+            return k + 1
 
-        jax.lax.fori_loop(0, MML, lit_step, 0)
+        jax.lax.while_loop(lambda k: k < kmax, lit_step, jnp.int32(0))
         a2 = acw[:, :]
         acst = dict(
             low=get_col(a2, AC_LOW).astype(U32),
@@ -751,6 +777,7 @@ def encoder_kernel(
         xf = set_col(xf, XC_WB1B, wb1b.astype(I32))
         xf = set_col(xf, XC_WB1S, span1_idx)
         xfer[:, :] = xf
+        any_wbb = jnp.any(wb0b | wb1b)
         if DO_DMA:
             for l in range(L):
                 @pl.when(xfer[l, XC_WB0] != 0)
@@ -760,13 +787,6 @@ def encoder_kernel(
                         c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
                     ).start()
 
-                @pl.when(xfer[l, XC_WB0B] != 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
-                    pltpu.make_async_copy(
-                        c0big.at[l], c0r.at[pl.ds(r, PB), :], sem_wb.at[l, 1]
-                    ).start()
-
                 @pl.when(xfer[l, XC_WB1] != 0)
                 def _(l=l):
                     r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
@@ -774,12 +794,24 @@ def encoder_kernel(
                         c1cin.at[l], c1r.at[pl.ds(r, 1), :], sem_wb.at[l, 2]
                     ).start()
 
-                @pl.when(xfer[l, XC_WB1B] != 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
-                    pltpu.make_async_copy(
-                        c1cbig.at[l], c1r.at[pl.ds(r, PB), :], sem_wb.at[l, 3]
-                    ).start()
+            @pl.when(any_wbb)
+            def _():
+                for l in range(L):
+                    @pl.when(xfer[l, XC_WB0B] != 0)
+                    def _(l=l):
+                        r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
+                        pltpu.make_async_copy(
+                            c0big.at[l], c0r.at[pl.ds(r, PB), :],
+                            sem_wb.at[l, 1],
+                        ).start()
+
+                    @pl.when(xfer[l, XC_WB1B] != 0)
+                    def _(l=l):
+                        r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
+                        pltpu.make_async_copy(
+                            c1cbig.at[l], c1r.at[pl.ds(r, PB), :],
+                            sem_wb.at[l, 3],
+                        ).start()
 
         # sink flush: move a full FLUSH_WORDS half out to HBM
         win_base = acst["win_base"]
@@ -794,21 +826,20 @@ def encoder_kernel(
         def _():
             stage[:, 0, :] = sinkw[:, 0:128]
             stage[:, 1, :] = sinkw[:, 128:256]
-
-        for l in range(L):
-            @pl.when(xfer[l, XC_FLUSH] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, orows) + xfer[l, XC_FROW]
-                pltpu.make_async_copy(
-                    stage.at[l], outw.at[pl.ds(r, 2), :], sem_out.at[l]
-                ).start()
-        for l in range(L):
-            @pl.when(xfer[l, XC_FLUSH] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, orows) + xfer[l, XC_FROW]
-                pltpu.make_async_copy(
-                    stage.at[l], outw.at[pl.ds(r, 2), :], sem_out.at[l]
-                ).wait()
+            for l in range(L):
+                @pl.when(xfer[l, XC_FLUSH] != 0)
+                def _(l=l):
+                    r = lane_rowbase(l, orows) + xfer[l, XC_FROW]
+                    pltpu.make_async_copy(
+                        stage.at[l], outw.at[pl.ds(r, 2), :], sem_out.at[l]
+                    ).start()
+            for l in range(L):
+                @pl.when(xfer[l, XC_FLUSH] != 0)
+                def _(l=l):
+                    r = lane_rowbase(l, orows) + xfer[l, XC_FROW]
+                    pltpu.make_async_copy(
+                        stage.at[l], outw.at[pl.ds(r, 2), :], sem_out.at[l]
+                    ).wait()
 
         shifted_win = jnp.concatenate(
             [acst["win"][:, FLUSH_WORDS:], jnp.zeros((L, FLUSH_WORDS), I32)],
@@ -827,13 +858,6 @@ def encoder_kernel(
                         c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
                     ).wait()
 
-                @pl.when(xfer[l, XC_WB0B] != 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
-                    pltpu.make_async_copy(
-                        c0big.at[l], c0r.at[pl.ds(r, PB), :], sem_wb.at[l, 1]
-                    ).wait()
-
                 @pl.when(xfer[l, XC_WB1] != 0)
                 def _(l=l):
                     r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
@@ -841,12 +865,38 @@ def encoder_kernel(
                         c1cin.at[l], c1r.at[pl.ds(r, 1), :], sem_wb.at[l, 2]
                     ).wait()
 
-                @pl.when(xfer[l, XC_WB1B] != 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
-                    pltpu.make_async_copy(
-                        c1cbig.at[l], c1r.at[pl.ds(r, PB), :], sem_wb.at[l, 3]
-                    ).wait()
+            @pl.when(any_wbb)
+            def _():
+                for l in range(L):
+                    @pl.when(xfer[l, XC_WB0B] != 0)
+                    def _(l=l):
+                        r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
+                        pltpu.make_async_copy(
+                            c0big.at[l], c0r.at[pl.ds(r, PB), :],
+                            sem_wb.at[l, 1],
+                        ).wait()
+
+                    @pl.when(xfer[l, XC_WB1B] != 0)
+                    def _(l=l):
+                        r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
+                        pltpu.make_async_copy(
+                            c1cbig.at[l], c1r.at[pl.ds(r, PB), :],
+                            sem_wb.at[l, 3],
+                        ).wait()
+
+        # prev-row cache swap (x3.c:406 prev_context1 = context1): lanes
+        # that hit carry the UPDATED cur row as next event's prev row; a
+        # miss resets prev to the hub, so c1pin content is then unread
+        c1pin[:, 0, :] = jnp.where(
+            hit & (c1 >= 1), c1cin[:, 0, :], c1pin[:, 0, :]
+        )
+
+        @pl.when(jnp.any(wb1b))
+        def _():
+            for r in range(PB):
+                c1pbig[:, r, :] = jnp.where(
+                    wb1b, c1cbig[:, r, :], c1pbig[:, r, :]
+                )
 
         # advance (x3.c:397-428 mirror of codec.py step 9)
         p2 = p + jnp.where(hit, dlen, jnp.where(miss, mlen, 0))
