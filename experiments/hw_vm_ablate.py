@@ -35,6 +35,10 @@ def log(msg):
 
 
 def corpus(n):
+    import os
+    if os.environ.get("X3TPU_ABLATE_CORPUS") == "bench":
+        from bench import build_corpus
+        return build_corpus(n)
     rng = np.random.default_rng(42)
     words = [
         b"the", b"compression", b"dictionary", b"context", b"adaptive",
@@ -85,7 +89,7 @@ for ab in ABLATIONS:
     w, bl, cnt, sz, of = encode_blocks_vm_chunked(
         text, tlen, params, caps, chunk_steps=CS, ablate=ab
     )
-    jax.block_until_ready(w)
+    jax.device_get(bl)  # block_until_ready does not wait through axon
     dt = time.time() - t0
     ev_max = int(np.asarray(cnt).sum(axis=1).max())
     if base_ev is None:

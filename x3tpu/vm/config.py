@@ -115,11 +115,21 @@ class VMCaps:
 
     @property
     def r0(self) -> int:
-        return self.s0 + self.m0 * PB
+        # +1: per-lane dump row — unconditional write-backs from inactive
+        # lanes land there (a gated-out DMA region costs more than the DMA)
+        return self.s0 + self.m0 * PB + 1
 
     @property
     def r1(self) -> int:
-        return self.s1 + self.m1 * PB
+        return self.s1 + self.m1 * PB + 1
+
+    @property
+    def dump0(self) -> int:
+        return self.r0 - 1
+
+    @property
+    def dump1(self) -> int:
+        return self.r1 - 1
 
     @property
     def wbuf(self) -> int:

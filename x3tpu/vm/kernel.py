@@ -54,7 +54,7 @@ MML = MAX_MATCH_LEN
 # xfer scratch columns (vector -> scalar handoffs for DMA addressing)
 XC_NEED, XC_ROW0, XC_RPREV, XC_RCUR, XC_BPREV, XC_BCUR = 0, 1, 2, 3, 4, 5
 XC_RC0, XC_BC0 = 6, 7
-XC_WB1, XC_WB1B, XC_WB1S, XC_WB0, XC_WB0B, XC_WB0S = 8, 9, 10, 11, 12, 13
+XC_WB1R, XC_WB1B, XC_WB1S, XC_WB0R, XC_WB0B, XC_WB0S = 8, 9, 10, 11, 12, 13
 XC_FLUSH, XC_FROW = 14, 15
 # acw scratch columns (AC state bridge across the literal while-loop)
 AC_LOW, AC_HIGH, AC_SCALE, AC_NBITS, AC_OFLOW = 0, 1, 2, 3, 4
@@ -299,15 +299,16 @@ def encoder_kernel(
         prev_c1 = get_col(R, R_PREV_C1)
         c1 = get_col(R, R_C1)
         rcur = jnp.where(active & (c1 >= 1), c1 - 1, -1)
-        xfer[:, :] = set_col(xfer[:, :], XC_RCUR, rcur)
+        # unconditional fetch, row clamped to 0: a stray read into the
+        # scratch of a hub/inactive lane is masked out downstream, and an
+        # ungated DMA is cheaper than a gated-out one (probe9)
+        xfer[:, :] = set_col(xfer[:, :], XC_RCUR, jnp.maximum(rcur, 0))
         if DO_DMA:
             for l in range(L):
-                @pl.when(xfer[l, XC_RCUR] >= 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
-                    pltpu.make_async_copy(
-                        c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
-                    ).start()
+                r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
+                pltpu.make_async_copy(
+                    c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
+                ).start()
 
         # ================= C: window extraction =================
         off = p - row0 * 128
@@ -354,12 +355,10 @@ def encoder_kernel(
         # ================= E: spans, pair lookup, ctx0 DMA ============
         if DO_DMA:
             for l in range(L):
-                @pl.when(xfer[l, XC_RCUR] >= 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
-                    pltpu.make_async_copy(
-                        c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
-                    ).wait()
+                r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
+                pltpu.make_async_copy(
+                    c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
+                ).wait()
 
         hc = c1cin[:, 0, 0:1]
         bcur = jnp.where((rcur >= 0) & (hc < 0), -hc - 1, -1)
@@ -395,15 +394,14 @@ def encoder_kernel(
         cid0 = jnp.where(pair_found & active, pair_id, 0)
 
         rc0 = jnp.where(active & (cid0 >= 1), cid0 - 1, -1)
-        xfer[:, :] = set_col(xfer[:, :], XC_RC0, rc0)
+        # unconditional fetch (clamped row; stray reads masked downstream)
+        xfer[:, :] = set_col(xfer[:, :], XC_RC0, jnp.maximum(rc0, 0))
         if DO_DMA:
             for l in range(L):
-                @pl.when(xfer[l, XC_RC0] >= 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
-                    pltpu.make_async_copy(
-                        c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
-                    ).start()
+                r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
+                pltpu.make_async_copy(
+                    c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
+                ).start()
 
         # ================= F: sweep + vetoes (backend.c:76-97) ========
         T = params.max_match_count
@@ -494,12 +492,10 @@ def encoder_kernel(
         # ================= wait ctx0, span DMA ========================
         if DO_DMA:
             for l in range(L):
-                @pl.when(xfer[l, XC_RC0] >= 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
-                    pltpu.make_async_copy(
-                        c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
-                    ).wait()
+                r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
+                pltpu.make_async_copy(
+                    c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
+                ).wait()
         h0 = c0in[:, 0, 0:1]
         bc0 = jnp.where((rc0 >= 0) & (h0 < 0), -h0 - 1, -1)
         xfer[:, :] = set_col(xfer[:, :], XC_BC0, bc0)
@@ -769,30 +765,31 @@ def encoder_kernel(
         wb0b = wb0 & (v0.is_big | dp0)
         wb1 = hit & (c1 >= 1)
         wb1b = wb1 & (v_cur.is_big | dp1)
+        # unconditional write-backs: a non-hit lane's row scratch is
+        # unmodified (row_update masks by hit), so writing it back is a
+        # no-op byte-wise; lanes that fetched nothing target the per-lane
+        # dump row (vc.dump0/dump1)
+        wb0r = jnp.where(rc0 >= 0, rc0, vc.dump0)
+        wb1r = jnp.where(rcur >= 0, rcur, vc.dump1)
         xf = xfer[:, :]
-        xf = set_col(xf, XC_WB0, wb0.astype(I32))
+        xf = set_col(xf, XC_WB0R, wb0r)
         xf = set_col(xf, XC_WB0B, wb0b.astype(I32))
         xf = set_col(xf, XC_WB0S, span0_idx)
-        xf = set_col(xf, XC_WB1, wb1.astype(I32))
+        xf = set_col(xf, XC_WB1R, wb1r)
         xf = set_col(xf, XC_WB1B, wb1b.astype(I32))
         xf = set_col(xf, XC_WB1S, span1_idx)
         xfer[:, :] = xf
         any_wbb = jnp.any(wb0b | wb1b)
         if DO_DMA:
             for l in range(L):
-                @pl.when(xfer[l, XC_WB0] != 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
-                    pltpu.make_async_copy(
-                        c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
-                    ).start()
-
-                @pl.when(xfer[l, XC_WB1] != 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
-                    pltpu.make_async_copy(
-                        c1cin.at[l], c1r.at[pl.ds(r, 1), :], sem_wb.at[l, 2]
-                    ).start()
+                r = lane_rowbase(l, R0) + xfer[l, XC_WB0R]
+                pltpu.make_async_copy(
+                    c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
+                ).start()
+                r1w = lane_rowbase(l, R1) + xfer[l, XC_WB1R]
+                pltpu.make_async_copy(
+                    c1cin.at[l], c1r.at[pl.ds(r1w, 1), :], sem_wb.at[l, 2]
+                ).start()
 
             @pl.when(any_wbb)
             def _():
@@ -851,19 +848,14 @@ def encoder_kernel(
         # wait row write-backs before the next event's reads
         if DO_DMA:
             for l in range(L):
-                @pl.when(xfer[l, XC_WB0] != 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
-                    pltpu.make_async_copy(
-                        c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
-                    ).wait()
-
-                @pl.when(xfer[l, XC_WB1] != 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
-                    pltpu.make_async_copy(
-                        c1cin.at[l], c1r.at[pl.ds(r, 1), :], sem_wb.at[l, 2]
-                    ).wait()
+                r = lane_rowbase(l, R0) + xfer[l, XC_WB0R]
+                pltpu.make_async_copy(
+                    c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
+                ).wait()
+                r1w = lane_rowbase(l, R1) + xfer[l, XC_WB1R]
+                pltpu.make_async_copy(
+                    c1cin.at[l], c1r.at[pl.ds(r1w, 1), :], sem_wb.at[l, 2]
+                ).wait()
 
             @pl.when(any_wbb)
             def _():
