@@ -211,3 +211,55 @@ def test_vm_decoder_source_refill():
         assert not np.asarray(getattr(of, f)).any(), f"overflow {f}"
     for i, b in enumerate(blocks):
         assert out[i, : opos[i]].tobytes() == b, f"block {i}"
+
+
+def test_vm_promoted_rows_gated_paths():
+    """Data engineered so context rows outgrow the inline capacity (42/63
+    items) and get promoted to big spans — keeps the scalar-gated big
+    paths (rows.py big_pred / any-promo gates) honest.  Asserts promotions
+    actually happened by stepping the driver internals, then checks
+    bit-exactness vs the spec oracle and a VM decode round trip."""
+    import jax.numpy as jnp
+
+    from x3tpu.vm import decode_blocks_vm_chunked
+    from x3tpu.vm import driver as vmdrv
+    from x3tpu.vm.config import R_PROMO0_N, R_PROMO1_N, vm_caps
+
+    caps = CodecCaps(
+        dict_cap=1024, pair_cap=8192, ctx_items_cap=256,
+        ctx0_items_cap=256, ctx_small_cap=16, block_bytes=8192,
+    )
+    # random bytes over a 64-symbol alphabet: every symbol recurs ~128
+    # times with up to 64 distinct random successors, so many NON-hub ctx1
+    # rows outgrow the 42-item inline capacity and promote (hub contexts —
+    # id 0 — never promote; an earlier construct only ever grew those)
+    rng = np.random.default_rng(11)
+    data = rng.integers(1, 65, 8192, np.uint8).tobytes()
+    params = PARAMS
+    vc = vm_caps(params, caps)
+    text, tlen = codec.pack_blocks([data], params, caps)
+    text_flat = vmdrv._prep_text(
+        jnp.asarray(text, jnp.uint8), vc, 1, text.shape[1]
+    )
+    tlen_p = jnp.pad(jnp.asarray(tlen, jnp.int32), (0, 7))
+    state = vmdrv._init_state(text_flat, tlen_p, vc, 1)
+    step = vmdrv._get_step(vc, params, 4096, 1, True)
+    while bool(vmdrv._any_active(state[13])):
+        state = step(text_flat, *state)
+    regs = np.asarray(state[13])
+    assert regs[0, R_PROMO1_N] > 0 or regs[0, R_PROMO0_N] > 0, (
+        "test data failed to trigger a promotion "
+        f"(promo0={regs[0, R_PROMO0_N]}, promo1={regs[0, R_PROMO1_N]})"
+    )
+    words, byte_lens, counts, sizes, of = vmdrv._finalize(state, vc)
+    words, byte_lens = np.asarray(words), np.asarray(byte_lens)
+    for f in of._fields:
+        assert not np.asarray(getattr(of, f))[0], f"overflow {f}"
+    got = words[0].astype("<u4").tobytes()[: byte_lens[0]]
+    assert got == spec.encode(data, params)
+
+    out, opos, _, _, dof = decode_blocks_vm_chunked(
+        words[:1], byte_lens[:1], params, caps, interpret=True
+    )
+    assert not any(np.asarray(getattr(dof, f))[0] for f in dof._fields)
+    assert np.asarray(out)[0, : np.asarray(opos)[0]].tobytes() == data
