@@ -36,6 +36,10 @@ def log(msg):
 
 
 def corpus(n):
+    import os
+    if os.environ.get("X3TPU_DEC_CORPUS") == "bench":
+        from bench import build_corpus
+        return build_corpus(n)
     rng = np.random.default_rng(42)
     words = [
         b"the", b"compression", b"dictionary", b"context", b"adaptive",

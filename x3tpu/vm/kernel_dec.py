@@ -59,7 +59,7 @@ OBROWS_F = OBF // 128
 # xfer scratch columns (vector -> scalar handoffs for DMA addressing)
 XC_SREF, XC_SROW = 0, 1
 XC_RPREV, XC_RCUR, XC_BPREV, XC_BCUR, XC_RC0, XC_BC0 = 2, 3, 4, 5, 6, 7
-XC_WB1, XC_WB1B, XC_WB1S, XC_WB0, XC_WB0B, XC_WB0S = 8, 9, 10, 11, 12, 13
+XC_WB1R, XC_WB1B, XC_WB1S, XC_WB0R, XC_WB0B, XC_WB0S = 8, 9, 10, 11, 12, 13
 XC_FLUSH, XC_FROW = 14, 15
 # acw scratch columns (AC state bridge across the literal while-loop)
 AC_LOW, AC_HIGH, AC_BUF, AC_BITPOS = 0, 1, 2, 3
@@ -118,6 +118,49 @@ def decoder_kernel(
     def lane_rowbase(l, rper):
         return (g * L + l) * rper
 
+    # ---- pre-loop: prime the prev-ctx1 row cache (mirror of kernel.py:
+    # the loop never fetches the prev row; after a hit the updated cur row
+    # is swapped in, after E_NEW prev resets to the hub)
+    R0v = regsi[:, :]
+    prev0 = get_col(R0v, R_PREV_C1)
+    act0 = get_col(R0v, R_DONE) == 0
+    rp0 = jnp.where(act0 & (prev0 >= 1), prev0 - 1, -1)
+    xfer[:, :] = set_col(jnp.zeros((L, 128), I32), XC_RPREV, rp0)
+    for l in range(L):
+        @pl.when(xfer[l, XC_RPREV] >= 0)
+        def _(l=l):
+            r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
+            pltpu.make_async_copy(
+                c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
+            ).start()
+    for l in range(L):
+        @pl.when(xfer[l, XC_RPREV] >= 0)
+        def _(l=l):
+            r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
+            pltpu.make_async_copy(
+                c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
+            ).wait()
+    hp0 = c1pin[:, 0, 0:1]
+    bp0 = jnp.where((rp0 >= 0) & (hp0 < 0), -hp0 - 1, -1)
+    xfer[:, :] = set_col(xfer[:, :], XC_BPREV, bp0)
+
+    @pl.when(jnp.any(bp0 >= 0))
+    def _():
+        for l in range(L):
+            @pl.when(xfer[l, XC_BPREV] >= 0)
+            def _(l=l):
+                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
+                pltpu.make_async_copy(
+                    c1r.at[pl.ds(r, PB), :], c1pbig.at[l], sem_row.at[l, 2]
+                ).start()
+        for l in range(L):
+            @pl.when(xfer[l, XC_BPREV] >= 0)
+            def _(l=l):
+                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
+                pltpu.make_async_copy(
+                    c1r.at[pl.ds(r, PB), :], c1pbig.at[l], sem_row.at[l, 2]
+                ).wait()
+
     def event_body(carry):
         step, _alive = carry
         R = regsi[:, :]
@@ -136,22 +179,24 @@ def decoder_kernel(
             set_col(xfer[:, :], XC_SREF, can_dma.astype(I32)),
             XC_SROW, srow,
         )
-        for l in range(L):
-            @pl.when(xfer[l, XC_SREF] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, srows) + xfer[l, XC_SROW]
-                pltpu.make_async_copy(
-                    srcflat.at[pl.ds(r, FWROWS), :], sseg.at[l],
-                    sem_src.at[l],
-                ).start()
-        for l in range(L):
-            @pl.when(xfer[l, XC_SREF] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, srows) + xfer[l, XC_SROW]
-                pltpu.make_async_copy(
-                    srcflat.at[pl.ds(r, FWROWS), :], sseg.at[l],
-                    sem_src.at[l],
-                ).wait()
+        @pl.when(jnp.any(can_dma))
+        def _():
+            for l in range(L):
+                @pl.when(xfer[l, XC_SREF] != 0)
+                def _(l=l):
+                    r = lane_rowbase(l, srows) + xfer[l, XC_SROW]
+                    pltpu.make_async_copy(
+                        srcflat.at[pl.ds(r, FWROWS), :], sseg.at[l],
+                        sem_src.at[l],
+                    ).start()
+            for l in range(L):
+                @pl.when(xfer[l, XC_SREF] != 0)
+                def _(l=l):
+                    r = lane_rowbase(l, srows) + xfer[l, XC_SROW]
+                    pltpu.make_async_copy(
+                        srcflat.at[pl.ds(r, FWROWS), :], sseg.at[l],
+                        sem_src.at[l],
+                    ).wait()
 
         @pl.when(jnp.any(refill))
         def _():
@@ -178,25 +223,15 @@ def decoder_kernel(
         # ================= B: start ctx1 row DMAs =================
         prev_c1 = get_col(R, R_PREV_C1)
         c1 = get_col(R, R_C1)
-        rprev = jnp.where(active & (prev_c1 >= 1), prev_c1 - 1, -1)
         rcur = jnp.where(active & (c1 >= 1), c1 - 1, -1)
-        xfer[:, :] = set_col(
-            set_col(xfer[:, :], XC_RPREV, rprev), XC_RCUR, rcur
-        )
+        # unconditional fetch, row clamped to 0 (stray reads masked
+        # downstream); the prev row comes from the swap cache, never HBM
+        xfer[:, :] = set_col(xfer[:, :], XC_RCUR, jnp.maximum(rcur, 0))
         for l in range(L):
-            @pl.when(xfer[l, XC_RPREV] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
-                ).start()
-
-            @pl.when(xfer[l, XC_RCUR] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
-                ).start()
+            r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
+            pltpu.make_async_copy(
+                c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
+            ).start()
 
         # ================= C: event symbol (x3.c:293) =================
         # NB: src_base2, not the register value — the refill above already
@@ -237,9 +272,9 @@ def decoder_kernel(
         frag_scr[:, :] = jnp.zeros((L, 128), I32)
         kmax = jnp.max(jnp.where(is_new, length_new, 0))
 
-        def lit_step(k, _):
-            @pl.when(k < kmax)
-            def _():
+        # early-exit scalar while (mirror of kernel.py)
+        def lit_step(k):
+            if True:
                 a2 = acw[:, :]
                 st2 = dict(
                     low=get_col(a2, AC_LOW).astype(U32),
@@ -276,9 +311,9 @@ def decoder_kernel(
                     AC_BITPOS, st2["bitpos"],
                 )
 
-            return 0
+            return k + 1
 
-        jax.lax.fori_loop(0, MML, lit_step, 0)
+        jax.lax.while_loop(lambda k: k < kmax, lit_step, jnp.int32(0))
         a2 = acw[:, :]
         st = dict(
             st,
@@ -296,59 +331,33 @@ def decoder_kernel(
 
         # ================= E: hit payload (x3.c:57-129) ===============
         for l in range(L):
-            @pl.when(xfer[l, XC_RPREV] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
-                ).wait()
+            r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
+            pltpu.make_async_copy(
+                c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
+            ).wait()
 
-            @pl.when(xfer[l, XC_RCUR] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
-                ).wait()
-
-        hp = c1pin[:, 0, 0:1]
         hc = c1cin[:, 0, 0:1]
-        bprev = jnp.where((rprev >= 0) & (hp < 0), -hp - 1, -1)
         bcur = jnp.where((rcur >= 0) & (hc < 0), -hc - 1, -1)
-        xfer[:, :] = set_col(
-            set_col(xfer[:, :], XC_BPREV, bprev), XC_BCUR, bcur
-        )
-        for l in range(L):
-            @pl.when(xfer[l, XC_BPREV] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, PB), :], c1pbig.at[l],
-                    sem_row.at[l, 2],
-                ).start()
+        xfer[:, :] = set_col(xfer[:, :], XC_BCUR, bcur)
 
-            @pl.when(xfer[l, XC_BCUR] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
-                    sem_row.at[l, 3],
-                ).start()
-        for l in range(L):
-            @pl.when(xfer[l, XC_BPREV] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, PB), :], c1pbig.at[l],
-                    sem_row.at[l, 2],
-                ).wait()
-
-            @pl.when(xfer[l, XC_BCUR] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
-                    sem_row.at[l, 3],
-                ).wait()
+        @pl.when(jnp.any(bcur >= 0))
+        def _():
+            for l in range(L):
+                @pl.when(xfer[l, XC_BCUR] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
+                    pltpu.make_async_copy(
+                        c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
+                        sem_row.at[l, 3],
+                    ).start()
+            for l in range(L):
+                @pl.when(xfer[l, XC_BCUR] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
+                    pltpu.make_async_copy(
+                        c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
+                        sem_row.at[l, 3],
+                    ).wait()
 
         hub1n = get_col(R, R_HUB1_N)
         v_prev = rw.row_view(rw.FAM1, prev_c1, c1pin, c1pbig, hub1n, active)
@@ -359,38 +368,40 @@ def decoder_kernel(
         cid0 = jnp.where(pair_found & active, pair_id, 0)
 
         rc0 = jnp.where(active & (cid0 >= 1), cid0 - 1, -1)
-        xfer[:, :] = set_col(xfer[:, :], XC_RC0, rc0)
+        # unconditional fetch (clamped row; stray reads masked downstream)
+        xfer[:, :] = set_col(xfer[:, :], XC_RC0, jnp.maximum(rc0, 0))
         for l in range(L):
-            @pl.when(xfer[l, XC_RC0] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
-                pltpu.make_async_copy(
-                    c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
-                ).start()
+            r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
+            pltpu.make_async_copy(
+                c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
+            ).start()
         for l in range(L):
-            @pl.when(xfer[l, XC_RC0] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
-                pltpu.make_async_copy(
-                    c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
-                ).wait()
+            r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
+            pltpu.make_async_copy(
+                c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
+            ).wait()
         h0 = c0in[:, 0, 0:1]
         bc0 = jnp.where((rc0 >= 0) & (h0 < 0), -h0 - 1, -1)
         xfer[:, :] = set_col(xfer[:, :], XC_BC0, bc0)
-        for l in range(L):
-            @pl.when(xfer[l, XC_BC0] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
-                pltpu.make_async_copy(
-                    c0r.at[pl.ds(r, PB), :], c0big.at[l], sem_row.at[l, 5]
-                ).start()
-        for l in range(L):
-            @pl.when(xfer[l, XC_BC0] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
-                pltpu.make_async_copy(
-                    c0r.at[pl.ds(r, PB), :], c0big.at[l], sem_row.at[l, 5]
-                ).wait()
+
+        @pl.when(jnp.any(bc0 >= 0))
+        def _():
+            for l in range(L):
+                @pl.when(xfer[l, XC_BC0] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
+                    pltpu.make_async_copy(
+                        c0r.at[pl.ds(r, PB), :], c0big.at[l],
+                        sem_row.at[l, 5],
+                    ).start()
+            for l in range(L):
+                @pl.when(xfer[l, XC_BC0] >= 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
+                    pltpu.make_async_copy(
+                        c0r.at[pl.ds(r, PB), :], c0big.at[l],
+                        sem_row.at[l, 5],
+                    ).wait()
 
         hub0n = get_col(R, R_HUB0_N)
         v0 = rw.row_view(rw.FAM0, cid0, c0in, c0big, hub0n, active)
@@ -569,23 +580,22 @@ def decoder_kernel(
         def _():
             for r in range(OBROWS_F):
                 stage[:, r, :] = outwin[:, r * 128 : (r + 1) * 128]
-
-        for l in range(L):
-            @pl.when(xfer[l, XC_FLUSH] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, obrows) + xfer[l, XC_FROW]
-                pltpu.make_async_copy(
-                    stage.at[l], outb.at[pl.ds(r, OBROWS_F), :],
-                    sem_out.at[l],
-                ).start()
-        for l in range(L):
-            @pl.when(xfer[l, XC_FLUSH] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, obrows) + xfer[l, XC_FROW]
-                pltpu.make_async_copy(
-                    stage.at[l], outb.at[pl.ds(r, OBROWS_F), :],
-                    sem_out.at[l],
-                ).wait()
+            for l in range(L):
+                @pl.when(xfer[l, XC_FLUSH] != 0)
+                def _(l=l):
+                    ro = lane_rowbase(l, obrows) + xfer[l, XC_FROW]
+                    pltpu.make_async_copy(
+                        stage.at[l], outb.at[pl.ds(ro, OBROWS_F), :],
+                        sem_out.at[l],
+                    ).start()
+            for l in range(L):
+                @pl.when(xfer[l, XC_FLUSH] != 0)
+                def _(l=l):
+                    ro = lane_rowbase(l, obrows) + xfer[l, XC_FROW]
+                    pltpu.make_async_copy(
+                        stage.at[l], outb.at[pl.ds(ro, OBROWS_F), :],
+                        sem_out.at[l],
+                    ).wait()
 
         shifted_out = jnp.concatenate(
             [outwin[:, OBF:], jnp.zeros((L, OBF), I32)], axis=1
@@ -599,70 +609,84 @@ def decoder_kernel(
         wb0b = wb0 & (v0.is_big | dp0)
         wb1 = hit & (c1 >= 1)
         wb1b = wb1 & (v_cur.is_big | dp1)
+        # unconditional small-row write-backs (non-hit lanes' scratch is
+        # unmodified -> byte-wise no-op; no-fetch lanes target dump rows)
+        wb0r = jnp.where(rc0 >= 0, rc0, vc.dump0)
+        wb1r = jnp.where(rcur >= 0, rcur, vc.dump1)
         xf = xfer[:, :]
-        xf = set_col(xf, XC_WB0, wb0.astype(I32))
+        xf = set_col(xf, XC_WB0R, wb0r)
         xf = set_col(xf, XC_WB0B, wb0b.astype(I32))
         xf = set_col(xf, XC_WB0S, span0_idx)
-        xf = set_col(xf, XC_WB1, wb1.astype(I32))
+        xf = set_col(xf, XC_WB1R, wb1r)
         xf = set_col(xf, XC_WB1B, wb1b.astype(I32))
         xf = set_col(xf, XC_WB1S, span1_idx)
         xfer[:, :] = xf
+        any_wbb = jnp.any(wb0b | wb1b)
         for l in range(L):
-            @pl.when(xfer[l, XC_WB0] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
-                pltpu.make_async_copy(
-                    c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
-                ).start()
+            r = lane_rowbase(l, R0) + xfer[l, XC_WB0R]
+            pltpu.make_async_copy(
+                c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
+            ).start()
+            r1w = lane_rowbase(l, R1) + xfer[l, XC_WB1R]
+            pltpu.make_async_copy(
+                c1cin.at[l], c1r.at[pl.ds(r1w, 1), :], sem_wb.at[l, 2]
+            ).start()
 
-            @pl.when(xfer[l, XC_WB0B] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
-                pltpu.make_async_copy(
-                    c0big.at[l], c0r.at[pl.ds(r, PB), :], sem_wb.at[l, 1]
-                ).start()
+        @pl.when(any_wbb)
+        def _():
+            for l in range(L):
+                @pl.when(xfer[l, XC_WB0B] != 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
+                    pltpu.make_async_copy(
+                        c0big.at[l], c0r.at[pl.ds(r, PB), :], sem_wb.at[l, 1]
+                    ).start()
 
-            @pl.when(xfer[l, XC_WB1] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
-                pltpu.make_async_copy(
-                    c1cin.at[l], c1r.at[pl.ds(r, 1), :], sem_wb.at[l, 2]
-                ).start()
+                @pl.when(xfer[l, XC_WB1B] != 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
+                    pltpu.make_async_copy(
+                        c1cbig.at[l], c1r.at[pl.ds(r, PB), :], sem_wb.at[l, 3]
+                    ).start()
 
-            @pl.when(xfer[l, XC_WB1B] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
-                pltpu.make_async_copy(
-                    c1cbig.at[l], c1r.at[pl.ds(r, PB), :], sem_wb.at[l, 3]
-                ).start()
         for l in range(L):
-            @pl.when(xfer[l, XC_WB0] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
-                pltpu.make_async_copy(
-                    c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
-                ).wait()
+            r = lane_rowbase(l, R0) + xfer[l, XC_WB0R]
+            pltpu.make_async_copy(
+                c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
+            ).wait()
+            r1w = lane_rowbase(l, R1) + xfer[l, XC_WB1R]
+            pltpu.make_async_copy(
+                c1cin.at[l], c1r.at[pl.ds(r1w, 1), :], sem_wb.at[l, 2]
+            ).wait()
 
-            @pl.when(xfer[l, XC_WB0B] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
-                pltpu.make_async_copy(
-                    c0big.at[l], c0r.at[pl.ds(r, PB), :], sem_wb.at[l, 1]
-                ).wait()
+        @pl.when(any_wbb)
+        def _():
+            for l in range(L):
+                @pl.when(xfer[l, XC_WB0B] != 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
+                    pltpu.make_async_copy(
+                        c0big.at[l], c0r.at[pl.ds(r, PB), :], sem_wb.at[l, 1]
+                    ).wait()
 
-            @pl.when(xfer[l, XC_WB1] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
-                pltpu.make_async_copy(
-                    c1cin.at[l], c1r.at[pl.ds(r, 1), :], sem_wb.at[l, 2]
-                ).wait()
+                @pl.when(xfer[l, XC_WB1B] != 0)
+                def _(l=l):
+                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
+                    pltpu.make_async_copy(
+                        c1cbig.at[l], c1r.at[pl.ds(r, PB), :], sem_wb.at[l, 3]
+                    ).wait()
 
-            @pl.when(xfer[l, XC_WB1B] != 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
-                pltpu.make_async_copy(
-                    c1cbig.at[l], c1r.at[pl.ds(r, PB), :], sem_wb.at[l, 3]
-                ).wait()
+        # prev-row cache swap (next event's prev row = this updated cur)
+        c1pin[:, 0, :] = jnp.where(
+            hit & (c1 >= 1), c1cin[:, 0, :], c1pin[:, 0, :]
+        )
+
+        @pl.when(jnp.any(wb1b))
+        def _():
+            for rr in range(PB):
+                c1pbig[:, rr, :] = jnp.where(
+                    wb1b, c1cbig[:, rr, :], c1pbig[:, rr, :]
+                )
 
         # ================= advance ====================================
         prev2 = jnp.where(hit, c1, jnp.where(is_new, 0, prev_c1))
