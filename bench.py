@@ -107,11 +107,13 @@ def main() -> int:
         def encode(text, tlen, params, caps,
                    _xla=codec.encode_blocks_chunked):
             try:
-                # chunk_steps pinned to 8192: one kernel variant per
-                # (caps, params, G) in the persistent compile cache — the
-                # driver's cold bench run must hit it, not recompile
+                # chunk_steps pinned to 16384: a 16 KiB block can never
+                # need more events than bytes, so the whole encode is ONE
+                # kernel launch + one done-check round trip (each costs
+                # ~33 ms through the tunnel).  Pinned so the driver's
+                # cold bench run hits the persistent compile cache.
                 return vm.encode_blocks_vm_chunked(
-                    text, tlen, params, caps, chunk_steps=8192,
+                    text, tlen, params, caps, chunk_steps=16384,
                     interpret=(vm_mode == "interpret"),
                 )
             except vm.VMUnsupported as e:

@@ -24,6 +24,13 @@ if os.environ.get("X3TPU_TEST_TPU") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # NB: do NOT enable the persistent compile cache here — serializing
+    # the giant interpret-mode VM executables for the cache write is
+    # itself an XLA:CPU crash site (segfault in executable.serialize /
+    # the zstd writer, observed 2026-08-17), and the entries never land
+    # anyway.  The one giant compile that exceeds the process's
+    # late-suite tolerance runs subprocess-isolated instead
+    # (test_vm.py::test_vm_promoted_rows_gated_paths).
 
 import pytest
 

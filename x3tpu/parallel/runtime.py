@@ -150,9 +150,14 @@ def _encode_one_device(text, tlen, params, caps, seeds):
         from x3tpu import vm
 
         try:
+            # chunk_steps pinned to 16384 to share the persistent
+            # compile-cache entry with bench.py (one kernel variant per
+            # (caps, params, G); a launch stays well under the ~30 s
+            # device-execution limit up to 128 lanes)
             return vm.encode_blocks_vm_chunked(
                 jax.numpy.asarray(text), jax.numpy.asarray(tlen), params,
-                caps, seeds, interpret=(engine == "vm_interpret"),
+                caps, seeds, chunk_steps=16384,
+                interpret=(engine == "vm_interpret"),
             )
         except vm.VMUnsupported:
             pass
@@ -169,7 +174,7 @@ def _decode_one_device(words, byte_lens, params, caps, seeds):
 
         try:
             return vm.decode_blocks_vm_chunked(
-                words, byte_lens, params, caps, seeds,
+                words, byte_lens, params, caps, seeds, chunk_steps=16384,
                 interpret=(engine == "vm_interpret"),
             )
         except vm.VMUnsupported:

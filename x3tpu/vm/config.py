@@ -157,16 +157,23 @@ def vm_caps(params: X3Params, caps: CodecCaps) -> VMCaps:
     d = caps.dict_cap
     if d & (d - 1) or not 128 <= d <= 8192:
         raise VMUnsupported(f"dict_cap {d} outside VM range [128, 8192] pow2")
-    if caps.block_bytes > 1 << 20:
-        raise VMUnsupported(f"block_bytes {caps.block_bytes} > 1 MiB")
-    if params.window > 16 * 1024:
-        # the 32 KiB-window kernel crashes the remote Mosaic compiler
-        # (bench_matrix 2026-08-17); larger windows take the XLA path
-        raise VMUnsupported(f"window {params.window} > 16 KiB")
-    hub = 1024
+    if caps.block_bytes > 4 << 20:
+        # 4 MiB blocks measured on the binary-class proxy: dict 5838
+        # entries, 119K pairs, ~755K events — all within VM capacities
+        # (dict_cap 8192, s0 128K HBM rows/lane); bigger blocks untested
+        raise VMUnsupported(f"block_bytes {caps.block_bytes} > 4 MiB")
+    if params.window > 32 * 1024:
+        # 32 KiB verified bit-exact on hardware (probe_w32k 2026-08-17;
+        # an earlier-round compile crash no longer reproduces); the
+        # segment barrel shift covers any window (off <= 768 by refill)
+        raise VMUnsupported(f"window {params.window} > 32 KiB")
+    # hub items are distinct tags, hence <= dict entries <= D: sizing the
+    # hub planes to D removes the hub-overflow failure mode entirely
+    # (measured: 4 MB binary block grows the hub past the old 1024 cap)
+    hub = max(1024, d)
     if caps.ctx_items_cap > BIG1 or caps.ctx0_items_cap > BIG0:
         raise VMUnsupported("ctx item caps exceed promoted-row capacity")
-    s0 = min(caps.pair_cap, 1 << 15)
+    s0 = min(caps.pair_cap, 1 << 17)
     m0 = min(max(s0 // 32, 64), 1024)
     m1 = min(max(d // 4, 64), 1024)
     return VMCaps(
