@@ -283,3 +283,25 @@ def test_vm_promoted_rows_gated_paths():
     )
     assert not any(np.asarray(getattr(dof, f))[0] for f in dof._fields)
     assert np.asarray(out)[0, : np.asarray(opos)[0]].tobytes() == data
+
+
+def test_vm_window_32k_small_block():
+    """window=32K (the new VM upper limit, hardware-verified 2026-08-17)
+    on a tiny block: the scan/extract machinery must mask the out-of-block
+    window tail exactly like the spec does."""
+    params = X3Params(max_match_count=15, window=32 * 1024)
+    caps = CodecCaps(
+        dict_cap=256, pair_cap=512, ctx_items_cap=128,
+        ctx0_items_cap=128, ctx_small_cap=16, block_bytes=1024,
+    )
+    blocks = [
+        b"abcabcabc 0123456789 " * 40,
+        bytes(range(128)) * 2,
+    ]
+    words, byte_lens, counts, sizes, of = _encode_vm(blocks, params, caps)
+    words, byte_lens = np.asarray(words), np.asarray(byte_lens)
+    for f in of._fields:
+        assert not np.asarray(getattr(of, f)).any(), f"overflow {f}"
+    for i, b in enumerate(blocks):
+        got = words[i].astype("<u4").tobytes()[: byte_lens[i]]
+        assert got == spec.encode(b, params), f"block {i}"
