@@ -75,6 +75,7 @@ def build_corpora():
     # real shared-object bytes; the reference side runs on the FIRST block
     # only (0.0186 MB/s measured -> 32 MB would take ~30 min)
     corp["binary4"] = _concat_files(sos[:16], 32 << 20)[: 4 << 20]
+    corp["text128"] = corp["text"][: 128 << 10]
     return corp
 
 
@@ -192,6 +193,12 @@ def main():
     CONFIGS = [
         ("text", "text", ["-t", "15", "-w", "8"], X3Params(), 128 << 10,
          None),
+        # single-block config: both codecs code the SAME one block, so the
+        # ratio must be IDENTICAL (streams are bit-identical at equal
+        # parameters) — the ratio gaps in multi-block rows are purely the
+        # block-splitting tradeoff, not format loss
+        ("text-1blk", "text128", ["-t", "15", "-w", "8"], X3Params(),
+         128 << 10, None),
         ("xml-bigwin", "xml", ["-t", "15", "-w", "32"],
          X3Params(window=32 * 1024), 128 << 10, None),
         ("tabular-bigwin", "tabular", ["-t", "15", "-w", "32"],

@@ -23,6 +23,32 @@ from x3tpu.vm import VMUnsupported, encode_blocks_vm_chunked
 GOLDEN = pathlib.Path(__file__).parent / "golden"
 
 
+def _subprocess_isolated(fn):
+    """Run the decorated test in a FRESH pytest subprocess.
+
+    The suite's pre-existing set of giant interpret-mode VM compiles is
+    reliable, but each ADDED one segfaults XLA:CPU when it lands late in
+    a long same-process run (observed at the promotion test and again at
+    the 32K-window test, 2026-08-17/18; every one passes standalone).
+    Serializing these executables for the compile cache crashes too, so
+    caching can't help — new giant compiles get a fresh process instead."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*a, **k):
+        if os.environ.get("X3TPU_VM_ISOLATED_CHILD") == "1":
+            return fn(*a, **k)
+        env = dict(os.environ, X3TPU_VM_ISOLATED_CHILD="1")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+             f"{__file__}::{fn.__name__}"],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-800:])
+
+    return wrapper
+
+
 PARAMS = X3Params(max_match_count=4, window=256)
 
 
@@ -217,28 +243,12 @@ def test_vm_decoder_source_refill():
         assert out[i, : opos[i]].tobytes() == b, f"block {i}"
 
 
+@_subprocess_isolated
 def test_vm_promoted_rows_gated_paths():
     """Data engineered so context rows outgrow the inline capacity (42/63
     items) and get promoted to big spans.  Asserts promotions actually
     happened by stepping the driver internals, then checks bit-exactness
-    vs the spec oracle and a VM decode round trip.
-
-    Runs in a FRESH subprocess: adding one more giant interpret-mode
-    compile to the suite pushed XLA:CPU past a late-process tolerance
-    (segfaults inside Compile, observed 2026-08-17; the pre-existing
-    compiles are reliable).  Isolation keeps the suite at its proven
-    compile load.
-    """
-    if os.environ.get("X3TPU_PROMO_CHILD") != "1":
-        env = dict(os.environ, X3TPU_PROMO_CHILD="1")
-        r = subprocess.run(
-            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
-             f"{__file__}::test_vm_promoted_rows_gated_paths"],
-            env=env, capture_output=True, text=True, timeout=1800,
-        )
-        assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-800:])
-        return
-
+    vs the spec oracle and a VM decode round trip."""
     import jax.numpy as jnp
 
     from x3tpu.vm import decode_blocks_vm_chunked
@@ -285,6 +295,7 @@ def test_vm_promoted_rows_gated_paths():
     assert np.asarray(out)[0, : np.asarray(opos)[0]].tobytes() == data
 
 
+@_subprocess_isolated
 def test_vm_window_32k_small_block():
     """window=32K (the new VM upper limit, hardware-verified 2026-08-17)
     on a tiny block: the scan/extract machinery must mask the out-of-block
