@@ -316,3 +316,65 @@ def test_vm_window_32k_small_block():
     for i, b in enumerate(blocks):
         got = words[i].astype("<u4").tobytes()[: byte_lens[i]]
         assert got == spec.encode(b, params), f"block {i}"
+
+
+def _huge_tier_data():
+    """Input engineered so one non-hub ctx1 row and one ctx0 row collect
+    ~230 distinct successor tags.  window=32 makes SCAN <= 0 (no window
+    matcher), so after the single-byte prelude every event is a dict hit:
+    each round ``X Y ci`` appends ci to ctx1[Y] and to ctx0[(X,Y)]."""
+    pre = bytes(range(1, 251))
+    X, Y = 251, 252
+    body = b"".join(bytes([X, Y, c]) for c in range(1, 231))
+    return pre + body
+
+
+@_subprocess_isolated
+def test_vm_huge_rows_bit_exact():
+    """Rows past the big-span capacity promote to HUGE spans (the 4 MB
+    block regime: /tmp/ref4mb.log measured ctx1 rows to 7449 items).  The
+    test lowers the promotion trigger (big_trig*, layout-internal — the
+    stream is unaffected) so ~230-item rows exercise the tier, asserts
+    huge promotions actually happened in BOTH families, and checks
+    bit-exactness vs the spec oracle plus a VM decode round trip."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from x3tpu.vm import driver as vmdrv
+    from x3tpu.vm.config import R_HUGE0_N, R_HUGE1_N, vm_caps
+
+    params = X3Params(max_match_count=15, window=32)
+    caps = CodecCaps(
+        dict_cap=384, pair_cap=2048, ctx_items_cap=1024,
+        ctx0_items_cap=1024, ctx_small_cap=16, block_bytes=1024,
+    )
+    data = _huge_tier_data()
+    vc = vm_caps(params, caps)
+    assert vc.nr2_1 == 8 and vc.nr2_0 == 8 and vc.dict_cap == 384
+    vc = dataclasses.replace(vc, big_trig0=200, big_trig1=160)
+
+    text, tlen = codec.pack_blocks([data], params, caps)
+    text_flat = vmdrv._prep_text(
+        jnp.asarray(text, jnp.uint8), vc, 1, text.shape[1]
+    )
+    tlen_p = jnp.pad(jnp.asarray(tlen, jnp.int32), (0, 7))
+    state = vmdrv._init_state(text_flat, tlen_p, vc, 1)
+    step = vmdrv._get_step(vc, params, 4096, 1, True)
+    while bool(vmdrv._any_active(state[13])):
+        state = step(text_flat, *state)
+    regs = np.asarray(state[13])
+    assert regs[0, R_HUGE1_N] > 0, "no ctx1 huge promotion"
+    assert regs[0, R_HUGE0_N] > 0, "no ctx0 huge promotion"
+    words, byte_lens, counts, sizes, of = vmdrv._finalize(state, vc)
+    words, byte_lens = np.asarray(words), np.asarray(byte_lens)
+    for f in of._fields:
+        assert not np.asarray(getattr(of, f))[0], f"overflow {f}"
+    got = words[0].astype("<u4").tobytes()[: byte_lens[0]]
+    assert got == spec.encode(data, params)
+
+    out, opos, _, _, dof = vmdrv.decode_blocks_vm_chunked(
+        words[:1], byte_lens[:1], params, caps, vc=vc, interpret=True
+    )
+    assert not any(np.asarray(getattr(dof, f))[0] for f in dof._fields)
+    assert np.asarray(out)[0, : np.asarray(opos)[0]].tobytes() == data

@@ -76,6 +76,8 @@ R_OPOS = 24        # decoder output position (bytes)
 R_SRC_NW = 25      # readable source words (end-minus-3 rule, bio.c:11)
 R_OUT_BASE = 26    # decoder output window base byte offset (OBF-aligned)
 R_AC_BUF = 27      # AC decode buffer (31-bit value window, ac.c:133-140)
+R_HUGE0_N = 28     # allocated ctx0 huge spans
+R_HUGE1_N = 29     # allocated ctx1 huge spans
 
 OBW = 512          # decoder output window bytes (byte-per-i32)
 OBF = 256          # output flush granule bytes (2 rows of 128)
@@ -98,7 +100,7 @@ def _round_up(x: int, m: int) -> int:
 class VMCaps:
     """Static VM capacities, derived from CodecCaps via :func:`vm_caps`."""
 
-    dict_cap: int          # D, power of two <= 8192
+    dict_cap: int          # D, multiple of 128, <= 32768
     s0: int                # non-hub ctx0 rows per lane (pair capacity - 1)
     m0: int                # promoted ctx0 spans per lane
     m1: int                # promoted ctx1 spans per lane
@@ -107,6 +109,17 @@ class VMCaps:
     window: int            # search window bytes (params.window)
     block_bytes: int       # per-lane input capacity
     out_words: int         # per-lane output words (multiple of FLUSH_WORDS)
+    # huge tier (rows that outgrow a PB-row big span; 0 slots = disabled).
+    # A huge span is ONE contiguous HBM block of 1 + nsec*nr2 rows (header
+    # + nr2 128-item rows per section), fetched/written as a single DMA —
+    # capacity measured on the 4 MB binary regime (/tmp/ref4mb.log: ctx1
+    # rows to 7449 items, ctx0 to 1257; see BENCH_NOTES.md)
+    h2_0: int = 0          # huge ctx0 spans per lane
+    h2_1: int = 0          # huge ctx1 spans per lane
+    nr2_0: int = 0         # rows per section in a ctx0 huge span
+    nr2_1: int = 0         # rows per section in a ctx1 huge span
+    big_trig0: int = BIG0  # big->huge promotion threshold (test hook)
+    big_trig1: int = BIG1
 
     @property
     def s1(self) -> int:
@@ -114,14 +127,33 @@ class VMCaps:
         return self.dict_cap - 1
 
     @property
+    def pb2_0(self) -> int:
+        """Rows per ctx0 huge span (header + tags + freqs sections)."""
+        return 1 + 2 * self.nr2_0 if self.h2_0 else 1
+
+    @property
+    def pb2_1(self) -> int:
+        """Rows per ctx1 huge span (header + tags + freqs + pairs)."""
+        return 1 + 3 * self.nr2_1 if self.h2_1 else 1
+
+    @property
     def r0(self) -> int:
         # +1: per-lane dump row — unconditional write-backs from inactive
         # lanes land there (a gated-out DMA region costs more than the DMA)
-        return self.s0 + self.m0 * PB + 1
+        return self.s0 + self.m0 * PB + self.h2_0 * self.pb2_0 + 1
 
     @property
     def r1(self) -> int:
-        return self.s1 + self.m1 * PB + 1
+        return self.s1 + self.m1 * PB + self.h2_1 * self.pb2_1 + 1
+
+    @property
+    def hug0_base(self) -> int:
+        """First huge-span row, relative to the big-span base (S+...)."""
+        return self.m0 * PB
+
+    @property
+    def hug1_base(self) -> int:
+        return self.m1 * PB
 
     @property
     def dump0(self) -> int:
@@ -155,8 +187,10 @@ class VMUnsupported(RuntimeError):
 
 def vm_caps(params: X3Params, caps: CodecCaps) -> VMCaps:
     d = caps.dict_cap
-    if d & (d - 1) or not 128 <= d <= 8192:
-        raise VMUnsupported(f"dict_cap {d} outside VM range [128, 8192] pow2")
+    if d % 128 or not 128 <= d <= 32768:
+        # dense VMEM dictionary planes: any 128-multiple works; 32K entries
+        # covers the measured 4 MB-block regime (21770, /tmp/ref4mb.log)
+        raise VMUnsupported(f"dict_cap {d} outside VM range [128, 32768]/128")
     if caps.block_bytes > 4 << 20:
         # 4 MiB blocks measured on the binary-class proxy: dict 5838
         # entries, 119K pairs, ~755K events — all within VM capacities
@@ -169,14 +203,32 @@ def vm_caps(params: X3Params, caps: CodecCaps) -> VMCaps:
         raise VMUnsupported(f"window {params.window} > 32 KiB")
     # hub items are distinct tags, hence <= dict entries <= D: sizing the
     # hub planes to D removes the hub-overflow failure mode entirely
-    # (measured: 4 MB binary block grows the hub past the old 1024 cap)
-    hub = max(1024, d)
-    if caps.ctx_items_cap > BIG1 or caps.ctx0_items_cap > BIG0:
-        raise VMUnsupported("ctx item caps exceed promoted-row capacity")
-    s0 = min(caps.pair_cap, 1 << 17)
+    # (measured: 4 MB binary block grows the hub past the old 1024 cap).
+    # Above 8192 the planes are capped to bound VMEM (the hub overflow
+    # flag + host auto-retry covers the residual risk); the measured 4 MB
+    # binary hub peaks at 7449 items (/tmp/ref4mb.log)
+    hub = max(1024, min(d, 8192))
+    # huge tier: rows beyond the PB-span capacity live in single large
+    # spans.  Sections are capped at 64/16 rows (8192/2048 items) to bound
+    # the statically-unrolled masked compute per event
+    if caps.ctx_items_cap > BIG1:
+        nr2_1 = _round_up(caps.ctx_items_cap, 128) // 128
+        if nr2_1 > 64:
+            raise VMUnsupported(f"ctx_items_cap {caps.ctx_items_cap} > 8192")
+        h2_1 = 128
+    else:
+        nr2_1, h2_1 = 0, 0
+    if caps.ctx0_items_cap > BIG0:
+        nr2_0 = _round_up(caps.ctx0_items_cap, 128) // 128
+        if nr2_0 > 16:
+            raise VMUnsupported(f"ctx0_items_cap {caps.ctx0_items_cap} > 2048")
+        h2_0 = 32
+    else:
+        nr2_0, h2_0 = 0, 0
+    s0 = min(caps.pair_cap, 1 << 19)
     m0 = min(max(s0 // 32, 64), 1024)
     m1 = min(max(d // 4, 64), 1024)
-    return VMCaps(
+    vc = VMCaps(
         dict_cap=d,
         s0=s0,
         m0=m0,
@@ -186,4 +238,17 @@ def vm_caps(params: X3Params, caps: CodecCaps) -> VMCaps:
         window=params.window,
         block_bytes=caps.block_bytes,
         out_words=_round_up(caps.out_words, FLUSH_WORDS),
+        h2_0=h2_0, h2_1=h2_1, nr2_0=nr2_0, nr2_1=nr2_1,
     )
+    # VMEM budget: resident dictionary planes + hubs + window segment +
+    # row/huge scratch must leave Mosaic headroom on the 16 MiB/core v5e
+    resident = 4 * LANES * (
+        12 * d + 5 * hub + (vc.wbuf // 128 + _round_up(vc.wbuf, SEG_ALIGN)
+                            // 128 + 12) * 128
+        + (vc.pb2_0 + 2 * vc.pb2_1 + 3 * PB + 16) * 128
+    )
+    if resident > 14 << 20:
+        raise VMUnsupported(
+            f"VMEM-resident state ~{resident >> 20} MiB exceeds budget"
+        )
+    return vc

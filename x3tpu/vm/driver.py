@@ -142,14 +142,17 @@ def _get_step(vc: VMCaps, params: X3Params, nsteps: int, G: int,
 def encode_blocks_vm_chunked(
     text, tlen, params: X3Params, caps: CodecCaps, seeds=None,
     chunk_steps: int = 4096, interpret: bool = False,
-    ablate: frozenset = frozenset(),
+    ablate: frozenset = frozenset(), vc: VMCaps = None,
 ):
     """Chunked codec-VM encode; same contract as
     codec.encode_blocks_chunked.  Raises VMUnsupported for configurations
-    the kernel cannot host (callers fall back to the XLA path)."""
+    the kernel cannot host (callers fall back to the XLA path).  ``vc``
+    overrides the derived VM capacities (tests use it to lower the
+    big->huge promotion trigger)."""
     if seeds is not None:
         raise VMUnsupported("dictionary seeds not supported by the VM yet")
-    vc = vm_caps(params, caps)
+    if vc is None:
+        vc = vm_caps(params, caps)
     L_in, tb_in = text.shape
     G = (L_in + LANES - 1) // LANES
     G8 = G * LANES
@@ -294,14 +297,15 @@ def _get_step_dec(vc: VMCaps, params: X3Params, nsteps: int, G: int,
 
 def decode_blocks_vm_chunked(
     words, byte_lens, params: X3Params, caps: CodecCaps, seeds=None,
-    chunk_steps: int = 4096, interpret: bool = False,
+    chunk_steps: int = 4096, interpret: bool = False, vc: VMCaps = None,
 ):
     """Chunked codec-VM decode; same contract as
     codec.decode_blocks_chunked: returns (out u8 [L, block_bytes],
     out_lens, counts, sizes, Overflow)."""
     if seeds is not None:
         raise VMUnsupported("dictionary seeds not supported by the VM yet")
-    vc = vm_caps(params, caps)
+    if vc is None:
+        vc = vm_caps(params, caps)
     L_in, IW = words.shape
     G = (L_in + LANES - 1) // LANES
     srows = _dec_srows(vc, IW)

@@ -40,8 +40,9 @@ from x3tpu.vm import rows as rw
 from x3tpu.vm.config import (
     FLUSH_WORDS, LANES, OF_CTX0, OF_CTX1, OF_DICT, OF_OUT, OF_PAIRS, PB,
     R_AC_HIGH, R_AC_LOW, R_AC_SCALE, R_C1, R_COUNTS, R_DICT_N, R_HUB0_N,
-    R_HUB1_N, R_NBITS, R_OFLOW, R_P, R_PAIR_N, R_PREV_C1, R_PROMO0_N,
-    R_PROMO1_N, R_SEG_BASE, R_TLEN, R_WIN_BASE, VMCaps,
+    R_HUB1_N, R_HUGE0_N, R_HUGE1_N, R_NBITS, R_OFLOW, R_P, R_PAIR_N,
+    R_PREV_C1, R_PROMO0_N, R_PROMO1_N, R_SEG_BASE, R_TLEN, R_WIN_BASE,
+    VMCaps,
 )
 from x3tpu.vm.prims import col_iota, get_col, set_col
 
@@ -56,6 +57,9 @@ XC_NEED, XC_ROW0, XC_RPREV, XC_RCUR, XC_BPREV, XC_BCUR = 0, 1, 2, 3, 4, 5
 XC_RC0, XC_BC0 = 6, 7
 XC_WB1R, XC_WB1B, XC_WB1S, XC_WB0R, XC_WB0B, XC_WB0S = 8, 9, 10, 11, 12, 13
 XC_FLUSH, XC_FROW = 14, 15
+# huge-tier columns (only written when the tier is compiled in)
+XC_GPREV, XC_GCUR, XC_GC0 = 16, 17, 18
+XC_WB1G, XC_WB1GS, XC_WB0G, XC_WB0GS = 19, 20, 21, 22
 # acw scratch columns (AC state bridge across the literal while-loop)
 AC_LOW, AC_HIGH, AC_SCALE, AC_NBITS, AC_OFLOW = 0, 1, 2, 3, 4
 
@@ -165,6 +169,7 @@ def encoder_kernel(
     outw, c0r, c1r,
     # scratch
     tseg, seg32, c0in, c0big, c1pin, c1pbig, c1cin, c1cbig,
+    c0hug, c1phug, c1chug,
     stage, rem_scr, res_scr, xfer, acw, acwf,
     sem_seg, sem_row, sem_wb, sem_out,
     *, vc: VMCaps, params: X3Params, nsteps: int, trows: int, orows: int,
@@ -180,6 +185,14 @@ def encoder_kernel(
     R0, R1 = vc.r0, vc.r1
     SCAN = params.window - MML - 1
     SCANP = max((SCAN + 127) // 128 * 128, 128)
+    # huge tier (statics; when a family's tier is off its hug scratch is a
+    # 1-row dummy and the rows functions compile the 3-tier code exactly)
+    NR2_0, NR2_1 = vc.nr2_0, vc.nr2_1
+    PB2_0, PB2_1 = vc.pb2_0, vc.pb2_1
+    HB0, HB1 = vc.hug0_base, vc.hug1_base
+    c0hug_a = c0hug if NR2_0 else None
+    c1phug_a = c1phug if NR2_1 else None
+    c1chug_a = c1chug if NR2_1 else None
     # perf-ablation gates (hardware budget dissection ONLY -- any non-empty
     # ablate set produces WRONG output; see experiments/hw_vm_ablate.py)
     DO_DMA = "nodma" not in ablate
@@ -232,7 +245,14 @@ def encoder_kernel(
                     c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
                 ).wait()
         hp0 = c1pin[:, 0, 0:1]
-        bp0 = jnp.where((rp0 >= 0) & (hp0 < 0), -hp0 - 1, -1)
+        idxp0 = -hp0 - 1
+        neg0 = (rp0 >= 0) & (hp0 < 0)
+        if NR2_1:
+            bp0 = jnp.where(neg0 & (idxp0 < vc.m1), idxp0, -1)
+            gp0 = jnp.where(neg0 & (idxp0 >= vc.m1), idxp0 - vc.m1, -1)
+        else:
+            bp0 = jnp.where(neg0, idxp0, -1)
+            gp0 = None
         xfer[:, :] = set_col(xfer[:, :], XC_BPREV, bp0)
 
         @pl.when(jnp.any(bp0 >= 0))
@@ -253,6 +273,30 @@ def encoder_kernel(
                         c1r.at[pl.ds(r, PB), :], c1pbig.at[l],
                         sem_row.at[l, 2],
                     ).wait()
+
+        if NR2_1:
+            xfer[:, :] = set_col(xfer[:, :], XC_GPREV, gp0)
+
+            @pl.when(jnp.any(gp0 >= 0))
+            def _():
+                for l in range(L):
+                    @pl.when(xfer[l, XC_GPREV] >= 0)
+                    def _(l=l):
+                        r = (lane_rowbase(l, R1) + S1 + HB1
+                             + xfer[l, XC_GPREV] * PB2_1)
+                        pltpu.make_async_copy(
+                            c1r.at[pl.ds(r, PB2_1), :], c1phug.at[l],
+                            sem_row.at[l, 8],
+                        ).start()
+                for l in range(L):
+                    @pl.when(xfer[l, XC_GPREV] >= 0)
+                    def _(l=l):
+                        r = (lane_rowbase(l, R1) + S1 + HB1
+                             + xfer[l, XC_GPREV] * PB2_1)
+                        pltpu.make_async_copy(
+                            c1r.at[pl.ds(r, PB2_1), :], c1phug.at[l],
+                            sem_row.at[l, 8],
+                        ).wait()
 
     def event_body(carry):
         step, _alive = carry
@@ -361,8 +405,17 @@ def encoder_kernel(
                 ).wait()
 
         hc = c1cin[:, 0, 0:1]
-        bcur = jnp.where((rcur >= 0) & (hc < 0), -hc - 1, -1)
+        idxc = -hc - 1
+        negc = (rcur >= 0) & (hc < 0)
+        if NR2_1:
+            bcur = jnp.where(negc & (idxc < vc.m1), idxc, -1)
+            gcur = jnp.where(negc & (idxc >= vc.m1), idxc - vc.m1, -1)
+        else:
+            bcur = jnp.where(negc, idxc, -1)
+            gcur = None
         xfer[:, :] = set_col(xfer[:, :], XC_BCUR, bcur)
+        if NR2_1:
+            xfer[:, :] = set_col(xfer[:, :], XC_GCUR, gcur)
         if DO_DMA:
             # promoted rows are rare (most blocks never promote): one
             # scalar gate for the whole big-span fetch
@@ -384,12 +437,34 @@ def encoder_kernel(
                             c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
                             sem_row.at[l, 3],
                         ).wait()
+        if DO_DMA and NR2_1:
+            @pl.when(jnp.any(gcur >= 0))
+            def _():
+                for l in range(L):
+                    @pl.when(xfer[l, XC_GCUR] >= 0)
+                    def _(l=l):
+                        r = (lane_rowbase(l, R1) + S1 + HB1
+                             + xfer[l, XC_GCUR] * PB2_1)
+                        pltpu.make_async_copy(
+                            c1r.at[pl.ds(r, PB2_1), :], c1chug.at[l],
+                            sem_row.at[l, 6],
+                        ).start()
+                for l in range(L):
+                    @pl.when(xfer[l, XC_GCUR] >= 0)
+                    def _(l=l):
+                        r = (lane_rowbase(l, R1) + S1 + HB1
+                             + xfer[l, XC_GCUR] * PB2_1)
+                        pltpu.make_async_copy(
+                            c1r.at[pl.ds(r, PB2_1), :], c1chug.at[l],
+                            sem_row.at[l, 6],
+                        ).wait()
 
         hub1n = get_col(R, R_HUB1_N)
-        v_prev = rw.row_view(rw.FAM1, prev_c1, c1pin, c1pbig, hub1n, active)
+        v_prev = rw.row_view(rw.FAM1, prev_c1, c1pin, c1pbig, hub1n, active,
+                             hug_scr=c1phug_a, m=vc.m1)
         pair_found, _, pair_id = rw.row_find(
             rw.FAM1, v_prev, c1, c1pin, c1pbig, h1t[:, :], h1f[:, :],
-            h1p[:, :],
+            h1p[:, :], hug_scr=c1phug_a, nr2=NR2_1,
         )
         cid0 = jnp.where(pair_found & active, pair_id, 0)
 
@@ -497,8 +572,17 @@ def encoder_kernel(
                     c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
                 ).wait()
         h0 = c0in[:, 0, 0:1]
-        bc0 = jnp.where((rc0 >= 0) & (h0 < 0), -h0 - 1, -1)
+        idx0 = -h0 - 1
+        neg0c = (rc0 >= 0) & (h0 < 0)
+        if NR2_0:
+            bc0 = jnp.where(neg0c & (idx0 < vc.m0), idx0, -1)
+            gc0 = jnp.where(neg0c & (idx0 >= vc.m0), idx0 - vc.m0, -1)
+        else:
+            bc0 = jnp.where(neg0c, idx0, -1)
+            gc0 = None
         xfer[:, :] = set_col(xfer[:, :], XC_BC0, bc0)
+        if NR2_0:
+            xfer[:, :] = set_col(xfer[:, :], XC_GC0, gc0)
         if DO_DMA:
             @pl.when(jnp.any(bc0 >= 0))
             def _():
@@ -518,23 +602,49 @@ def encoder_kernel(
                             c0r.at[pl.ds(r, PB), :], c0big.at[l],
                             sem_row.at[l, 5],
                         ).wait()
+        if DO_DMA and NR2_0:
+            @pl.when(jnp.any(gc0 >= 0))
+            def _():
+                for l in range(L):
+                    @pl.when(xfer[l, XC_GC0] >= 0)
+                    def _(l=l):
+                        r = (lane_rowbase(l, R0) + S0 + HB0
+                             + xfer[l, XC_GC0] * PB2_0)
+                        pltpu.make_async_copy(
+                            c0r.at[pl.ds(r, PB2_0), :], c0hug.at[l],
+                            sem_row.at[l, 7],
+                        ).start()
+                for l in range(L):
+                    @pl.when(xfer[l, XC_GC0] >= 0)
+                    def _(l=l):
+                        r = (lane_rowbase(l, R0) + S0 + HB0
+                             + xfer[l, XC_GC0] * PB2_0)
+                        pltpu.make_async_copy(
+                            c0r.at[pl.ds(r, PB2_0), :], c0hug.at[l],
+                            sem_row.at[l, 7],
+                        ).wait()
 
         # ================= G: mode stats + selection (x3.c:150-172) ===
         hub0n = get_col(R, R_HUB0_N)
-        v0 = rw.row_view(rw.FAM0, cid0, c0in, c0big, hub0n, active)
+        v0 = rw.row_view(rw.FAM0, cid0, c0in, c0big, hub0n, active,
+                         hug_scr=c0hug_a, m=vc.m0)
         f0, pos0, _ = rw.row_find(
-            rw.FAM0, v0, slot, c0in, c0big, h0t[:, :], h0f[:, :], None
+            rw.FAM0, v0, slot, c0in, c0big, h0t[:, :], h0f[:, :], None,
+            hug_scr=c0hug_a, nr2=NR2_0,
         )
         low0, span0, tot0 = rw.row_stats(
-            rw.FAM0, v0, pos0, c0in, c0big, h0f[:, :]
+            rw.FAM0, v0, pos0, c0in, c0big, h0f[:, :],
+            hug_scr=c0hug_a, nr2=NR2_0,
         )
-        v_cur = rw.row_view(rw.FAM1, c1, c1cin, c1cbig, hub1n, active)
+        v_cur = rw.row_view(rw.FAM1, c1, c1cin, c1cbig, hub1n, active,
+                            hug_scr=c1chug_a, m=vc.m1)
         f1c, pos1, _ = rw.row_find(
             rw.FAM1, v_cur, slot, c1cin, c1cbig, h1t[:, :], h1f[:, :],
-            h1p[:, :],
+            h1p[:, :], hug_scr=c1chug_a, nr2=NR2_1,
         )
         low1, span1, tot1 = rw.row_stats(
-            rw.FAM1, v_cur, pos1, c1cin, c1cbig, h1f[:, :]
+            rw.FAM1, v_cur, pos1, c1cin, c1cbig, h1f[:, :],
+            hug_scr=c1chug_a, nr2=NR2_1,
         )
 
         rank = jnp.sum(jnp.where(iotaD == slot, drank[:, :], 0), axis=1,
@@ -747,14 +857,24 @@ def encoder_kernel(
         pair_n = get_col(R, R_PAIR_N)
         promo0 = get_col(R, R_PROMO0_N)
         promo1 = get_col(R, R_PROMO1_N)
-        hub0n2, promo0_2, dp0, span0_idx, of0 = rw.row_update(
-            rw.FAM0, v0, slot, f0, pos0, hit, c0in, c0big,
-            h0t, h0f, None, hub0n, vc.hub0, promo0, vc.m0,
+        huge0 = get_col(R, R_HUGE0_N)
+        huge1 = get_col(R, R_HUGE1_N)
+        hub0n2, promo0_2, dp0, span0_idx, of0, huge0_2, dg0, gid0 = (
+            rw.row_update(
+                rw.FAM0, v0, slot, f0, pos0, hit, c0in, c0big,
+                h0t, h0f, None, hub0n, vc.hub0, promo0, vc.m0,
+                hug_scr=c0hug_a, nr2=NR2_0, m=vc.m0, huge_n=huge0,
+                huge_cap=vc.h2_0, big_trig=vc.big_trig0,
+            )
         )
-        hub1n2, promo1_2, dp1, span1_idx, of1 = rw.row_update(
-            rw.FAM1, v_cur, slot, f1c, pos1, hit, c1cin, c1cbig,
-            h1t, h1f, h1p, hub1n, vc.hub1, promo1, vc.m1,
-            new_pair_id=pair_n,
+        hub1n2, promo1_2, dp1, span1_idx, of1, huge1_2, dg1, gid1 = (
+            rw.row_update(
+                rw.FAM1, v_cur, slot, f1c, pos1, hit, c1cin, c1cbig,
+                h1t, h1f, h1p, hub1n, vc.hub1, promo1, vc.m1,
+                new_pair_id=pair_n,
+                hug_scr=c1chug_a, nr2=NR2_1, m=vc.m1, huge_n=huge1,
+                huge_cap=vc.h2_1, big_trig=vc.big_trig1,
+            )
         )
         new_pair = hit & ~f1c
         of_pairs = new_pair & (pair_n >= S0)
@@ -765,6 +885,8 @@ def encoder_kernel(
         wb0b = wb0 & (v0.is_big | dp0)
         wb1 = hit & (c1 >= 1)
         wb1b = wb1 & (v_cur.is_big | dp1)
+        wb0g = wb0 & (v0.is_huge | dg0) if NR2_0 else None
+        wb1g = wb1 & (v_cur.is_huge | dg1) if NR2_1 else None
         # unconditional write-backs: a non-hit lane's row scratch is
         # unmodified (row_update masks by hit), so writing it back is a
         # no-op byte-wise; lanes that fetched nothing target the per-lane
@@ -778,8 +900,21 @@ def encoder_kernel(
         xf = set_col(xf, XC_WB1R, wb1r)
         xf = set_col(xf, XC_WB1B, wb1b.astype(I32))
         xf = set_col(xf, XC_WB1S, span1_idx)
+        if NR2_0:
+            xf = set_col(xf, XC_WB0G, wb0g.astype(I32))
+            xf = set_col(xf, XC_WB0GS, gid0)
+        if NR2_1:
+            xf = set_col(xf, XC_WB1G, wb1g.astype(I32))
+            xf = set_col(xf, XC_WB1GS, gid1)
         xfer[:, :] = xf
         any_wbb = jnp.any(wb0b | wb1b)
+        if NR2_0 or NR2_1:
+            wbg_acc = jnp.zeros((L, 1), jnp.bool_)
+            if NR2_0:
+                wbg_acc = wbg_acc | wb0g
+            if NR2_1:
+                wbg_acc = wbg_acc | wb1g
+            any_wbg = jnp.any(wbg_acc)
         if DO_DMA:
             for l in range(L):
                 r = lane_rowbase(l, R0) + xfer[l, XC_WB0R]
@@ -809,6 +944,29 @@ def encoder_kernel(
                             c1cbig.at[l], c1r.at[pl.ds(r, PB), :],
                             sem_wb.at[l, 3],
                         ).start()
+
+            if NR2_0 or NR2_1:
+                @pl.when(any_wbg)
+                def _():
+                    for l in range(L):
+                        if NR2_0:
+                            @pl.when(xfer[l, XC_WB0G] != 0)
+                            def _(l=l):
+                                r = (lane_rowbase(l, R0) + S0 + HB0
+                                     + xfer[l, XC_WB0GS] * PB2_0)
+                                pltpu.make_async_copy(
+                                    c0hug.at[l], c0r.at[pl.ds(r, PB2_0), :],
+                                    sem_wb.at[l, 4],
+                                ).start()
+                        if NR2_1:
+                            @pl.when(xfer[l, XC_WB1G] != 0)
+                            def _(l=l):
+                                r = (lane_rowbase(l, R1) + S1 + HB1
+                                     + xfer[l, XC_WB1GS] * PB2_1)
+                                pltpu.make_async_copy(
+                                    c1chug.at[l], c1r.at[pl.ds(r, PB2_1), :],
+                                    sem_wb.at[l, 5],
+                                ).start()
 
         # sink flush: move a full FLUSH_WORDS half out to HBM
         win_base = acst["win_base"]
@@ -876,6 +1034,29 @@ def encoder_kernel(
                             sem_wb.at[l, 3],
                         ).wait()
 
+            if NR2_0 or NR2_1:
+                @pl.when(any_wbg)
+                def _():
+                    for l in range(L):
+                        if NR2_0:
+                            @pl.when(xfer[l, XC_WB0G] != 0)
+                            def _(l=l):
+                                r = (lane_rowbase(l, R0) + S0 + HB0
+                                     + xfer[l, XC_WB0GS] * PB2_0)
+                                pltpu.make_async_copy(
+                                    c0hug.at[l], c0r.at[pl.ds(r, PB2_0), :],
+                                    sem_wb.at[l, 4],
+                                ).wait()
+                        if NR2_1:
+                            @pl.when(xfer[l, XC_WB1G] != 0)
+                            def _(l=l):
+                                r = (lane_rowbase(l, R1) + S1 + HB1
+                                     + xfer[l, XC_WB1GS] * PB2_1)
+                                pltpu.make_async_copy(
+                                    c1chug.at[l], c1r.at[pl.ds(r, PB2_1), :],
+                                    sem_wb.at[l, 5],
+                                ).wait()
+
         # prev-row cache swap (x3.c:406 prev_context1 = context1): lanes
         # that hit carry the UPDATED cur row as next event's prev row; a
         # miss resets prev to the hub, so c1pin content is then unread
@@ -889,6 +1070,16 @@ def encoder_kernel(
                 c1pbig[:, r, :] = jnp.where(
                     wb1b, c1cbig[:, r, :], c1pbig[:, r, :]
                 )
+
+        if NR2_1:
+            # a hit on a huge (or just-promoted) cur row carries its huge
+            # span into the prev cache, like the big swap above
+            @pl.when(jnp.any(wb1g))
+            def _():
+                for r in range(PB2_1):
+                    c1phug[:, r, :] = jnp.where(
+                        wb1g, c1chug[:, r, :], c1phug[:, r, :]
+                    )
 
         # advance (x3.c:397-428 mirror of codec.py step 9)
         p2 = p + jnp.where(hit, dlen, jnp.where(miss, mlen, 0))
@@ -922,6 +1113,10 @@ def encoder_kernel(
         Rn = set_col(Rn, R_HUB1_N, hub1n2)
         Rn = set_col(Rn, R_PROMO0_N, promo0_2)
         Rn = set_col(Rn, R_PROMO1_N, promo1_2)
+        if NR2_0:
+            Rn = set_col(Rn, R_HUGE0_N, huge0_2)
+        if NR2_1:
+            Rn = set_col(Rn, R_HUGE1_N, huge1_2)
         Rn = set_col(Rn, R_OFLOW, get_col(R, R_OFLOW) | of_bits)
         # event counters (x3.c:42): counts[esym] += 1
         Rn = Rn + jnp.where(
@@ -992,6 +1187,9 @@ def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
         pltpu.VMEM((L, PB, 128), I32),          # c1pbig
         pltpu.VMEM((L, 1, 128), I32),           # c1cin
         pltpu.VMEM((L, PB, 128), I32),          # c1cbig
+        pltpu.VMEM((L, vc.pb2_0, 128), I32),    # c0hug (1-row dummy if off)
+        pltpu.VMEM((L, vc.pb2_1, 128), I32),    # c1phug
+        pltpu.VMEM((L, vc.pb2_1, 128), I32),    # c1chug
         pltpu.VMEM((L, 2, 128), I32),           # stage
         pltpu.VMEM((L, 128), I32),              # rem_scr
         pltpu.VMEM((L, 128), I32),              # res_scr
@@ -999,8 +1197,8 @@ def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
         pltpu.VMEM((L, 128), I32),              # acw
         pltpu.VMEM((L, 128), jnp.float32),      # acwf
         pltpu.SemaphoreType.DMA((L,)),          # sem_seg
-        pltpu.SemaphoreType.DMA((L, 6)),        # sem_row
-        pltpu.SemaphoreType.DMA((L, 4)),        # sem_wb
+        pltpu.SemaphoreType.DMA((L, 9)),        # sem_row
+        pltpu.SemaphoreType.DMA((L, 6)),        # sem_wb
         pltpu.SemaphoreType.DMA((L,)),          # sem_out
     ]
 

@@ -14,11 +14,25 @@ in the same HBM array (header flips to -(span_index+1)):
   ctx0 span: row 0 = [n | ...], tags rows 1..7 (896), freqs rows 8..14
   ctx1 span: row 0 = [n | ...], tags 1..5 (640), freqs 6..10, pairs 11..15
 
+A row that outgrows its big span (measured on the 4 MB binary-block
+regime: ctx1 rows to 7449 items, /tmp/ref4mb.log) is promoted again to a
+*huge* span — one contiguous block of ``1 + nsec*nr2`` rows after the big
+spans in the same HBM array (header index >= m encodes huge slot
+``idx - m``):
+
+  huge span: row 0 = [n | ...], tags rows 1..nr2,
+             freqs rows 1+nr2..2*nr2 [, pairs rows 1+2*nr2..3*nr2]
+
+Promotion big->huge is O(1): the big span's section rows are copied into
+the first rows of each huge section (no per-item movement).  The tier is
+compiled in only when ``nr2 > 0`` (static); default configs carry zero
+extra code.
+
 Context id 0 (the unknown-pair fallback / post-E_NEW reset context,
 x3.c:63-67) is the hottest and largest; it lives in dense VMEM hub planes
-instead.  Every operation computes the three paths (hub / inline / big)
-masked and selects per lane — the same structure as the XLA three-tier
-storage in x3tpu/models/context.py, re-laid-out for Mosaic.
+instead.  Every operation computes the tier paths (hub / inline / big
+[/ huge]) masked and selects per lane — the same structure as the XLA
+three-tier storage in x3tpu/models/context.py, re-laid-out for Mosaic.
 """
 
 from __future__ import annotations
@@ -79,22 +93,38 @@ class RowView(NamedTuple):
     is_hub: jax.Array    # [8,1] bool
     is_big: jax.Array    # [8,1] bool
     n: jax.Array         # [8,1] item count
+    is_huge: object = None   # [8,1] bool, or None when the tier is off
 
 
-def row_view(fam: Family, cid, in_scr, big_scr, hub_n, active):
-    """Resolve the tier for context ``cid``; inline/big content must
-    already be DMA'd into ``in_scr``/``big_scr`` for non-hub lanes."""
+def row_view(fam: Family, cid, in_scr, big_scr, hub_n, active,
+             hug_scr=None, m=0):
+    """Resolve the tier for context ``cid``; inline/big/huge content must
+    already be DMA'd into the scratch refs for non-hub lanes.  ``m`` (big
+    spans per lane) splits negative headers: idx < m -> big span idx,
+    idx >= m -> huge slot idx - m (only when ``hug_scr`` is given)."""
     is_hub = cid == 0
     hdr = in_scr[:, 0, 0:1]
-    is_big = active & ~is_hub & (hdr < 0)
-    n_big = big_scr[:, 0, 0:1]
-    n = jnp.where(is_hub, hub_n, jnp.where(is_big, n_big, hdr))
+    neg = active & ~is_hub & (hdr < 0)
+    if hug_scr is None:
+        is_big = neg
+        n = jnp.where(is_hub, hub_n,
+                      jnp.where(is_big, big_scr[:, 0, 0:1], hdr))
+        n = jnp.where(active, n, 0)
+        return RowView(cid, is_hub, is_big, n)
+    idx = -hdr - 1
+    is_big = neg & (idx < m)
+    is_huge = neg & (idx >= m)
+    n = jnp.where(
+        is_hub, hub_n,
+        jnp.where(is_big, big_scr[:, 0, 0:1],
+                  jnp.where(is_huge, hug_scr[:, 0, 0:1], hdr)),
+    )
     n = jnp.where(active, n, 0)
-    return RowView(cid, is_hub, is_big, n)
+    return RowView(cid, is_hub, is_big, n, is_huge)
 
 
 def row_find(fam: Family, v: RowView, tag, in_scr, big_scr,
-             hub_t, hub_f, hub_p):
+             hub_t, hub_f, hub_p, hug_scr=None, nr2=0):
     """Locate ``tag`` (ctx_query_tag_index, context.c:31-40).  Returns
     (found [8,1]b, pos [8,1] — insertion index == model symbol, pair_id
     [8,1]).  Tags are unique within a context, so positions come from
@@ -122,6 +152,24 @@ def row_find(fam: Family, v: RowView, tag, in_scr, big_scr,
             p_b = p_b + jnp.sum(jnp.where(m_r, bp_r, 0), axis=1,
                                 keepdims=True)
 
+    if nr2:
+        # huge span: same masked scan over nr2 128-item rows per section;
+        # junk contributions from other-tier lanes die in the final select
+        found_g = jnp.zeros((LANES, 1), jnp.bool_)
+        pos_g = jnp.zeros((LANES, 1), I32)
+        p_g = jnp.zeros((LANES, 1), I32)
+        for r in range(nr2):
+            idx = i128 + r * 128
+            gt_r = hug_scr[:, 1 + r, :]
+            m_r = (gt_r == tag) & (idx < v.n)
+            found_g = found_g | jnp.any(m_r, axis=1, keepdims=True)
+            pos_g = pos_g + jnp.sum(jnp.where(m_r, idx, 0), axis=1,
+                                    keepdims=True)
+            if fam.pairs_col is not None:
+                gp_r = hug_scr[:, 1 + 2 * nr2 + r, :]
+                p_g = p_g + jnp.sum(jnp.where(m_r, gp_r, 0), axis=1,
+                                    keepdims=True)
+
     H = hub_t.shape[1]
     ih = col_iota(H)
     hub_n = jnp.where(v.is_hub, v.n, 0)
@@ -131,10 +179,19 @@ def row_find(fam: Family, v: RowView, tag, in_scr, big_scr,
 
     # logical (not where) select: i1-operand arith.select hits an
     # unsupported i8->i1 truncation in Mosaic (hardware compile error)
-    found = ((v.is_hub & found_h)
-             | (~v.is_hub & v.is_big & found_b)
-             | (~v.is_hub & ~v.is_big & found_in))
-    pos = jnp.where(v.is_hub, pos_h, jnp.where(v.is_big, pos_b, pos_in))
+    if nr2:
+        found = ((v.is_hub & found_h)
+                 | (v.is_big & found_b)
+                 | (v.is_huge & found_g)
+                 | (~v.is_hub & ~v.is_big & ~v.is_huge & found_in))
+        pos = jnp.where(v.is_hub, pos_h,
+                        jnp.where(v.is_big, pos_b,
+                                  jnp.where(v.is_huge, pos_g, pos_in)))
+    else:
+        found = ((v.is_hub & found_h)
+                 | (~v.is_hub & v.is_big & found_b)
+                 | (~v.is_hub & ~v.is_big & found_in))
+        pos = jnp.where(v.is_hub, pos_h, jnp.where(v.is_big, pos_b, pos_in))
 
     if fam.pairs_col is None:
         pair = jnp.zeros_like(pos)
@@ -142,11 +199,17 @@ def row_find(fam: Family, v: RowView, tag, in_scr, big_scr,
         pr_in = in_scr[:, 0, fam.pairs_col : fam.pairs_col + IN]
         p_in = jnp.sum(jnp.where(m_in, pr_in, 0), axis=1, keepdims=True)
         p_h = jnp.sum(jnp.where(m_h, hub_p, 0), axis=1, keepdims=True)
-        pair = jnp.where(v.is_hub, p_h, jnp.where(v.is_big, p_b, p_in))
+        if nr2:
+            pair = jnp.where(v.is_hub, p_h,
+                             jnp.where(v.is_big, p_b,
+                                       jnp.where(v.is_huge, p_g, p_in)))
+        else:
+            pair = jnp.where(v.is_hub, p_h, jnp.where(v.is_big, p_b, p_in))
     return found, pos, pair
 
 
-def row_stats(fam: Family, v: RowView, pos, in_scr, big_scr, hub_f):
+def row_stats(fam: Family, v: RowView, pos, in_scr, big_scr, hub_f,
+              hug_scr=None, nr2=0):
     """(low, span, total) of coding insertion index ``pos`` through the
     context's throwaway model (context.c:95-133)."""
     IN = fam.inline_cap
@@ -172,6 +235,19 @@ def row_stats(fam: Family, v: RowView, pos, in_scr, big_scr, hub_f):
                                   keepdims=True)
         tot_b = tot_b + jnp.sum(bf_r, axis=1, keepdims=True)
 
+    if nr2:
+        low_g = jnp.zeros((LANES, 1), I32)
+        span_g = jnp.zeros((LANES, 1), I32)
+        tot_g = jnp.zeros((LANES, 1), I32)
+        for r in range(nr2):
+            idx = i128 + r * 128
+            gf_r = jnp.where(idx < v.n, hug_scr[:, 1 + nr2 + r, :], 0)
+            low_g = low_g + jnp.sum(jnp.where(idx < pos, gf_r, 0), axis=1,
+                                    keepdims=True)
+            span_g = span_g + jnp.sum(jnp.where(idx == pos, gf_r, 0),
+                                      axis=1, keepdims=True)
+            tot_g = tot_g + jnp.sum(gf_r, axis=1, keepdims=True)
+
     H = hub_f.shape[1]
     ih = col_iota(H)
     hn = jnp.where(v.is_hub, v.n, 0)
@@ -180,14 +256,26 @@ def row_stats(fam: Family, v: RowView, pos, in_scr, big_scr, hub_f):
     span_h = jnp.sum(jnp.where(ih == pos, fh, 0), axis=1, keepdims=True)
     tot_h = jnp.sum(fh, axis=1, keepdims=True)
 
-    low = jnp.where(v.is_hub, low_h, jnp.where(v.is_big, low_b, low_in))
-    span = jnp.where(v.is_hub, span_h, jnp.where(v.is_big, span_b, span_in))
-    tot = jnp.where(v.is_hub, tot_h, jnp.where(v.is_big, tot_b, tot_in))
+    if nr2:
+        low = jnp.where(v.is_hub, low_h,
+                        jnp.where(v.is_big, low_b,
+                                  jnp.where(v.is_huge, low_g, low_in)))
+        span = jnp.where(v.is_hub, span_h,
+                         jnp.where(v.is_big, span_b,
+                                   jnp.where(v.is_huge, span_g, span_in)))
+        tot = jnp.where(v.is_hub, tot_h,
+                        jnp.where(v.is_big, tot_b,
+                                  jnp.where(v.is_huge, tot_g, tot_in)))
+    else:
+        low = jnp.where(v.is_hub, low_h, jnp.where(v.is_big, low_b, low_in))
+        span = jnp.where(v.is_hub, span_h,
+                         jnp.where(v.is_big, span_b, span_in))
+        tot = jnp.where(v.is_hub, tot_h, jnp.where(v.is_big, tot_b, tot_in))
     return low, span, tot
 
 
 def row_decode_pos(fam: Family, v: RowView, value, in_scr, big_scr, hub_f,
-                   hub_t):
+                   hub_t, hug_scr=None, nr2=0):
     """Find the item whose cumulative interval contains ``value`` (u32
     [8,1]); returns (pos, tag, low, span) — the decode-side search
     (ac.c:167-179 over the throwaway model)."""
@@ -240,6 +328,34 @@ def row_decode_pos(fam: Family, v: RowView, value, in_scr, big_scr, hub_f,
         span_b = span_b + jnp.sum(jnp.where(sel_r, bf_r, 0), axis=1,
                                   keepdims=True)
 
+    if nr2:
+        carry_g = jnp.zeros((LANES, 1), I32)
+        cnt_g = jnp.zeros((LANES, 1), I32)
+        cums_g = []
+        for r in range(nr2):
+            idx = i128 + r * 128
+            gf_r = jnp.where(idx < v.n, hug_scr[:, 1 + nr2 + r, :], 0)
+            cum_r = cumsum_excl(gf_r) + carry_g
+            cums_g.append((gf_r, cum_r))
+            le_r = (idx < v.n) & (cum_r.astype(jnp.uint32) <= value)
+            cnt_g = cnt_g + jnp.sum(le_r, axis=1, keepdims=True).astype(I32)
+            carry_g = carry_g + jnp.sum(gf_r, axis=1, keepdims=True)
+        pos_g = jnp.maximum(cnt_g - 1, 0)
+        tag_g = jnp.zeros((LANES, 1), I32)
+        low_g = jnp.zeros((LANES, 1), I32)
+        span_g = jnp.zeros((LANES, 1), I32)
+        for r in range(nr2):
+            idx = i128 + r * 128
+            sel_r = idx == pos_g
+            gf_r, cum_r = cums_g[r]
+            gt_r = hug_scr[:, 1 + r, :]
+            tag_g = tag_g + jnp.sum(jnp.where(sel_r, gt_r, 0), axis=1,
+                                    keepdims=True)
+            low_g = low_g + jnp.sum(jnp.where(sel_r, cum_r, 0), axis=1,
+                                    keepdims=True)
+            span_g = span_g + jnp.sum(jnp.where(sel_r, gf_r, 0), axis=1,
+                                      keepdims=True)
+
     H = hub_f.shape[1]
     ih = col_iota(H)
     hn = jnp.where(v.is_hub, v.n, 0)
@@ -253,23 +369,46 @@ def row_decode_pos(fam: Family, v: RowView, value, in_scr, big_scr, hub_f,
     low_h = jnp.sum(jnp.where(ih == pos_h, cum_h, 0), axis=1, keepdims=True)
     span_h = jnp.sum(jnp.where(ih == pos_h, fh, 0), axis=1, keepdims=True)
 
-    pos = jnp.where(v.is_hub, pos_h, jnp.where(v.is_big, pos_b, pos_in))
-    tag = jnp.where(v.is_hub, tag_h, jnp.where(v.is_big, tag_b, tag_in))
-    low = jnp.where(v.is_hub, low_h, jnp.where(v.is_big, low_b, low_in))
-    span = jnp.where(v.is_hub, span_h, jnp.where(v.is_big, span_b, span_in))
+    if nr2:
+        pos = jnp.where(v.is_hub, pos_h,
+                        jnp.where(v.is_big, pos_b,
+                                  jnp.where(v.is_huge, pos_g, pos_in)))
+        tag = jnp.where(v.is_hub, tag_h,
+                        jnp.where(v.is_big, tag_b,
+                                  jnp.where(v.is_huge, tag_g, tag_in)))
+        low = jnp.where(v.is_hub, low_h,
+                        jnp.where(v.is_big, low_b,
+                                  jnp.where(v.is_huge, low_g, low_in)))
+        span = jnp.where(v.is_hub, span_h,
+                         jnp.where(v.is_big, span_b,
+                                   jnp.where(v.is_huge, span_g, span_in)))
+    else:
+        pos = jnp.where(v.is_hub, pos_h, jnp.where(v.is_big, pos_b, pos_in))
+        tag = jnp.where(v.is_hub, tag_h, jnp.where(v.is_big, tag_b, tag_in))
+        low = jnp.where(v.is_hub, low_h, jnp.where(v.is_big, low_b, low_in))
+        span = jnp.where(v.is_hub, span_h,
+                         jnp.where(v.is_big, span_b, span_in))
     return pos, tag, low, span
 
 
 def row_update(fam: Family, v: RowView, tag, found, pos, active,
                in_scr, big_scr, hub_t_ref, hub_f_ref, hub_p_ref,
-               hub_n, hub_cap, promo_n, promo_cap, new_pair_id=None):
+               hub_n, hub_cap, promo_n, promo_cap, new_pair_id=None,
+               hug_scr=None, nr2=0, m=0, huge_n=None, huge_cap=0,
+               big_trig=None):
     """Post-event update (x3.c:197-209): bump the found item's freq or
     append (tag, 1[, pair_id]); promote a full inline row to a fresh big
-    span.  Mutates the scratch refs and hub refs in place; returns
-    (hub_n', promo_n', did_promo [8,1]b, span_idx [8,1], oflow [8,1]b)."""
+    span, and (when the huge tier is compiled in, ``nr2 > 0``) a full big
+    span to a fresh huge span.  Mutates the scratch refs and hub refs in
+    place; returns (hub_n', promo_n', did_promo [8,1]b, span_idx [8,1],
+    oflow [8,1]b, huge_n', did_promo2, huge_idx) — the last three are
+    None when the tier is off."""
     IN = fam.inline_cap
     app = active & ~found
     inc = active & found
+    # big-span index as encoded at entry (before any header rewrite):
+    # valid for every lane that was big at view time
+    idx_entry = -in_scr[:, 0, 0:1] - 1
 
     # ---- hub path (dense VMEM planes)
     H = hub_t_ref.shape[1]
@@ -291,6 +430,8 @@ def row_update(fam: Family, v: RowView, tag, found, pos, active,
 
     # ---- promotion: inline row full, this append needs a big span
     need = active & ~v.is_hub & ~v.is_big & app & (v.n >= IN)
+    if nr2:
+        need = need & ~v.is_huge
     can = promo_n < promo_cap
     do_promo = need & can
     oflow = oflow | (need & ~can)
@@ -329,8 +470,45 @@ def row_update(fam: Family, v: RowView, tag, found, pos, active,
 
     big_now = v.is_big | do_promo
 
+    # ---- promotion: big span at the trigger, this append needs a huge
+    # span.  O(1): section rows copy across; remaining huge rows zeroed
+    if nr2:
+        trig = min(fam.big_cap, big_trig if big_trig else fam.big_cap)
+        assert trig > IN and nr2 >= fam.big_nrows
+        need2 = active & v.is_big & app & (v.n >= trig)
+        can2 = huge_n < huge_cap
+        do_promo2 = need2 & can2
+        oflow = oflow | (need2 & ~can2)
+        gidx_new = huge_n
+        c0g = col_iota(128) == 0
+        hug_scr[:, 0, :] = jnp.where(do_promo2 & c0g, v.n, hug_scr[:, 0, :])
+        sections = [(fam.big_tags_row, 1), (fam.big_freqs_row, 1 + nr2)]
+        if fam.pairs_col is not None:
+            sections.append((fam.big_pairs_row, 1 + 2 * nr2))
+        for b_base, g_base in sections:
+            for r in range(fam.big_nrows):
+                hug_scr[:, g_base + r, :] = jnp.where(
+                    do_promo2, big_scr[:, b_base + r, :],
+                    hug_scr[:, g_base + r, :],
+                )
+            for r in range(fam.big_nrows, nr2):
+                hug_scr[:, g_base + r, :] = jnp.where(
+                    do_promo2, 0, hug_scr[:, g_base + r, :]
+                )
+        in_scr[:, 0, :] = jnp.where(
+            do_promo2 & c0g, -(m + gidx_new + 1), in_scr[:, 0, :]
+        )
+        huge_n2 = huge_n + jnp.where(do_promo2, 1, 0)
+        huge_now = v.is_huge | do_promo2
+    else:
+        do_promo2 = None
+        huge_n2 = None
+        huge_now = None
+
     # ---- inline path
     ido = active & ~v.is_hub & ~big_now
+    if nr2:
+        ido = ido & ~v.is_huge
     fc = col_iota(128)
     i_inc_col = fam.freqs_col + pos
     in_scr[:, 0, :] = in_scr[:, 0, :] + jnp.where(
@@ -356,10 +534,14 @@ def row_update(fam: Family, v: RowView, tag, found, pos, active,
     NR = fam.big_nrows
     i128 = col_iota(128)
     bdo = active & ~v.is_hub & big_now
+    if nr2:
+        bdo = bdo & ~huge_now
+        big_room = v.n < trig   # at the trigger the append promotes
+    else:
+        big_room = v.n < fam.big_cap
+        oflow = oflow | (bdo & app & ~big_room)
     b_inc = bdo & inc
-    big_room = v.n < fam.big_cap
     b_app = bdo & app & big_room
-    oflow = oflow | (bdo & app & ~big_room)
     for r in range(NR):
         idx = i128 + r * 128
         fr_row = fam.big_freqs_row + r
@@ -379,6 +561,37 @@ def row_update(fam: Family, v: RowView, tag, found, pos, active,
         b_app & c0, v.n + 1, big_scr[:, 0, :]
     )
 
-    span_idx = jnp.where(do_promo, span_idx_new,
-                         -in_scr[:, 0, 0:1] - 1)
-    return hub_n2, promo_n2, do_promo, span_idx, oflow
+    if not nr2:
+        span_idx = jnp.where(do_promo, span_idx_new,
+                             -in_scr[:, 0, 0:1] - 1)
+        return hub_n2, promo_n2, do_promo, span_idx, oflow, None, None, None
+
+    # ---- huge path (same per-row unroll over nr2 rows per section)
+    gdo = active & ~v.is_hub & huge_now
+    g_inc = gdo & inc
+    g_room = v.n < nr2 * 128
+    g_app = gdo & app & g_room
+    oflow = oflow | (gdo & app & ~g_room)
+    for r in range(nr2):
+        idx = i128 + r * 128
+        fr_row = 1 + nr2 + r
+        hug_scr[:, fr_row, :] = hug_scr[:, fr_row, :] + jnp.where(
+            g_inc & (idx == pos), 1, 0
+        )
+        at_r = g_app & (idx == v.n)
+        hug_scr[:, 1 + r, :] = jnp.where(at_r, tag, hug_scr[:, 1 + r, :])
+        hug_scr[:, fr_row, :] = jnp.where(at_r, 1, hug_scr[:, fr_row, :])
+        if new_pair_id is not None:
+            gp_row = 1 + 2 * nr2 + r
+            hug_scr[:, gp_row, :] = jnp.where(
+                at_r, new_pair_id, hug_scr[:, gp_row, :]
+            )
+    hug_scr[:, 0, :] = jnp.where(g_app & c0g, v.n + 1, hug_scr[:, 0, :])
+
+    # span_idx stays the ENTRY big index for lanes that were big (a
+    # promo2 lane's harmless big write-back must target its old slot,
+    # not the rewritten huge header); huge_idx covers the huge tier
+    span_idx = jnp.where(do_promo, span_idx_new, idx_entry)
+    huge_idx = jnp.where(do_promo2, gidx_new, idx_entry - m)
+    return (hub_n2, promo_n2, do_promo, span_idx, oflow,
+            huge_n2, do_promo2, huge_idx)
