@@ -177,15 +177,17 @@ def main():
     from x3tpu.config import CodecCaps
 
     # BASELINE config #3 (mozilla/samba-class, independent 4 MB blocks).
-    # Genuine diverse binary at 4 MB grows state past the VM kernel's
-    # promoted-row capacity (instrumented reference, 2026-08-17: dict
-    # 21770 entries, 391K pairs, ctx1 rows up to 7449 items), so this
-    # config runs on the XLA fallback with explicitly sized caps.
+    # Genuine diverse binary at 4 MB grows state to dict 21770 entries,
+    # 391K pairs, ctx1 rows up to 7449 items (instrumented reference,
+    # /tmp/ref4mb_hub.log 2026-08-18: hub rows only 1595/477; 61 non-hub
+    # rows >640).  The VM kernel hosts this via the huge-row tier
+    # (nr2_1=64 spans) and a 24576-entry dictionary (the largest that
+    # fits the VMEM budget; 128-multiple, non-pow2 is fine).
     from x3tpu.parallel import runtime as rt
 
     caps_4mb = dataclasses.replace(
         rt.caps_for_block(4 << 20),
-        dict_cap=32768, pair_cap=1 << 19,
+        dict_cap=24576, pair_cap=1 << 19,
         ctx_items_cap=8192, ctx0_items_cap=2048,
     )
 

@@ -40,9 +40,9 @@ from x3tpu.vm import rows as rw
 from x3tpu.vm.config import (
     FLUSH_WORDS, LANES, OBF, OBW, OF_CTX0, OF_CTX1, OF_DICT, OF_OUT,
     OF_PAIRS, PB, R_AC_BUF, R_AC_HIGH, R_AC_LOW, R_C1, R_COUNTS, R_DICT_N,
-    R_DONE, R_HUB0_N, R_HUB1_N, R_NBITS, R_OFLOW, R_OPOS, R_OUT_BASE,
-    R_PAIR_N, R_PREV_C1, R_PROMO0_N, R_PROMO1_N, R_SRC_BASE, R_SRC_NW,
-    VMCaps,
+    R_DONE, R_HUB0_N, R_HUB1_N, R_HUGE0_N, R_HUGE1_N, R_NBITS, R_OFLOW,
+    R_OPOS, R_OUT_BASE, R_PAIR_N, R_PREV_C1, R_PROMO0_N, R_PROMO1_N,
+    R_SRC_BASE, R_SRC_NW, VMCaps,
 )
 from x3tpu.vm.kernel import _model_stats, _pack_words, _probe_matchlen
 from x3tpu.vm.prims import col_iota, get_col, set_col
@@ -61,6 +61,9 @@ XC_SREF, XC_SROW = 0, 1
 XC_RPREV, XC_RCUR, XC_BPREV, XC_BCUR, XC_RC0, XC_BC0 = 2, 3, 4, 5, 6, 7
 XC_WB1R, XC_WB1B, XC_WB1S, XC_WB0R, XC_WB0B, XC_WB0S = 8, 9, 10, 11, 12, 13
 XC_FLUSH, XC_FROW = 14, 15
+# huge-tier columns (only written when the tier is compiled in)
+XC_GPREV, XC_GCUR, XC_GC0 = 16, 17, 18
+XC_WB1G, XC_WB1GS, XC_WB0G, XC_WB0GS = 19, 20, 21, 22
 # acw scratch columns (AC state bridge across the literal while-loop)
 AC_LOW, AC_HIGH, AC_BUF, AC_BITPOS = 0, 1, 2, 3
 
@@ -91,6 +94,7 @@ def decoder_kernel(
     outb, c0r, c1r,
     # scratch
     sseg, c0in, c0big, c1pin, c1pbig, c1cin, c1cbig,
+    c0hug, c1phug, c1chug,
     stage, frag_scr, acw, acwf, xfer,
     sem_src, sem_row, sem_wb, sem_out,
     *, vc: VMCaps, params: X3Params, nsteps: int, srows: int, obrows: int,
@@ -100,6 +104,13 @@ def decoder_kernel(
     S0, S1 = vc.s0, vc.s1
     R0, R1 = vc.r0, vc.r1
     OCAP = vc.block_bytes
+    # huge tier statics (mirror of kernel.py)
+    NR2_0, NR2_1 = vc.nr2_0, vc.nr2_1
+    PB2_0, PB2_1 = vc.pb2_0, vc.pb2_1
+    HB0, HB1 = vc.hug0_base, vc.hug1_base
+    c0hug_a = c0hug if NR2_0 else None
+    c1phug_a = c1phug if NR2_1 else None
+    c1chug_a = c1chug if NR2_1 else None
 
     # carried VMEM state: copy input -> aliased output, use out refs after
     for a, b in (
@@ -141,7 +152,14 @@ def decoder_kernel(
                 c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
             ).wait()
     hp0 = c1pin[:, 0, 0:1]
-    bp0 = jnp.where((rp0 >= 0) & (hp0 < 0), -hp0 - 1, -1)
+    idxp0 = -hp0 - 1
+    neg0 = (rp0 >= 0) & (hp0 < 0)
+    if NR2_1:
+        bp0 = jnp.where(neg0 & (idxp0 < vc.m1), idxp0, -1)
+        gp0 = jnp.where(neg0 & (idxp0 >= vc.m1), idxp0 - vc.m1, -1)
+    else:
+        bp0 = jnp.where(neg0, idxp0, -1)
+        gp0 = None
     xfer[:, :] = set_col(xfer[:, :], XC_BPREV, bp0)
 
     @pl.when(jnp.any(bp0 >= 0))
@@ -160,6 +178,30 @@ def decoder_kernel(
                 pltpu.make_async_copy(
                     c1r.at[pl.ds(r, PB), :], c1pbig.at[l], sem_row.at[l, 2]
                 ).wait()
+
+    if NR2_1:
+        xfer[:, :] = set_col(xfer[:, :], XC_GPREV, gp0)
+
+        @pl.when(jnp.any(gp0 >= 0))
+        def _():
+            for l in range(L):
+                @pl.when(xfer[l, XC_GPREV] >= 0)
+                def _(l=l):
+                    r = (lane_rowbase(l, R1) + S1 + HB1
+                         + xfer[l, XC_GPREV] * PB2_1)
+                    pltpu.make_async_copy(
+                        c1r.at[pl.ds(r, PB2_1), :], c1phug.at[l],
+                        sem_row.at[l, 8],
+                    ).start()
+            for l in range(L):
+                @pl.when(xfer[l, XC_GPREV] >= 0)
+                def _(l=l):
+                    r = (lane_rowbase(l, R1) + S1 + HB1
+                         + xfer[l, XC_GPREV] * PB2_1)
+                    pltpu.make_async_copy(
+                        c1r.at[pl.ds(r, PB2_1), :], c1phug.at[l],
+                        sem_row.at[l, 8],
+                    ).wait()
 
     def event_body(carry):
         step, _alive = carry
@@ -337,8 +379,17 @@ def decoder_kernel(
             ).wait()
 
         hc = c1cin[:, 0, 0:1]
-        bcur = jnp.where((rcur >= 0) & (hc < 0), -hc - 1, -1)
+        idxc = -hc - 1
+        negc = (rcur >= 0) & (hc < 0)
+        if NR2_1:
+            bcur = jnp.where(negc & (idxc < vc.m1), idxc, -1)
+            gcur = jnp.where(negc & (idxc >= vc.m1), idxc - vc.m1, -1)
+        else:
+            bcur = jnp.where(negc, idxc, -1)
+            gcur = None
         xfer[:, :] = set_col(xfer[:, :], XC_BCUR, bcur)
+        if NR2_1:
+            xfer[:, :] = set_col(xfer[:, :], XC_GCUR, gcur)
 
         @pl.when(jnp.any(bcur >= 0))
         def _():
@@ -359,11 +410,34 @@ def decoder_kernel(
                         sem_row.at[l, 3],
                     ).wait()
 
+        if NR2_1:
+            @pl.when(jnp.any(gcur >= 0))
+            def _():
+                for l in range(L):
+                    @pl.when(xfer[l, XC_GCUR] >= 0)
+                    def _(l=l):
+                        r = (lane_rowbase(l, R1) + S1 + HB1
+                             + xfer[l, XC_GCUR] * PB2_1)
+                        pltpu.make_async_copy(
+                            c1r.at[pl.ds(r, PB2_1), :], c1chug.at[l],
+                            sem_row.at[l, 6],
+                        ).start()
+                for l in range(L):
+                    @pl.when(xfer[l, XC_GCUR] >= 0)
+                    def _(l=l):
+                        r = (lane_rowbase(l, R1) + S1 + HB1
+                             + xfer[l, XC_GCUR] * PB2_1)
+                        pltpu.make_async_copy(
+                            c1r.at[pl.ds(r, PB2_1), :], c1chug.at[l],
+                            sem_row.at[l, 6],
+                        ).wait()
+
         hub1n = get_col(R, R_HUB1_N)
-        v_prev = rw.row_view(rw.FAM1, prev_c1, c1pin, c1pbig, hub1n, active)
+        v_prev = rw.row_view(rw.FAM1, prev_c1, c1pin, c1pbig, hub1n, active,
+                             hug_scr=c1phug_a, m=vc.m1)
         pair_found, _, pair_id = rw.row_find(
             rw.FAM1, v_prev, c1, c1pin, c1pbig, h1t[:, :], h1f[:, :],
-            h1p[:, :],
+            h1p[:, :], hug_scr=c1phug_a, nr2=NR2_1,
         )
         cid0 = jnp.where(pair_found & active, pair_id, 0)
 
@@ -381,8 +455,17 @@ def decoder_kernel(
                 c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
             ).wait()
         h0 = c0in[:, 0, 0:1]
-        bc0 = jnp.where((rc0 >= 0) & (h0 < 0), -h0 - 1, -1)
+        idx0 = -h0 - 1
+        neg0c = (rc0 >= 0) & (h0 < 0)
+        if NR2_0:
+            bc0 = jnp.where(neg0c & (idx0 < vc.m0), idx0, -1)
+            gc0 = jnp.where(neg0c & (idx0 >= vc.m0), idx0 - vc.m0, -1)
+        else:
+            bc0 = jnp.where(neg0c, idx0, -1)
+            gc0 = None
         xfer[:, :] = set_col(xfer[:, :], XC_BC0, bc0)
+        if NR2_0:
+            xfer[:, :] = set_col(xfer[:, :], XC_GC0, gc0)
 
         @pl.when(jnp.any(bc0 >= 0))
         def _():
@@ -403,20 +486,45 @@ def decoder_kernel(
                         sem_row.at[l, 5],
                     ).wait()
 
+        if NR2_0:
+            @pl.when(jnp.any(gc0 >= 0))
+            def _():
+                for l in range(L):
+                    @pl.when(xfer[l, XC_GC0] >= 0)
+                    def _(l=l):
+                        r = (lane_rowbase(l, R0) + S0 + HB0
+                             + xfer[l, XC_GC0] * PB2_0)
+                        pltpu.make_async_copy(
+                            c0r.at[pl.ds(r, PB2_0), :], c0hug.at[l],
+                            sem_row.at[l, 7],
+                        ).start()
+                for l in range(L):
+                    @pl.when(xfer[l, XC_GC0] >= 0)
+                    def _(l=l):
+                        r = (lane_rowbase(l, R0) + S0 + HB0
+                             + xfer[l, XC_GC0] * PB2_0)
+                        pltpu.make_async_copy(
+                            c0r.at[pl.ds(r, PB2_0), :], c0hug.at[l],
+                            sem_row.at[l, 7],
+                        ).wait()
+
         hub0n = get_col(R, R_HUB0_N)
-        v0 = rw.row_view(rw.FAM0, cid0, c0in, c0big, hub0n, active)
-        v_cur = rw.row_view(rw.FAM1, c1, c1cin, c1cbig, hub1n, active)
+        v0 = rw.row_view(rw.FAM0, cid0, c0in, c0big, hub0n, active,
+                         hug_scr=c0hug_a, m=vc.m0)
+        v_cur = rw.row_view(rw.FAM1, c1, c1cin, c1cbig, hub1n, active,
+                            hug_scr=c1chug_a, m=vc.m1)
 
         is0 = hit & (esym == E_CTX0)
         is1 = hit & (esym == E_CTX1)
         isx = hit & (esym == E_IDX1)
 
         _, _, tot0 = rw.row_stats(
-            rw.FAM0, v0, jnp.zeros((L, 1), I32), c0in, c0big, h0f[:, :]
+            rw.FAM0, v0, jnp.zeros((L, 1), I32), c0in, c0big, h0f[:, :],
+            hug_scr=c0hug_a, nr2=NR2_0,
         )
         _, _, tot1 = rw.row_stats(
             rw.FAM1, v_cur, jnp.zeros((L, 1), I32), c1cin, c1cbig,
-            h1f[:, :]
+            h1f[:, :], hug_scr=c1chug_a, nr2=NR2_1,
         )
         ixv = ixf[:, :]
         ixtot = jnp.sum(ixv, axis=1, keepdims=True)
@@ -424,10 +532,12 @@ def decoder_kernel(
         ptot = jnp.maximum(ptot, 1)
         pstep, pvalue = prims.ac_decode_value(st, ptot)
         pos0d, tag0d, low0d, span0d = rw.row_decode_pos(
-            rw.FAM0, v0, pvalue, c0in, c0big, h0f[:, :], h0t[:, :]
+            rw.FAM0, v0, pvalue, c0in, c0big, h0f[:, :], h0t[:, :],
+            hug_scr=c0hug_a, nr2=NR2_0,
         )
         pos1d, tag1d, low1d, span1d = rw.row_decode_pos(
-            rw.FAM1, v_cur, pvalue, c1cin, c1cbig, h1f[:, :], h1t[:, :]
+            rw.FAM1, v_cur, pvalue, c1cin, c1cbig, h1f[:, :], h1t[:, :],
+            hug_scr=c1chug_a, nr2=NR2_1,
         )
         rankd, ixlowd, ixspand = prims.model_decode(ixv, pvalue, D)
         dtago_v0 = dtago[:, :]
@@ -510,21 +620,32 @@ def decoder_kernel(
         pair_n = get_col(R, R_PAIR_N)
         promo0 = get_col(R, R_PROMO0_N)
         promo1 = get_col(R, R_PROMO1_N)
+        huge0 = get_col(R, R_HUGE0_N)
+        huge1 = get_col(R, R_HUGE1_N)
         f0u, pos0u, _ = rw.row_find(
-            rw.FAM0, v0, slot_hit, c0in, c0big, h0t[:, :], h0f[:, :], None
+            rw.FAM0, v0, slot_hit, c0in, c0big, h0t[:, :], h0f[:, :], None,
+            hug_scr=c0hug_a, nr2=NR2_0,
         )
         f1u, pos1u, _ = rw.row_find(
             rw.FAM1, v_cur, slot_hit, c1cin, c1cbig, h1t[:, :], h1f[:, :],
-            h1p[:, :],
+            h1p[:, :], hug_scr=c1chug_a, nr2=NR2_1,
         )
-        hub0n2, promo0_2, dp0, span0_idx, of0 = rw.row_update(
-            rw.FAM0, v0, slot_hit, f0u, pos0u, hit, c0in, c0big,
-            h0t, h0f, None, hub0n, vc.hub0, promo0, vc.m0,
+        hub0n2, promo0_2, dp0, span0_idx, of0, huge0_2, dg0, gid0 = (
+            rw.row_update(
+                rw.FAM0, v0, slot_hit, f0u, pos0u, hit, c0in, c0big,
+                h0t, h0f, None, hub0n, vc.hub0, promo0, vc.m0,
+                hug_scr=c0hug_a, nr2=NR2_0, m=vc.m0, huge_n=huge0,
+                huge_cap=vc.h2_0, big_trig=vc.big_trig0,
+            )
         )
-        hub1n2, promo1_2, dp1, span1_idx, of1 = rw.row_update(
-            rw.FAM1, v_cur, slot_hit, f1u, pos1u, hit, c1cin, c1cbig,
-            h1t, h1f, h1p, hub1n, vc.hub1, promo1, vc.m1,
-            new_pair_id=pair_n,
+        hub1n2, promo1_2, dp1, span1_idx, of1, huge1_2, dg1, gid1 = (
+            rw.row_update(
+                rw.FAM1, v_cur, slot_hit, f1u, pos1u, hit, c1cin, c1cbig,
+                h1t, h1f, h1p, hub1n, vc.hub1, promo1, vc.m1,
+                new_pair_id=pair_n,
+                hug_scr=c1chug_a, nr2=NR2_1, m=vc.m1, huge_n=huge1,
+                huge_cap=vc.h2_1, big_trig=vc.big_trig1,
+            )
         )
         new_pair = hit & ~f1u
         of_pairs = new_pair & (pair_n >= S0)
@@ -609,6 +730,8 @@ def decoder_kernel(
         wb0b = wb0 & (v0.is_big | dp0)
         wb1 = hit & (c1 >= 1)
         wb1b = wb1 & (v_cur.is_big | dp1)
+        wb0g = wb0 & (v0.is_huge | dg0) if NR2_0 else None
+        wb1g = wb1 & (v_cur.is_huge | dg1) if NR2_1 else None
         # unconditional small-row write-backs (non-hit lanes' scratch is
         # unmodified -> byte-wise no-op; no-fetch lanes target dump rows)
         wb0r = jnp.where(rc0 >= 0, rc0, vc.dump0)
@@ -620,8 +743,21 @@ def decoder_kernel(
         xf = set_col(xf, XC_WB1R, wb1r)
         xf = set_col(xf, XC_WB1B, wb1b.astype(I32))
         xf = set_col(xf, XC_WB1S, span1_idx)
+        if NR2_0:
+            xf = set_col(xf, XC_WB0G, wb0g.astype(I32))
+            xf = set_col(xf, XC_WB0GS, gid0)
+        if NR2_1:
+            xf = set_col(xf, XC_WB1G, wb1g.astype(I32))
+            xf = set_col(xf, XC_WB1GS, gid1)
         xfer[:, :] = xf
         any_wbb = jnp.any(wb0b | wb1b)
+        if NR2_0 or NR2_1:
+            wbg_acc = jnp.zeros((L, 1), jnp.bool_)
+            if NR2_0:
+                wbg_acc = wbg_acc | wb0g
+            if NR2_1:
+                wbg_acc = wbg_acc | wb1g
+            any_wbg = jnp.any(wbg_acc)
         for l in range(L):
             r = lane_rowbase(l, R0) + xfer[l, XC_WB0R]
             pltpu.make_async_copy(
@@ -649,6 +785,29 @@ def decoder_kernel(
                         c1cbig.at[l], c1r.at[pl.ds(r, PB), :], sem_wb.at[l, 3]
                     ).start()
 
+        if NR2_0 or NR2_1:
+            @pl.when(any_wbg)
+            def _():
+                for l in range(L):
+                    if NR2_0:
+                        @pl.when(xfer[l, XC_WB0G] != 0)
+                        def _(l=l):
+                            r = (lane_rowbase(l, R0) + S0 + HB0
+                                 + xfer[l, XC_WB0GS] * PB2_0)
+                            pltpu.make_async_copy(
+                                c0hug.at[l], c0r.at[pl.ds(r, PB2_0), :],
+                                sem_wb.at[l, 4],
+                            ).start()
+                    if NR2_1:
+                        @pl.when(xfer[l, XC_WB1G] != 0)
+                        def _(l=l):
+                            r = (lane_rowbase(l, R1) + S1 + HB1
+                                 + xfer[l, XC_WB1GS] * PB2_1)
+                            pltpu.make_async_copy(
+                                c1chug.at[l], c1r.at[pl.ds(r, PB2_1), :],
+                                sem_wb.at[l, 5],
+                            ).start()
+
         for l in range(L):
             r = lane_rowbase(l, R0) + xfer[l, XC_WB0R]
             pltpu.make_async_copy(
@@ -675,6 +834,29 @@ def decoder_kernel(
                     pltpu.make_async_copy(
                         c1cbig.at[l], c1r.at[pl.ds(r, PB), :], sem_wb.at[l, 3]
                     ).wait()
+
+        if NR2_0 or NR2_1:
+            @pl.when(any_wbg)
+            def _():
+                for l in range(L):
+                    if NR2_0:
+                        @pl.when(xfer[l, XC_WB0G] != 0)
+                        def _(l=l):
+                            r = (lane_rowbase(l, R0) + S0 + HB0
+                                 + xfer[l, XC_WB0GS] * PB2_0)
+                            pltpu.make_async_copy(
+                                c0hug.at[l], c0r.at[pl.ds(r, PB2_0), :],
+                                sem_wb.at[l, 4],
+                            ).wait()
+                    if NR2_1:
+                        @pl.when(xfer[l, XC_WB1G] != 0)
+                        def _(l=l):
+                            r = (lane_rowbase(l, R1) + S1 + HB1
+                                 + xfer[l, XC_WB1GS] * PB2_1)
+                            pltpu.make_async_copy(
+                                c1chug.at[l], c1r.at[pl.ds(r, PB2_1), :],
+                                sem_wb.at[l, 5],
+                            ).wait()
 
         # prev-row cache swap (next event's prev row = this updated cur)
         c1pin[:, 0, :] = jnp.where(
@@ -687,6 +869,14 @@ def decoder_kernel(
                 c1pbig[:, rr, :] = jnp.where(
                     wb1b, c1cbig[:, rr, :], c1pbig[:, rr, :]
                 )
+
+        if NR2_1:
+            @pl.when(jnp.any(wb1g))
+            def _():
+                for rr in range(PB2_1):
+                    c1phug[:, rr, :] = jnp.where(
+                        wb1g, c1chug[:, rr, :], c1phug[:, rr, :]
+                    )
 
         # ================= advance ====================================
         prev2 = jnp.where(hit, c1, jnp.where(is_new, 0, prev_c1))
@@ -717,6 +907,10 @@ def decoder_kernel(
         Rn = set_col(Rn, R_HUB1_N, hub1n2)
         Rn = set_col(Rn, R_PROMO0_N, promo0_2)
         Rn = set_col(Rn, R_PROMO1_N, promo1_2)
+        if NR2_0:
+            Rn = set_col(Rn, R_HUGE0_N, huge0_2)
+        if NR2_1:
+            Rn = set_col(Rn, R_HUGE1_N, huge1_2)
         Rn = set_col(Rn, R_DONE, done2.astype(I32))
         Rn = set_col(Rn, R_OFLOW, get_col(R, R_OFLOW) | of_bits)
         Rn = Rn + counts_add
@@ -776,14 +970,17 @@ def build_decoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
         pltpu.VMEM((L, PB, 128), I32),          # c1pbig
         pltpu.VMEM((L, 1, 128), I32),           # c1cin
         pltpu.VMEM((L, PB, 128), I32),           # c1cbig
+        pltpu.VMEM((L, vc.pb2_0, 128), I32),    # c0hug (1-row dummy if off)
+        pltpu.VMEM((L, vc.pb2_1, 128), I32),    # c1phug
+        pltpu.VMEM((L, vc.pb2_1, 128), I32),    # c1chug
         pltpu.VMEM((L, OBROWS_F, 128), I32),    # stage
         pltpu.VMEM((L, 128), I32),              # frag_scr
         pltpu.VMEM((L, 128), I32),              # acw
         pltpu.VMEM((L, 128), jnp.float32),      # acwf
         pltpu.VMEM((L, 128), I32),              # xfer
         pltpu.SemaphoreType.DMA((L,)),          # sem_src
-        pltpu.SemaphoreType.DMA((L, 6)),        # sem_row
-        pltpu.SemaphoreType.DMA((L, 4)),        # sem_wb
+        pltpu.SemaphoreType.DMA((L, 9)),        # sem_row
+        pltpu.SemaphoreType.DMA((L, 6)),        # sem_wb
         pltpu.SemaphoreType.DMA((L,)),          # sem_out
     ]
 
