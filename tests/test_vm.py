@@ -378,3 +378,52 @@ def test_vm_huge_rows_bit_exact():
     )
     assert not any(np.asarray(getattr(dof, f))[0] for f in dof._fields)
     assert np.asarray(out)[0, : np.asarray(opos)[0]].tobytes() == data
+
+
+@_subprocess_isolated
+def test_vm_huge_prev_priming_across_launches():
+    """chunk_steps smaller than the event count forces many launches, so
+    the pre-loop prev-row priming runs with HUGE prev rows (the in-loop
+    path never fetches prev from HBM — only the launch boundary does).
+    The stream must be invariant to chunking, and decode likewise."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from x3tpu.vm import driver as vmdrv
+    from x3tpu.vm.config import vm_caps
+
+    params = X3Params(max_match_count=15, window=32)
+    caps = CodecCaps(
+        dict_cap=384, pair_cap=2048, ctx_items_cap=1024,
+        ctx0_items_cap=1024, ctx_small_cap=16, block_bytes=1024,
+    )
+    data = _huge_tier_data()
+    vc = dataclasses.replace(vm_caps(params, caps),
+                             big_trig0=200, big_trig1=160)
+
+    text, tlen = codec.pack_blocks([data], params, caps)
+    text_flat = vmdrv._prep_text(
+        jnp.asarray(text, jnp.uint8), vc, 1, text.shape[1]
+    )
+    tlen_p = jnp.pad(jnp.asarray(tlen, jnp.int32), (0, 7))
+    state = vmdrv._init_state(text_flat, tlen_p, vc, 1)
+    step = vmdrv._get_step(vc, params, 64, 1, True)
+    launches = 0
+    while bool(vmdrv._any_active(state[13])):
+        state = step(text_flat, *state)
+        launches += 1
+    assert launches > 10, f"expected many launches, got {launches}"
+    words, byte_lens, _, _, of = vmdrv._finalize(state, vc)
+    words, byte_lens = np.asarray(words), np.asarray(byte_lens)
+    for f in of._fields:
+        assert not np.asarray(getattr(of, f))[0], f"overflow {f}"
+    got = words[0].astype("<u4").tobytes()[: byte_lens[0]]
+    assert got == spec.encode(data, params)
+
+    out, opos, _, _, dof = vmdrv.decode_blocks_vm_chunked(
+        words[:1], byte_lens[:1], params, caps, vc=vc, interpret=True,
+        chunk_steps=64,
+    )
+    assert not any(np.asarray(getattr(dof, f))[0] for f in dof._fields)
+    assert np.asarray(out)[0, : np.asarray(opos)[0]].tobytes() == data
