@@ -185,11 +185,9 @@ def main():
     # fits the VMEM budget; 128-multiple, non-pow2 is fine).
     from x3tpu.parallel import runtime as rt
 
-    caps_4mb = dataclasses.replace(
-        rt.caps_for_block(4 << 20),
-        dict_cap=24576, pair_cap=1 << 19,
-        ctx_items_cap=8192, ctx0_items_cap=2048,
-    )
+    # caps_for_block sizes the MB-block regime for the VM directly now
+    caps_4mb = rt.caps_for_block(4 << 20)
+    assert (caps_4mb.dict_cap, caps_4mb.ctx_items_cap) == (24576, 8192)
 
     # (name, corpus, reference args, params, block_bytes, caps)
     CONFIGS = [

@@ -92,6 +92,12 @@ def caps_for_block(block_bytes: int, ratio_hint: float = 1.0) -> CodecCaps:
     # measured dictionary growth is ~block/20 entries on text; block/16
     # with pow2 rounding plus overflow auto-retry covers the tail
     d = int(np.clip(_pow2(block_bytes // 16), 1 << 10, 1 << 16))
+    # above the pow2 step the VM caps the dictionary at 24576 (the largest
+    # 128-multiple whose resident planes fit the VMEM budget); the measured
+    # 4 MB diverse-binary need is 21770 entries (/tmp/ref4mb_hub.log), and
+    # a genuine overflow auto-retries at 49152 on the XLA path
+    if d > 24576:
+        d = 24576
     items = int(np.clip(_pow2(d // 4), 256, 2048))
     # at VM-hostable dictionary sizes (<= 8192), keep the per-context item
     # cap within the VM's promoted-row capacity (rows.py BIG1 = 640) so the
@@ -99,15 +105,25 @@ def caps_for_block(block_bytes: int, ratio_hint: float = 1.0) -> CodecCaps:
     # block sizes is far below 640 and the overflow auto-retry covers tails
     if d <= 8192:
         items = min(items, 640)
+    else:
+        # MB-block regime: rows grow to thousands of items (measured 7449
+        # max at 4 MB); the VM huge-row tier hosts up to nr2*128 = 8192
+        items = 8192
     # tiered context storage: the small pool costs pair_cap*16*8B/lane and
     # promoted rows (pair_cap/8)*items*8B/lane — measured growth at 4 MB
-    # diverse text is 194K pairs / 1.5K max items, which now fits
-    pair = min(16 * d, 1 << 18)
+    # diverse binary is 391K pairs / 7.4K max items (the 32x multiplier
+    # applies only in the MB-block regime; smaller blocks keep the round-1
+    # sizing so their compile caches stay valid)
+    pair = min((32 if d > 8192 else 16) * d, 1 << 19)
+    # ctx0 (pair-context) rows stay an order smaller than ctx1 rows
+    # (measured 1257 vs 7449 max at 4 MB); the VM ctx0 huge tier caps at
+    # nr2_0*128 = 2048 items
+    items0 = items if items <= 2048 else 2048
     return CodecCaps(
         dict_cap=d,
         pair_cap=pair,
         ctx_items_cap=items,
-        ctx0_items_cap=items,
+        ctx0_items_cap=items0,
         ctx_promo_rows=min(max(pair // 8, 16), 4096),
         block_bytes=block_bytes,
     )
