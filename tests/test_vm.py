@@ -138,7 +138,17 @@ def test_vm_engine_dispatch_roundtrip():
 
 
 def test_vm_unsupported_configs():
-    caps = CodecCaps(dict_cap=1 << 14, block_bytes=2048)
+    # dictionary beyond the VMEM budget (the huge-tier work lifted the cap
+    # from 8192 to 32768/128-multiples, but 64K planes cannot fit)
+    caps = CodecCaps(dict_cap=1 << 16, block_bytes=2048)
+    with pytest.raises(VMUnsupported):
+        _encode_vm([b"x"], PARAMS, caps)
+    # non-128-multiple dictionary
+    caps = CodecCaps(dict_cap=1000, block_bytes=2048)
+    with pytest.raises(VMUnsupported):
+        _encode_vm([b"x"], PARAMS, caps)
+    # ctx item caps beyond the huge-span ceiling (8192/2048)
+    caps = CodecCaps(dict_cap=1024, ctx_items_cap=16384, block_bytes=2048)
     with pytest.raises(VMUnsupported):
         _encode_vm([b"x"], PARAMS, caps)
     caps = CodecCaps(dict_cap=1024, block_bytes=8 << 20)
