@@ -76,6 +76,12 @@ def build_corpora():
     # only (0.0186 MB/s measured -> 32 MB would take ~30 min)
     corp["binary4"] = _concat_files(sos[:16], 32 << 20)[: 4 << 20]
     corp["text128"] = corp["text"][: 128 << 10]
+    # BASELINE config #4 proxy (full-corpus sweep): every class
+    # concatenated, block-data-parallel across lanes on one chip (the
+    # container has one real chip; 8-chip scaling is validated separately
+    # by the dryrun_multichip CPU mesh + the 2-process multihost test)
+    corp["sweep"] = (corp["text"] + corp["xml"] + corp.get("tabular", b"")
+                     + corp["binary"])
     return corp
 
 
@@ -207,11 +213,17 @@ def main():
          None),
         ("binary-4mb", "binary4", ["-t", "15", "-w", "8"], X3Params(),
          4 << 20, caps_4mb),  # reference side: measured offline (see below)
+        # full-corpus sweep (config #4 single-chip proxy) — opt-in: the
+        # reference side alone takes ~3-10 min on these bytes
+        ("sweep", "sweep", ["-t", "15", "-w", "8"], X3Params(), 128 << 10,
+         None),
     ]
     rows = []
     for name, ckey, rargs, params, bb, ccaps in CONFIGS:
         if want and name not in want and ckey not in want:
             continue
+        if not want and name == "sweep":
+            continue  # opt-in (slow reference side); see CONFIGS comment
         data = corp.get(ckey)
         if data is None:
             log(f"{name}: corpus missing, skipped")
