@@ -437,3 +437,102 @@ def test_vm_huge_prev_priming_across_launches():
     )
     assert not any(np.asarray(getattr(dof, f))[0] for f in dof._fields)
     assert np.asarray(out)[0, : np.asarray(opos)[0]].tobytes() == data
+
+
+@pytest.mark.skipif(not os.environ.get("X3TPU_SLOW"),
+                    reason="randomized interpret-mode runs are slow")
+@_subprocess_isolated
+def test_vm_huge_fuzz_vs_spec():
+    """Randomized differential for the huge tier: low promotion triggers
+    (just past the inline capacities) make random data drive MANY rows
+    through big->huge promotion, in both window regimes (no-scan and
+    scan-active).  Streams must match the spec oracle bit-for-bit and VM
+    decode must round-trip."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from x3tpu.vm import driver as vmdrv
+    from x3tpu.vm.config import R_HUGE1_N, vm_caps
+
+    caps = CodecCaps(
+        dict_cap=512, pair_cap=4096, ctx_items_cap=1024,
+        ctx0_items_cap=1024, ctx_small_cap=16, block_bytes=8192,
+    )
+    # alphabet 64, ~6 KB: each tag recurs ~90 times with ~50 distinct
+    # random successors, so many NON-hub ctx1 rows pass the lowered
+    # trigger (ctx0 rows stay shallow — pair recurrence ~1.5 — so fam0
+    # huge coverage stays with the engineered test)
+    rng = np.random.default_rng(23)
+    for window in (32, 256):
+        params = X3Params(max_match_count=15, window=window)
+        vc = dataclasses.replace(vm_caps(params, caps),
+                                 big_trig0=72, big_trig1=48)
+        data = rng.integers(1, 65, 6000, np.uint8).tobytes()
+        text, tlen = codec.pack_blocks([data], params, caps)
+        text_flat = vmdrv._prep_text(
+            jnp.asarray(text, jnp.uint8), vc, 1, text.shape[1]
+        )
+        tlen_p = jnp.pad(jnp.asarray(tlen, jnp.int32), (0, 7))
+        state = vmdrv._init_state(text_flat, tlen_p, vc, 1)
+        step = vmdrv._get_step(vc, params, 4096, 1, True)
+        while bool(vmdrv._any_active(state[13])):
+            state = step(text_flat, *state)
+        regs = np.asarray(state[13])
+        assert regs[0, R_HUGE1_N] > 0, f"w={window}: no huge promotion"
+        words, byte_lens, _, _, of = vmdrv._finalize(state, vc)
+        words, byte_lens = np.asarray(words), np.asarray(byte_lens)
+        for f in of._fields:
+            assert not np.asarray(getattr(of, f))[0], f"overflow {f}"
+        got = words[0].astype("<u4").tobytes()[: byte_lens[0]]
+        assert got == spec.encode(data, params), f"w={window} mismatch"
+
+        out, opos, _, _, dof = vmdrv.decode_blocks_vm_chunked(
+            words[:1], byte_lens[:1], params, caps, vc=vc, interpret=True
+        )
+        assert not any(np.asarray(getattr(dof, f))[0] for f in dof._fields)
+        assert np.asarray(out)[0, : np.asarray(opos)[0]].tobytes() == data
+
+
+@pytest.mark.skipif(not os.environ.get("X3TPU_SLOW"),
+                    reason="2-group interpret run is slow")
+@_subprocess_isolated
+def test_vm_huge_two_groups():
+    """9 blocks -> G=2 grid: huge-span HBM addressing must be correct for
+    the second lane-group (lane_rowbase includes the group index)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from x3tpu.vm import driver as vmdrv
+    from x3tpu.vm.config import R_HUGE1_N, vm_caps
+
+    params = X3Params(max_match_count=15, window=32)
+    caps = CodecCaps(
+        dict_cap=384, pair_cap=2048, ctx_items_cap=1024,
+        ctx0_items_cap=1024, ctx_small_cap=16, block_bytes=1024,
+    )
+    data = _huge_tier_data()
+    blocks = [data] * 9
+    vc = dataclasses.replace(vm_caps(params, caps),
+                             big_trig0=200, big_trig1=160)
+    text, tlen = codec.pack_blocks(blocks, params, caps)
+    G = 2
+    text_flat = vmdrv._prep_text(
+        jnp.asarray(text, jnp.uint8), vc, G, text.shape[1]
+    )
+    tlen_p = jnp.pad(jnp.asarray(tlen, jnp.int32), (0, G * 8 - len(blocks)))
+    state = vmdrv._init_state(text_flat, tlen_p, vc, G)
+    step = vmdrv._get_step(vc, params, 4096, G, True)
+    while bool(vmdrv._any_active(state[13])):
+        state = step(text_flat, *state)
+    regs = np.asarray(state[13])
+    assert (regs[: len(blocks), R_HUGE1_N] > 0).all()
+    words, byte_lens, _, _, of = vmdrv._finalize(state, vc)
+    words, byte_lens = np.asarray(words), np.asarray(byte_lens)
+    want = spec.encode(data, params)
+    for i in range(len(blocks)):
+        for f in of._fields:
+            assert not np.asarray(getattr(of, f))[i], f"overflow {f} lane {i}"
+        got = words[i].astype("<u4").tobytes()[: byte_lens[i]]
+        assert got == want, f"lane {i} mismatch"
