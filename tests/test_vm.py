@@ -536,3 +536,46 @@ def test_vm_huge_two_groups():
             assert not np.asarray(getattr(of, f))[i], f"overflow {f} lane {i}"
         got = words[i].astype("<u4").tobytes()[: byte_lens[i]]
         assert got == want, f"lane {i} mismatch"
+
+
+def test_vm_seeded_dictionary_matches_xla():
+    """Dictionary-seed broadcast (x3tpu extension; runtime.seeds_to_arrays)
+    is pure state init, so the VM must produce the exact XLA-path stream
+    and decode it back, with NO fallback."""
+    import jax.numpy as jnp
+
+    from x3tpu.parallel.runtime import seeds_to_arrays
+    from x3tpu.vm import decode_blocks_vm_chunked
+
+    caps = CodecCaps(
+        dict_cap=512, pair_cap=1024, ctx_items_cap=128, ctx0_items_cap=128,
+        ctx_small_cap=16, block_bytes=2048,
+    )
+    seed_bytes = [b"abracadabra ", b"the quick ", b"fox", b"\x00\x01\x02"]
+    seeds = tuple(jnp.asarray(a) for a in seeds_to_arrays(seed_bytes))
+    blocks = [b"abracadabra abracadabra the quick fox " * 12,
+              b"no seed overlap here: 123456789 " * 10]
+    text, tlen = codec.pack_blocks(blocks, PARAMS, caps)
+    vw, vl, vcnt, _, vof = encode_blocks_vm_chunked(
+        text, tlen, PARAMS, caps, seeds=seeds, interpret=True
+    )
+    xw, xl, xcnt, _, xof = codec.encode_blocks_chunked(
+        jnp.asarray(text), jnp.asarray(tlen), PARAMS, caps, seeds=seeds
+    )
+    vw, vl, xw, xl = map(np.asarray, (vw, vl, xw, xl))
+    for f in vof._fields:
+        assert not np.asarray(getattr(vof, f)).any()
+        assert not np.asarray(getattr(xof, f)).any()
+    for i in range(len(blocks)):
+        got = vw[i].astype("<u4").tobytes()[: vl[i]]
+        want = xw[i].astype("<u4").tobytes()[: xl[i]]
+        assert got == want, f"lane {i} seeded stream mismatch"
+        assert (np.asarray(vcnt)[i] == np.asarray(xcnt)[i]).all()
+    # seeded streams need seeded decode
+    out, opos, _, _, dof = decode_blocks_vm_chunked(
+        vw[: len(blocks)], vl[: len(blocks)], PARAMS, caps, seeds=seeds,
+        interpret=True,
+    )
+    assert not any(np.asarray(getattr(dof, f)).any() for f in dof._fields)
+    for i, b in enumerate(blocks):
+        assert np.asarray(out)[i, : np.asarray(opos)[i]].tobytes() == b

@@ -21,8 +21,8 @@ from x3tpu.ops import ac as acm
 from x3tpu.ops import bitio
 from x3tpu.vm.config import (
     LANES, OF_CTX0, OF_CTX1, OF_DICT, OF_OUT, OF_PAIRS,
-    R_AC_HIGH, R_AC_LOW, R_AC_SCALE, R_COUNTS, R_NBITS, R_OFLOW, R_P,
-    R_TLEN, R_WIN_BASE, VMCaps, VMUnsupported, vm_caps,
+    R_AC_HIGH, R_AC_LOW, R_AC_SCALE, R_COUNTS, R_DICT_N, R_NBITS, R_OFLOW,
+    R_P, R_TLEN, R_WIN_BASE, VMCaps, VMUnsupported, vm_caps,
 )
 from x3tpu.vm.kernel import build_encoder_call
 
@@ -30,8 +30,30 @@ I32 = jnp.int32
 U32 = jnp.uint32
 
 
+def _seed_dict_arrays(seeds, G8: int, D: int):
+    """Seeded dictionary planes (dictw, dlens, drank, dtago, ixf, d_n) —
+    the VM mirror of codec._init_shared's seed broadcast (codec.py:89-125):
+    K fragments pre-inserted at tags/slots 0..K-1, recency ranks 0..K-1."""
+    seed_strs, seed_lens = seeds  # u8 [K, 32], i32 [K]
+    K = seed_strs.shape[0]
+    s32 = jnp.asarray(seed_strs, I32)
+    dictw = jnp.zeros((G8, 8 * D), I32)
+    for w in range(8):
+        word = (s32[:, 4 * w] | (s32[:, 4 * w + 1] << 8)
+                | (s32[:, 4 * w + 2] << 16) | (s32[:, 4 * w + 3] << 24))
+        dictw = dictw.at[:, w * D : w * D + K].set(word[None, :])
+    dlens = jnp.zeros((G8, D), I32).at[:, :K].set(
+        jnp.asarray(seed_lens, I32)[None, :]
+    )
+    iota = jnp.arange(D, dtype=I32)
+    drank = jnp.tile(iota[None, :], (G8, 1))
+    dtago = jnp.tile(iota[None, :], (G8, 1))
+    ixf = jnp.zeros((G8, D), I32).at[:, :K].set(1)
+    return dictw, dlens, drank, dtago, ixf, K
+
+
 @functools.partial(jax.jit, static_argnames=("vc", "G"))
-def _init_state(text_flat, tlen, vc: VMCaps, G: int):
+def _init_state(text_flat, tlen, vc: VMCaps, G: int, seeds=None):
     """Initial VM state tuple (kernel inputs 1..19).  ``text_flat`` is the
     byte-per-i32 text [G8*trows, 128]; ``tlen`` i32 [G8]."""
     G8 = G * LANES
@@ -43,6 +65,11 @@ def _init_state(text_flat, tlen, vc: VMCaps, G: int):
     regs = z(128)
     regs = regs.at[:, R_TLEN].set(tlen.astype(I32))
     regs = regs.at[:, R_AC_HIGH].set(jnp.int32(0x7FFFFFFF))
+    if seeds is None:
+        dictw, dlens, drank, dtago, ixf = z(8 * D), z(D), z(D), z(D), z(D)
+    else:
+        dictw, dlens, drank, dtago, ixf, K = _seed_dict_arrays(seeds, G8, D)
+        regs = regs.at[:, R_DICT_N].set(K)
     ev = z(128).at[:, : len(EVENT_INIT_FREQS)].set(
         jnp.asarray(EVENT_INIT_FREQS, I32)[None, :]
     )
@@ -50,7 +77,7 @@ def _init_state(text_flat, tlen, vc: VMCaps, G: int):
     ch = jnp.ones((G8, 256), I32)
     orows = vc.out_words // 128
     return (
-        z(8 * D), z(D), z(D), z(D), z(D),
+        dictw, dlens, drank, dtago, ixf,
         z(vc.hub0), z(vc.hub0), z(vc.hub1), z(vc.hub1), z(vc.hub1),
         ev, ms, ch, regs, z(128, jnp.float32), z(512),
         jnp.zeros((G8 * orows, 128), I32),
@@ -149,17 +176,17 @@ def encode_blocks_vm_chunked(
     the kernel cannot host (callers fall back to the XLA path).  ``vc``
     overrides the derived VM capacities (tests use it to lower the
     big->huge promotion trigger)."""
-    if seeds is not None:
-        raise VMUnsupported("dictionary seeds not supported by the VM yet")
     if vc is None:
         vc = vm_caps(params, caps)
+    if seeds is not None and seeds[0].shape[0] > vc.dict_cap:
+        raise VMUnsupported("more dictionary seeds than dict_cap")
     L_in, tb_in = text.shape
     G = (L_in + LANES - 1) // LANES
     G8 = G * LANES
 
     text_flat = _prep_text(jnp.asarray(text, jnp.uint8), vc, G, tb_in)
     tlen_p = jnp.pad(jnp.asarray(tlen, I32), (0, G8 - L_in))
-    state = _init_state(text_flat, tlen_p, vc, G)
+    state = _init_state(text_flat, tlen_p, vc, G, seeds=seeds)
     step = _get_step(vc, params, chunk_steps, G, interpret, ablate)
     while bool(_any_active(state[13])):
         state = step(text_flat, *state)
@@ -196,7 +223,7 @@ def _dec_obrows(vc: VMCaps) -> int:
 
 @functools.partial(jax.jit, static_argnames=("vc", "G", "srows", "obrows"))
 def _init_state_dec(words, byte_lens, vc: VMCaps, G: int, srows: int,
-                    obrows: int):
+                    obrows: int, seeds=None):
     """Initial decoder VM state (kernel inputs 1..20).  ``words`` is the
     compressed stream u32 [L, IW]; ``byte_lens`` its per-lane sizes."""
     G8 = G * LANES
@@ -231,13 +258,18 @@ def _init_state_dec(words, byte_lens, vc: VMCaps, G: int, srows: int,
     regs = regs.at[:, R_NBITS].set(31)
     regs = regs.at[:, R_SRC_NW].set(src.nwords)
     regs = regs.at[:, R_DONE].set((byte_lens <= 0).astype(I32))
+    if seeds is None:
+        dictw, dlens, drank, dtago, ixf = z(8 * D), z(D), z(D), z(D), z(D)
+    else:
+        dictw, dlens, drank, dtago, ixf, K = _seed_dict_arrays(seeds, G8, D)
+        regs = regs.at[:, R_DICT_N].set(K)
     ev = z(128).at[:, : len(EVENT_INIT_FREQS)].set(
         jnp.asarray(EVENT_INIT_FREQS, I32)[None, :]
     )
     ms = z(128).at[:, :32].set(1)
     ch = jnp.ones((G8, 256), I32)
     return srcflat, (
-        z(8 * D), z(D), z(D), z(D), z(D),
+        dictw, dlens, drank, dtago, ixf,
         z(vc.hub0), z(vc.hub0), z(vc.hub1), z(vc.hub1), z(vc.hub1),
         ev, ms, ch, regs, z(128, jnp.float32),
         srcwin, z(OBW),
@@ -302,10 +334,10 @@ def decode_blocks_vm_chunked(
     """Chunked codec-VM decode; same contract as
     codec.decode_blocks_chunked: returns (out u8 [L, block_bytes],
     out_lens, counts, sizes, Overflow)."""
-    if seeds is not None:
-        raise VMUnsupported("dictionary seeds not supported by the VM yet")
     if vc is None:
         vc = vm_caps(params, caps)
+    if seeds is not None and seeds[0].shape[0] > vc.dict_cap:
+        raise VMUnsupported("more dictionary seeds than dict_cap")
     L_in, IW = words.shape
     G = (L_in + LANES - 1) // LANES
     srows = _dec_srows(vc, IW)
@@ -313,7 +345,7 @@ def decode_blocks_vm_chunked(
 
     srcflat, state = _init_state_dec(
         jnp.asarray(words, U32), jnp.asarray(byte_lens, I32), vc, G,
-        srows, obrows,
+        srows, obrows, seeds=seeds,
     )
     step = _get_step_dec(vc, params, chunk_steps, G, srows, obrows,
                          interpret)
