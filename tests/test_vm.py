@@ -579,3 +579,50 @@ def test_vm_seeded_dictionary_matches_xla():
     assert not any(np.asarray(getattr(dof, f)).any() for f in dof._fields)
     for i, b in enumerate(blocks):
         assert np.asarray(out)[i, : np.asarray(opos)[i]].tobytes() == b
+
+
+@_subprocess_isolated
+def test_vm_huge_asymmetric_families():
+    """ctx1 huge tier on, ctx0 huge tier OFF (nr2_0 == 0): the kernels
+    must compile the mixed configuration and stay bit-exact (ctx0 rows
+    stop at the big tier)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from x3tpu.vm import driver as vmdrv
+    from x3tpu.vm.config import R_HUGE0_N, R_HUGE1_N, vm_caps
+
+    params = X3Params(max_match_count=15, window=32)
+    caps = CodecCaps(
+        dict_cap=384, pair_cap=2048, ctx_items_cap=1024,
+        ctx0_items_cap=512, ctx_small_cap=16, block_bytes=1024,
+    )
+    data = _huge_tier_data()
+    vc = vm_caps(params, caps)
+    assert vc.nr2_1 == 8 and vc.nr2_0 == 0
+    vc = dataclasses.replace(vc, big_trig1=160)
+
+    text, tlen = codec.pack_blocks([data], params, caps)
+    text_flat = vmdrv._prep_text(
+        jnp.asarray(text, jnp.uint8), vc, 1, text.shape[1]
+    )
+    tlen_p = jnp.pad(jnp.asarray(tlen, jnp.int32), (0, 7))
+    state = vmdrv._init_state(text_flat, tlen_p, vc, 1)
+    step = vmdrv._get_step(vc, params, 4096, 1, True)
+    while bool(vmdrv._any_active(state[13])):
+        state = step(text_flat, *state)
+    regs = np.asarray(state[13])
+    assert regs[0, R_HUGE1_N] > 0 and regs[0, R_HUGE0_N] == 0
+    words, byte_lens, _, _, of = vmdrv._finalize(state, vc)
+    words, byte_lens = np.asarray(words), np.asarray(byte_lens)
+    for f in of._fields:
+        assert not np.asarray(getattr(of, f))[0], f"overflow {f}"
+    got = words[0].astype("<u4").tobytes()[: byte_lens[0]]
+    assert got == spec.encode(data, params)
+
+    out, opos, _, _, dof = vmdrv.decode_blocks_vm_chunked(
+        words[:1], byte_lens[:1], params, caps, vc=vc, interpret=True
+    )
+    assert not any(np.asarray(getattr(dof, f))[0] for f in dof._fields)
+    assert np.asarray(out)[0, : np.asarray(opos)[0]].tobytes() == data
