@@ -185,10 +185,19 @@ def encode_blocks_vm_chunked(
     G8 = G * LANES
 
     text_flat = _prep_text(jnp.asarray(text, jnp.uint8), vc, G, tb_in)
+    tlen_np = np.asarray(tlen)
     tlen_p = jnp.pad(jnp.asarray(tlen, I32), (0, G8 - L_in))
     state = _init_state(text_flat, tlen_p, vc, G, seeds=seeds)
     step = _get_step(vc, params, chunk_steps, G, interpret, ablate)
-    while bool(_any_active(state[13])):
+    # every event consumes >= 1 input byte (hit: dlen >= 1; miss: mlen is
+    # clipped to >= 1), so ceil(max tlen / chunk_steps) launches always
+    # finish the block — dispatch them ASYNC (a finished launch exits its
+    # while-loop immediately) instead of paying a ~33 ms device readback
+    # per launch (probe9: only a value read synchronizes via the tunnel)
+    bound = max(1, -(-int(tlen_np.max(initial=0)) // chunk_steps))
+    for _ in range(bound):
+        state = step(text_flat, *state)
+    while bool(_any_active(state[13])):  # safety net; never hit by design
         state = step(text_flat, *state)
     words, byte_lens, counts, sizes, overflow = _finalize(state, vc)
     sl = slice(0, L_in)
@@ -349,8 +358,17 @@ def decode_blocks_vm_chunked(
     )
     step = _get_step_dec(vc, params, chunk_steps, G, srows, obrows,
                          interpret)
+    # decode events each emit >= 1 output byte, so launches are bounded by
+    # ceil((block_bytes+1)/chunk_steps) — but the actual output length is
+    # unknown up front, so dispatch in async batches of 4 between ~33 ms
+    # device readbacks (probe9) instead of syncing every launch; finished
+    # launches exit their while-loop immediately
+    bound = max(1, -(-(vc.block_bytes + 1) // chunk_steps))
+    done_launches = 0
     while bool(_any_active_dec(state[13])):
-        state = step(srcflat, *state)
+        for _ in range(min(4, bound - done_launches) or 1):
+            state = step(srcflat, *state)
+            done_launches += 1
     out, opos, counts, sizes, overflow = _finalize_dec(state, vc, obrows)
     sl = slice(0, L_in)
     return (
