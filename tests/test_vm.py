@@ -538,6 +538,7 @@ def test_vm_huge_two_groups():
         assert got == want, f"lane {i} mismatch"
 
 
+@_subprocess_isolated
 def test_vm_seeded_dictionary_matches_xla():
     """Dictionary-seed broadcast (x3tpu extension; runtime.seeds_to_arrays)
     is pure state init, so the VM must produce the exact XLA-path stream
@@ -626,3 +627,50 @@ def test_vm_huge_asymmetric_families():
     )
     assert not any(np.asarray(getattr(dof, f))[0] for f in dof._fields)
     assert np.asarray(out)[0, : np.asarray(opos)[0]].tobytes() == data
+
+
+@_subprocess_isolated
+def test_vm_sharded_mesh_bit_exact():
+    """Mesh-sharded VM drivers (shard_map over the 8-device CPU test
+    mesh): per-device Pallas grids, no cross-device sync inside a launch.
+    Streams must match the spec oracle and the runtime dispatch must pick
+    the VM path (engine='vm_interpret' + mesh)."""
+    from x3tpu.parallel import mesh as meshmod
+    from x3tpu.parallel import runtime
+    from x3tpu.vm import decode_blocks_vm_sharded, encode_blocks_vm_sharded
+
+    caps = CodecCaps(
+        dict_cap=512, pair_cap=1024, ctx_items_cap=128, ctx0_items_cap=128,
+        ctx_small_cap=16, block_bytes=2048,
+    )
+    blocks = _blocks() + [b"mesh lane %d " % i * 30 for i in range(6)]
+    mesh = meshmod.make_mesh()
+    assert mesh.devices.size == 8
+    text, tlen = codec.pack_blocks(blocks, PARAMS, caps)
+    words, byte_lens, counts, sizes, of = encode_blocks_vm_sharded(
+        text, tlen, PARAMS, caps, mesh, chunk_steps=977, interpret=True
+    )
+    words, byte_lens = np.asarray(words), np.asarray(byte_lens)
+    for f in of._fields:
+        assert not np.asarray(getattr(of, f)).any(), f"overflow {f}"
+    for i, b in enumerate(blocks):
+        got = words[i].astype("<u4").tobytes()[: byte_lens[i]]
+        assert got == spec.encode(b, PARAMS), f"block {i} ({len(b)}B)"
+
+    out, opos, _, _, dof = decode_blocks_vm_sharded(
+        words[: len(blocks)], byte_lens[: len(blocks)], PARAMS, caps, mesh,
+        chunk_steps=977, interpret=True,
+    )
+    assert not any(np.asarray(getattr(dof, f)).any() for f in dof._fields)
+    for i, b in enumerate(blocks):
+        assert np.asarray(out)[i, : np.asarray(opos)[i]].tobytes() == b
+
+    # the runtime wave dispatch must route mesh+vm_interpret through the
+    # VM sharded drivers (no VMUnsupported fallback at these caps)
+    caps_vm = CodecCaps(
+        dict_cap=512, pair_cap=1024, ctx_items_cap=128, ctx0_items_cap=128,
+        ctx_small_cap=16, block_bytes=2048, engine="vm_interpret",
+    )
+    res = runtime.encode_wave(blocks, PARAMS, caps_vm, mesh=mesh)
+    for i, b in enumerate(blocks):
+        assert res.payloads[i] == spec.encode(b, PARAMS), f"wave block {i}"

@@ -201,6 +201,44 @@ def _decode_one_device(words, byte_lens, params, caps, seeds):
     )
 
 
+def _encode_sharded(text, tlen, params, caps, mesh, seeds):
+    """Mesh-sharded encode dispatch: the codec-VM Pallas kernel per device
+    when the resolved engine selects it and the configuration fits, else
+    the sharded XLA chunked driver (same output contract)."""
+    engine = caps.resolved().engine
+    if engine in ("vm", "vm_interpret"):
+        from x3tpu import vm
+
+        try:
+            return vm.encode_blocks_vm_sharded(
+                jax.numpy.asarray(text), jax.numpy.asarray(tlen), params,
+                caps, mesh, seeds, chunk_steps=16384,
+                interpret=(engine == "vm_interpret"),
+            )
+        except vm.VMUnsupported:
+            pass
+    return meshmod.encode_sharded(text, tlen, params, caps, mesh, seeds=seeds)
+
+
+def _decode_sharded(words, byte_lens, params, caps, mesh, seeds):
+    """Mesh-sharded decode dispatch (see _encode_sharded)."""
+    engine = caps.resolved().engine
+    if engine in ("vm", "vm_interpret"):
+        from x3tpu import vm
+
+        try:
+            return vm.decode_blocks_vm_sharded(
+                jax.numpy.asarray(words), jax.numpy.asarray(byte_lens),
+                params, caps, mesh, seeds, chunk_steps=16384,
+                interpret=(engine == "vm_interpret"),
+            )
+        except vm.VMUnsupported:
+            pass
+    return meshmod.decode_sharded(
+        words, byte_lens, params, caps, mesh, seeds=seeds
+    )
+
+
 def encode_wave(
     blocks_in: Sequence[bytes],
     params: X3Params,
@@ -219,8 +257,8 @@ def encode_wave(
         text, tlen = codec.pack_blocks(padded, params, caps)
         try:
             if mesh is not None:
-                words, byte_lens, counts, sizes, overflow = meshmod.encode_sharded(
-                    text, tlen, params, caps, mesh, seeds=seeds
+                words, byte_lens, counts, sizes, overflow = _encode_sharded(
+                    text, tlen, params, caps, mesh, seeds
                 )
             else:
                 words, byte_lens, counts, sizes, overflow = _encode_one_device(
@@ -282,8 +320,8 @@ def decode_wave(
     for attempt in range(max_retries + 1):
         try:
             if mesh is not None:
-                out, out_lens, counts, sizes, overflow = meshmod.decode_sharded(
-                    words, byte_lens, params, caps, mesh, seeds=seeds
+                out, out_lens, counts, sizes, overflow = _decode_sharded(
+                    words, byte_lens, params, caps, mesh, seeds
                 )
             else:
                 out, out_lens, counts, sizes, overflow = _decode_one_device(

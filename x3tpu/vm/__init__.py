@@ -9,7 +9,9 @@ the reference binary (tests/test_vm.py).
 from x3tpu.vm.config import VMCaps, VMUnsupported, vm_caps
 from x3tpu.vm.driver import (
     decode_blocks_vm_chunked,
+    decode_blocks_vm_sharded,
     encode_blocks_vm_chunked,
+    encode_blocks_vm_sharded,
 )
 
 __all__ = [
@@ -17,5 +19,7 @@ __all__ = [
     "VMUnsupported",
     "vm_caps",
     "decode_blocks_vm_chunked",
+    "decode_blocks_vm_sharded",
     "encode_blocks_vm_chunked",
+    "encode_blocks_vm_sharded",
 ]

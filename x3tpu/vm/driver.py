@@ -375,3 +375,141 @@ def decode_blocks_vm_chunked(
         out[sl], opos[sl], counts[sl], sizes[sl],
         codec.Overflow(*[getattr(overflow, f)[sl] for f in overflow._fields]),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded (multi-device) drivers: the same chunked VM launches with lanes
+# sharded over the 1-D block mesh via shard_map — each device runs its own
+# Pallas grid over its local lane groups, no cross-device synchronization
+# inside a launch (SURVEY.md §7.6 block-DP decomposition, at VM speed)
+# ---------------------------------------------------------------------------
+
+from jax.sharding import NamedSharding, PartitionSpec as _P  # noqa: E402
+
+try:  # jax >= 0.6 moved shard_map to the top level
+    from jax import shard_map as _shard_map  # noqa: E402
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map  # noqa: E402
+
+_AXIS = "blocks"
+
+
+@functools.lru_cache(maxsize=8)
+def _get_step_sharded(vc: VMCaps, params: X3Params, nsteps: int, Gd: int,
+                      interpret: bool, mh):
+    """Per-device VM encode launch, shard_mapped over the block mesh.
+    ``Gd`` is the per-device grid (lane groups)."""
+    call = build_encoder_call(vc, params, nsteps, Gd)
+
+    def local(text32, *state):
+        return call(text32, *state, interpret=interpret)
+
+    sm = _shard_map(
+        local, mesh=mh.mesh,
+        in_specs=(_P(_AXIS),) * 20,
+        out_specs=(_P(_AXIS),) * 19,
+        check_vma=False,
+    )
+    return jax.jit(sm, donate_argnums=tuple(range(1, 20)))
+
+
+def encode_blocks_vm_sharded(
+    text, tlen, params: X3Params, caps: CodecCaps, mesh, seeds=None,
+    chunk_steps: int = 16384, interpret: bool = False, vc: VMCaps = None,
+):
+    """Mesh-sharded codec-VM encode; same contract as
+    mesh.encode_sharded / encode_blocks_vm_chunked."""
+    from x3tpu.parallel.mesh import MeshHolder
+
+    if vc is None:
+        vc = vm_caps(params, caps)
+    if seeds is not None and seeds[0].shape[0] > vc.dict_cap:
+        raise VMUnsupported("more dictionary seeds than dict_cap")
+    nd = mesh.devices.size
+    L_in, tb_in = text.shape
+    Gd = max(1, -(-L_in // (nd * LANES)))
+    G = Gd * nd
+    G8 = G * LANES
+
+    text_flat = _prep_text(jnp.asarray(text, jnp.uint8), vc, G, tb_in)
+    tlen_np = np.asarray(tlen)
+    tlen_p = jnp.pad(jnp.asarray(tlen, I32), (0, G8 - L_in))
+    state = _init_state(text_flat, tlen_p, vc, G, seeds=seeds)
+    sharding = NamedSharding(mesh, _P(_AXIS))
+    text_flat = jax.device_put(text_flat, sharding)
+    state = tuple(jax.device_put(s, sharding) for s in state)
+    step = _get_step_sharded(vc, params, chunk_steps, Gd, interpret,
+                             MeshHolder(mesh))
+    bound = max(1, -(-int(tlen_np.max(initial=0)) // chunk_steps))
+    for _ in range(bound):
+        state = step(text_flat, *state)
+    while bool(_any_active(state[13])):  # safety net; never hit by design
+        state = step(text_flat, *state)
+    words, byte_lens, counts, sizes, overflow = _finalize(state, vc)
+    sl = slice(0, L_in)
+    return (
+        words[sl],
+        byte_lens[sl],
+        counts[sl],
+        sizes[sl],
+        codec.Overflow(*[getattr(overflow, f)[sl] for f in overflow._fields]),
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _get_step_dec_sharded(vc: VMCaps, params: X3Params, nsteps: int, Gd: int,
+                          srows: int, obrows: int, interpret: bool, mh):
+    call = build_decoder_call(vc, params, nsteps, Gd, srows, obrows)
+
+    def local(srcflat, *state):
+        return call(srcflat, *state, interpret=interpret)
+
+    sm = _shard_map(
+        local, mesh=mh.mesh,
+        in_specs=(_P(_AXIS),) * 21,
+        out_specs=(_P(_AXIS),) * 20,
+        check_vma=False,
+    )
+    return jax.jit(sm, donate_argnums=tuple(range(1, 21)))
+
+
+def decode_blocks_vm_sharded(
+    words, byte_lens, params: X3Params, caps: CodecCaps, mesh, seeds=None,
+    chunk_steps: int = 16384, interpret: bool = False, vc: VMCaps = None,
+):
+    """Mesh-sharded codec-VM decode (see encode_blocks_vm_sharded)."""
+    from x3tpu.parallel.mesh import MeshHolder
+
+    if vc is None:
+        vc = vm_caps(params, caps)
+    if seeds is not None and seeds[0].shape[0] > vc.dict_cap:
+        raise VMUnsupported("more dictionary seeds than dict_cap")
+    nd = mesh.devices.size
+    L_in, IW = words.shape
+    Gd = max(1, -(-L_in // (nd * LANES)))
+    G = Gd * nd
+    G8 = G * LANES
+    srows = _dec_srows(vc, IW)
+    obrows = _dec_obrows(vc)
+
+    srcflat, state = _init_state_dec(
+        jnp.asarray(words, U32), jnp.asarray(byte_lens, I32), vc, G,
+        srows, obrows, seeds=seeds,
+    )
+    sharding = NamedSharding(mesh, _P(_AXIS))
+    srcflat = jax.device_put(srcflat, sharding)
+    state = tuple(jax.device_put(s, sharding) for s in state)
+    step = _get_step_dec_sharded(vc, params, chunk_steps, Gd, srows, obrows,
+                                 interpret, MeshHolder(mesh))
+    bound = max(1, -(-(vc.block_bytes + 1) // chunk_steps))
+    done_launches = 0
+    while bool(_any_active_dec(state[13])):
+        for _ in range(min(4, bound - done_launches) or 1):
+            state = step(srcflat, *state)
+            done_launches += 1
+    out, opos, counts, sizes, overflow = _finalize_dec(state, vc, obrows)
+    sl = slice(0, L_in)
+    return (
+        out[sl], opos[sl], counts[sl], sizes[sl],
+        codec.Overflow(*[getattr(overflow, f)[sl] for f in overflow._fields]),
+    )
