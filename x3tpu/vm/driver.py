@@ -488,7 +488,6 @@ def decode_blocks_vm_sharded(
     L_in, IW = words.shape
     Gd = max(1, -(-L_in // (nd * LANES)))
     G = Gd * nd
-    G8 = G * LANES
     srows = _dec_srows(vc, IW)
     obrows = _dec_obrows(vc)
 
