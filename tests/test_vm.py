@@ -674,3 +674,36 @@ def test_vm_sharded_mesh_bit_exact():
     res = runtime.encode_wave(blocks, PARAMS, caps_vm, mesh=mesh)
     for i, b in enumerate(blocks):
         assert res.payloads[i] == spec.encode(b, PARAMS), f"wave block {i}"
+
+
+@_subprocess_isolated
+def test_vm_overflow_subset_when_rows_exceed_caps():
+    """Rows that exceed ctx_items_cap but fit the VM's STRUCTURAL tier
+    capacities (inline 42/63 -> big 640/896 -> huge nr2*128): the XLA
+    path flags overflow at the cap, the VM only at real storage limits —
+    so VM-flagged lanes are a SUBSET of XLA-flagged lanes, and every lane
+    the VM completes is still spec-exact (capacity never shapes the
+    stream, only whether state fits; the reference grows unboundedly)."""
+    import jax.numpy as jnp
+
+    caps = CodecCaps(
+        dict_cap=512, pair_cap=8192, ctx_items_cap=48,
+        ctx0_items_cap=64, ctx_small_cap=16, block_bytes=8192,
+    )
+    rng = np.random.default_rng(11)
+    data = rng.integers(1, 65, 8192, np.uint8).tobytes()
+    params = X3Params(max_match_count=4, window=256)
+    text, tlen = codec.pack_blocks([data], params, caps)
+    vw, vl, _, _, vof = encode_blocks_vm_chunked(
+        text, tlen, params, caps, interpret=True
+    )
+    xw, xl, _, _, xof = codec.encode_blocks_chunked(
+        jnp.asarray(text), jnp.asarray(tlen), params, caps
+    )
+    v_any = any(bool(np.asarray(getattr(vof, f))[0]) for f in vof._fields)
+    x_any = any(bool(np.asarray(getattr(xof, f))[0]) for f in xof._fields)
+    # the XLA path must overflow here (rows pass 48 items); the VM holds
+    # them in its big spans and must complete
+    assert x_any and not v_any, (v_any, x_any)
+    got = np.asarray(vw)[0].astype("<u4").tobytes()[: np.asarray(vl)[0]]
+    assert got == spec.encode(data, params)
