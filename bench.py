@@ -79,6 +79,31 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # the container's sitecustomize pins the axon platform via
+    # jax.config, which overrides JAX_PLATFORMS; honor an explicit
+    # CPU request for dev runs the same way conftest.py does
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    # Fail FAST if the device never comes up.  A dead axon relay makes
+    # jax.devices() retry /init forever with no error (CLAUDE.md,
+    # diagnosed 2026-08-18) — round 1's bench artifact was rc=124 because
+    # the process hung to the driver's timeout.  A clear early exit beats
+    # a silent hang.
+    import threading
+
+    ready: list = []
+    probe = threading.Thread(
+        target=lambda: ready.append(jax.devices()), daemon=True
+    )
+    probe.start()
+    probe.join(timeout=240)
+    if not ready:
+        log("FATAL: jax.devices() did not return within 240s — device "
+            "backend unreachable (axon relay down?).  See CLAUDE.md "
+            "'TPU environment gotchas' for the recovery recipe.")
+        return 3
+
     from x3tpu import codec
     from x3tpu.config import X3Params
     from x3tpu.parallel.runtime import caps_for_block

@@ -16,6 +16,9 @@ run() { # name timeout cmd...
   local rc=$?
   echo "=== $name rc=$rc ($(date +%H:%M:%S)) ===" | tee -a $LOG/queue.log
   tail -3 "$LOG/$name.log" | tee -a $LOG/queue.log
+  # a killed TPU process holds the device grant ~2 min; let it lapse
+  # before the next stage's init or that process wedges (CLAUDE.md)
+  [ $rc -ne 0 ] && sleep 150
   return $rc
 }
 
