@@ -70,6 +70,19 @@ def test_runtime_compress_decompress_container():
     assert back == data
 
 
+def test_package_toplevel_api():
+    """x3tpu.compress/x3tpu.decompress are the one-call library API (lazy
+    re-exports of parallel.runtime; importing x3tpu must not pull jax)."""
+    import x3tpu
+
+    data = _blocks(1, 1400)[0]
+    out = x3tpu.compress(data, PARAMS, caps=CAPS)
+    assert x3tpu.decompress(out, PARAMS, caps=CAPS) == data
+    assert x3tpu.compress is runtime.compress
+    with pytest.raises(AttributeError):
+        x3tpu.no_such_attr
+
+
 def test_runtime_single_block_is_reference_format():
     data = _blocks(1, 1200)[0]
     out = runtime.compress(data, PARAMS, caps=CAPS)

@@ -23,4 +23,14 @@ from x3tpu.config import X3Params, CodecCaps
 
 __version__ = "0.1.0"
 
-__all__ = ["X3Params", "CodecCaps", "__version__"]
+__all__ = ["X3Params", "CodecCaps", "compress", "decompress", "__version__"]
+
+
+def __getattr__(name):
+    # one-call library API (lazy: importing x3tpu must not pull jax, so
+    # callers can still pick a platform via jax.config first)
+    if name in ("compress", "decompress"):
+        from x3tpu.parallel import runtime
+
+        return getattr(runtime, name)
+    raise AttributeError(f"module 'x3tpu' has no attribute {name!r}")
