@@ -1,6 +1,8 @@
 """Multi-device tests on the virtual 8-device CPU mesh: sharded codec
 execution, container format, wave scheduling, auto-retry."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -167,14 +169,75 @@ def test_journal_resume(tmp_path):
     finally:
         runtime.encode_wave = orig
 
-    # resume: completes and matches the uninterrupted container
+    # resume: completes and matches the uninterrupted container, and the
+    # reported stats cover journal-resumed waves too (stored per wave)
+    full_stats: list = []
+    runtime.compress(data, PARAMS, block_bytes=1024, caps=CAPS, mesh=mesh,
+                     lanes_per_device=2, stats_out=full_stats)
+    resumed_stats: list = []
     resumed = runtime.compress(data, PARAMS, block_bytes=1024, caps=CAPS,
                                mesh=mesh, journal_path=jpath,
-                               lanes_per_device=2)
+                               lanes_per_device=2, stats_out=resumed_stats)
     assert resumed == full
     assert runtime.decompress(resumed, PARAMS, caps=CAPS) == data
+    np.testing.assert_array_equal(resumed_stats[0].events,
+                                  full_stats[0].events)
     import os
     assert not os.path.exists(jpath)  # journal removed on success
+
+
+def test_journal_wave_width_mismatch(tmp_path):
+    """A journal written at one wave width must NOT be spliced into a run
+    with a different width (the wave->block mapping shifts): the
+    fingerprint includes the partitioning, so the mismatched resume simply
+    re-encodes everything and still produces the right container."""
+    data = b"".join(_blocks(6, 1200, seed=5))
+    jpath = str(tmp_path / "job.journal")
+    mesh = meshmod.make_mesh(2)
+    full = runtime.compress(data, PARAMS, block_bytes=1024, caps=CAPS,
+                            mesh=mesh, lanes_per_device=2)
+
+    calls = {"n": 0}
+    orig = runtime.encode_wave
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("simulated device loss")
+        return orig(*a, **kw)
+
+    runtime.encode_wave = flaky
+    try:
+        with pytest.raises(RuntimeError):
+            runtime.compress(data, PARAMS, block_bytes=1024, caps=CAPS,
+                             mesh=mesh, journal_path=jpath,
+                             lanes_per_device=2)
+    finally:
+        runtime.encode_wave = orig
+
+    # resume at a DIFFERENT wave width: journal ignored, output correct
+    resumed = runtime.compress(data, PARAMS, block_bytes=1024, caps=CAPS,
+                               mesh=mesh, journal_path=jpath,
+                               lanes_per_device=3)
+    assert resumed == full
+    assert runtime.decompress(resumed, PARAMS, caps=CAPS) == data
+
+
+def test_encode_wave_output_overflow_retry():
+    """An output-buffer overflow (stream larger than out_words) must grow
+    the headroom on retry, not re-run into the identical flag."""
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 256, 512, np.uint8).tobytes()  # incompressible
+    caps = dataclasses.replace(CAPS, block_bytes=512, out_words_factor=1)
+    res = runtime.encode_wave([data], PARAMS, caps)
+    out = res.payloads[0]
+    assert len(out) > len(data)  # expansion is what forced the overflow
+    assert runtime.decompress(out, PARAMS, caps=CAPS) == data
+
+
+def test_pack_container_length_mismatch():
+    with pytest.raises(ValueError):
+        blk.pack_container([b"abc"], [3, 4], 1024)
 
 
 def test_distributed_single_process():

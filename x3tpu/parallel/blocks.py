@@ -48,6 +48,10 @@ def pack_container(
     payloads: Sequence[bytes], orig_lens: Sequence[int], block_bytes: int,
     seeds: Sequence[bytes] = (),
 ) -> bytes:
+    if len(payloads) != len(orig_lens):
+        raise ValueError(
+            f"{len(payloads)} payloads but {len(orig_lens)} orig_lens"
+        )
     flags = FLAG_SEEDS if seeds else 0
     parts = [
         _HEADER.pack(MAGIC, VERSION, flags, 0, len(payloads), block_bytes)

@@ -49,8 +49,10 @@ class WaveJournal:
                         if rec.get("kind") == "seeds":
                             self.seed_bytes = rec["seeds"]
                         else:
-                            self.done[rec["wave"]] = rec["payloads"]
-        except (OSError, EOFError, Exception):
+                            self.done[rec["wave"]] = (
+                                rec["payloads"], rec.get("stats")
+                            )
+        except Exception:
             self.done = {}
         if not self.done and self.seed_bytes is None:
             import pickle
@@ -65,12 +67,13 @@ class WaveJournal:
             pickle.dump({"kind": "seeds", "seeds": seed_bytes}, f)
         self.seed_bytes = seed_bytes
 
-    def record(self, wave: int, payloads) -> None:
+    def record(self, wave: int, payloads, stats=None) -> None:
         import pickle
 
         with open(self.path, "ab") as f:
-            pickle.dump({"kind": "wave", "wave": wave, "payloads": payloads}, f)
-        self.done[wave] = payloads
+            pickle.dump({"kind": "wave", "wave": wave,
+                         "payloads": payloads, "stats": stats}, f)
+        self.done[wave] = (payloads, stats)
 
     def finish(self) -> None:
         import os
@@ -266,10 +269,17 @@ def encode_wave(
                 )
             codec._check_overflow(overflow)
             break
-        except codec.X3CapacityError:
+        except codec.X3CapacityError as e:
             if attempt == max_retries:
                 raise
             caps = caps.scaled(2)
+            if "out" in e.flags:
+                # scaled() grows only the state caps; an output-buffer
+                # overflow (stream larger than out_words) needs headroom
+                # growth or every retry re-runs into the same flag
+                caps = dataclasses.replace(
+                    caps, out_words_factor=caps.out_words_factor * 2
+                )
     words_np = np.asarray(words)
     lens_np = np.asarray(byte_lens)
     payloads = [
@@ -306,12 +316,10 @@ def decode_wave(
     if lanes > nblocks:
         from x3tpu import spec
 
-        if seeds is None:
-            empty_stream = spec.encode(b"")
-        else:
-            # the event-model state at EOF is seed-independent for an empty
-            # input, so the unseeded empty stream decodes cleanly either way
-            empty_stream = spec.encode(b"")
+        # the event-model state at EOF is seed-independent for an empty
+        # input, so the unseeded empty stream decodes cleanly with or
+        # without a seed dictionary
+        empty_stream = spec.encode(b"")
         empty = np.frombuffer(empty_stream, "<u4")
         for i in range(nblocks, lanes):
             words[i, : len(empty)] = empty
@@ -380,12 +388,17 @@ def compress(
         caps = caps_for_block(
             min(block_bytes, max(len(max(parts, key=len)), 1024))
         )
+    wave = _wave_lanes(len(parts), mesh, lanes_per_device)
     journal = None
     if journal_path is not None:
         import hashlib
 
+        # the fingerprint includes the wave partitioning: resuming with a
+        # different mesh size / lanes_per_device must NOT splice waves
+        # recorded at another width (block<->wave mapping would shift)
         fp = hashlib.sha256(
-            repr((params, block_bytes, dict_seed, seed_k, len(data))).encode()
+            repr((params, block_bytes, dict_seed, seed_k, len(data),
+                  wave)).encode()
             + data[:4096]
             + data[-4096:]
         ).digest()
@@ -409,22 +422,28 @@ def compress(
             seeds = seeds_to_arrays(seed_bytes)
     all_payloads: List[bytes] = []
     all_stats = CodecStats.zero()
-    wave = _wave_lanes(len(parts), mesh, lanes_per_device)
     for i in range(0, len(parts), wave):
         widx = i // wave
         if journal is not None and widx in journal.done:
-            all_payloads.extend(journal.done[widx])
+            done_payloads, done_stats = journal.done[widx]
+            all_payloads.extend(done_payloads)
+            if done_stats is not None:
+                all_stats = all_stats.merge(done_stats)
             continue
         res = encode_wave(parts[i : i + wave], params, caps, mesh, seeds=seeds)
         if journal is not None:
-            journal.record(widx, res.payloads)
+            journal.record(widx, res.payloads, res.stats)
         all_payloads.extend(res.payloads)
         all_stats = all_stats.merge(res.stats)
     if stats_out is not None:
         stats_out.append(all_stats)
     if journal is not None:
         journal.finish()
-    if len(all_payloads) == 1 and not force_container and not seed_bytes:
+    if (len(all_payloads) == 1 and not force_container and not seed_bytes
+            # a raw stream that happens to begin with the container magic
+            # (adversarially constructible) would be misrouted by
+            # decompress(); wrap it so our own outputs stay unambiguous
+            and not blk.is_container(all_payloads[0])):
         return all_payloads[0]
     return blk.pack_container(
         all_payloads, [len(p) for p in parts], block_bytes, seeds=seed_bytes

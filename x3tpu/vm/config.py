@@ -225,7 +225,13 @@ def vm_caps(params: X3Params, caps: CodecCaps) -> VMCaps:
         h2_0 = 32
     else:
         nr2_0, h2_0 = 0, 0
-    s0 = min(caps.pair_cap, 1 << 19)
+    if caps.pair_cap > 1 << 19:
+        # a silent clamp here would make a pairs-overflow retry (which
+        # doubles pair_cap) re-select the VM at an unchanged effective
+        # capacity and re-run into the identical overflow; raising lets
+        # the engine dispatch fall back to the XLA path immediately
+        raise VMUnsupported(f"pair_cap {caps.pair_cap} > 512K")
+    s0 = caps.pair_cap
     m0 = min(max(s0 // 32, 64), 1024)
     m1 = min(max(d // 4, 64), 1024)
     vc = VMCaps(

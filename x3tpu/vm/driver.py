@@ -197,8 +197,15 @@ def encode_blocks_vm_chunked(
     bound = max(1, -(-int(tlen_np.max(initial=0)) // chunk_steps))
     for _ in range(bound):
         state = step(text_flat, *state)
+    extra = 0
     while bool(_any_active(state[13])):  # safety net; never hit by design
+        if extra > 2:
+            raise RuntimeError(
+                "VM encode did not terminate: a lane made no progress "
+                f"after {bound + extra} launches (kernel bug?)"
+            )
         state = step(text_flat, *state)
+        extra += 1
     words, byte_lens, counts, sizes, overflow = _finalize(state, vc)
     sl = slice(0, L_in)
     return (
@@ -366,7 +373,16 @@ def decode_blocks_vm_chunked(
     bound = max(1, -(-(vc.block_bytes + 1) // chunk_steps))
     done_launches = 0
     while bool(_any_active_dec(state[13])):
-        for _ in range(min(4, bound - done_launches) or 1):
+        # a valid stream finishes within `bound` launches (every decode
+        # event except the final EOF emits >= 1 output byte); a lane still
+        # active past that is decoding a malformed/corrupt stream whose
+        # events make no progress — raise instead of spinning forever
+        if done_launches > bound + 2:
+            raise ValueError(
+                "VM decode did not terminate: malformed stream "
+                f"(active lanes after {done_launches} launches)"
+            )
+        for _ in range(max(1, min(4, bound - done_launches))):
             state = step(srcflat, *state)
             done_launches += 1
     out, opos, counts, sizes, overflow = _finalize_dec(state, vc, obrows)
@@ -443,8 +459,15 @@ def encode_blocks_vm_sharded(
     bound = max(1, -(-int(tlen_np.max(initial=0)) // chunk_steps))
     for _ in range(bound):
         state = step(text_flat, *state)
+    extra = 0
     while bool(_any_active(state[13])):  # safety net; never hit by design
+        if extra > 2:
+            raise RuntimeError(
+                "VM encode did not terminate: a lane made no progress "
+                f"after {bound + extra} launches (kernel bug?)"
+            )
         state = step(text_flat, *state)
+        extra += 1
     words, byte_lens, counts, sizes, overflow = _finalize(state, vc)
     sl = slice(0, L_in)
     return (
@@ -503,7 +526,12 @@ def decode_blocks_vm_sharded(
     bound = max(1, -(-(vc.block_bytes + 1) // chunk_steps))
     done_launches = 0
     while bool(_any_active_dec(state[13])):
-        for _ in range(min(4, bound - done_launches) or 1):
+        if done_launches > bound + 2:  # see the single-device driver
+            raise ValueError(
+                "VM decode did not terminate: malformed stream "
+                f"(active lanes after {done_launches} launches)"
+            )
+        for _ in range(max(1, min(4, bound - done_launches))):
             state = step(srcflat, *state)
             done_launches += 1
     out, opos, counts, sizes, overflow = _finalize_dec(state, vc, obrows)

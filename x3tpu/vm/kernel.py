@@ -871,7 +871,11 @@ def encoder_kernel(
             rw.row_update(
                 rw.FAM1, v_cur, slot, f1c, pos1, hit, c1cin, c1cbig,
                 h1t, h1f, h1p, hub1n, vc.hub1, promo1, vc.m1,
-                new_pair_id=pair_n,
+                # clamp the registered id: past the pairs capacity the
+                # lane is OF_PAIRS-flagged (host discards + retries), but
+                # an unclamped stored id would later address ctx0 rows
+                # beyond the lane's region (cid0-1 feeds the row DMAs)
+                new_pair_id=jnp.minimum(pair_n, S0 - 1),
                 hug_scr=c1chug_a, nr2=NR2_1, m=vc.m1, huge_n=huge1,
                 huge_cap=vc.h2_1, big_trig=vc.big_trig1,
             )
@@ -968,10 +972,16 @@ def encoder_kernel(
                                     sem_wb.at[l, 5],
                                 ).start()
 
-        # sink flush: move a full FLUSH_WORDS half out to HBM
+        # sink flush: move a full FLUSH_WORDS half out to HBM.  Bounded to
+        # the lane's orows region (the decoder's flush has the analogous
+        # gate): past the output capacity the lane is already OF_OUT-
+        # flagged — its stream is discarded by the host retry — and an
+        # unbounded flush row would DMA into the NEXT lane's output
         win_base = acst["win_base"]
         widx_now = (acst["nbits"] >> 5) - win_base
-        flush = widx_now >= FLUSH_WORDS
+        flush = (widx_now >= FLUSH_WORDS) & (
+            (win_base >> 7) + 2 <= orows
+        )
         xfer[:, :] = set_col(
             set_col(xfer[:, :], XC_FLUSH, flush.astype(I32)),
             XC_FROW, win_base >> 7,

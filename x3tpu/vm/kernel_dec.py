@@ -642,7 +642,9 @@ def decoder_kernel(
             rw.row_update(
                 rw.FAM1, v_cur, slot_hit, f1u, pos1u, hit, c1cin, c1cbig,
                 h1t, h1f, h1p, hub1n, vc.hub1, promo1, vc.m1,
-                new_pair_id=pair_n,
+                # clamped for memory safety past the pairs cap (see the
+                # encoder kernel's note; the lane is OF_PAIRS-flagged)
+                new_pair_id=jnp.minimum(pair_n, S0 - 1),
                 hug_scr=c1chug_a, nr2=NR2_1, m=vc.m1, huge_n=huge1,
                 huge_cap=vc.h2_1, big_trig=vc.big_trig1,
             )
