@@ -100,14 +100,21 @@ def tier_a(rng):
     return len(data)
 
 
+# tier B draws from a FIXED parameter pool: every distinct X3Params is a
+# fresh XLA compilation held in process memory, and fully random params
+# exhausted LLVM section memory after ~700 trials (observed 2026-08-18)
+TIER_B_PARAMS = [
+    X3Params(max_match_count=t, window=1024, magic_factor1=m,
+             magic_factor2=n, nl_remap=x)
+    for (t, m, n, x) in [
+        (3, 4, 0, False), (15, 4, 0, False), (1, 0, 0, False),
+        (7, 2, 3, True), (0, 8, 8, False), (4, 1, 1, True),
+    ]
+]
+
+
 def tier_b(rng):
-    params = X3Params(
-        max_match_count=int(rng.integers(0, 8)),
-        window=1024,
-        magic_factor1=int(rng.integers(0, 5)),
-        magic_factor2=int(rng.integers(0, 5)),
-        nl_remap=bool(rng.integers(0, 2)),
-    )
+    params = TIER_B_PARAMS[int(rng.integers(len(TIER_B_PARAMS)))]
     caps = CodecCaps(dict_cap=512, pair_cap=2048, ctx_items_cap=128,
                      ctx0_items_cap=128, block_bytes=1024)
     blocks = [rand_input(rng)[:1024] for _ in range(4)]
