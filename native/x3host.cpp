@@ -19,6 +19,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <cmath>
+#include <stdexcept>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -123,7 +124,9 @@ class Model {
       if (v < acc + freq_[i]) { *lo = acc; return i; }
       acc += freq_[i];
     }
-    abort();  // corrupt stream (mirrors ac.c:178)
+    // corrupt stream (the reference aborts here, ac.c:178; we surface an
+    // error code through the C ABI instead of killing the host process)
+    throw std::runtime_error("x3host: corrupt stream (symbol out of range)");
   }
  private:
   std::vector<uint64_t> freq_;
@@ -505,7 +508,8 @@ std::vector<uint8_t> Codec::decode(const uint8_t* data, size_t size,
         ctx1_.emplace_back();
         index1_.grow();
       }
-      if (out.size() + len > max_output) abort();
+      if (out.size() + len > max_output)
+        throw std::length_error("x3host: output cap exceeded");
       out.insert(out.end(), frag, frag + len);
       prev_c1 = 0;
       c1 = 0;
@@ -524,7 +528,8 @@ std::vector<uint8_t> Codec::decode(const uint8_t* data, size_t size,
       }
       update_contexts(c0, c1, tag);
       size_t len = dict_.len_of(tag);
-      if (out.size() + len > max_output) abort();
+      if (out.size() + len > max_output)
+        throw std::length_error("x3host: output cap exceeded");
       out.insert(out.end(), dict_.str_of(tag), dict_.str_of(tag) + len);
       prev_c1 = c1;
       c1 = tag;
@@ -558,15 +563,23 @@ int x3h_encode(const uint8_t* data, size_t size, int max_match_count,
   return 0;
 }
 
+// Returns 0 on success, 2 when the output cap was exceeded (retryable
+// with a larger max_output), 1 on a corrupt stream.
 int x3h_decode(const uint8_t* data, size_t size, size_t max_output,
                uint8_t** out, size_t* out_size) {
   x3host::Params p;
   x3host::Codec codec(p);
-  auto res = codec.decode(data, size, max_output);
-  *out = static_cast<uint8_t*>(std::malloc(res.size() ? res.size() : 1));
-  std::memcpy(*out, res.data(), res.size());
-  *out_size = res.size();
-  return 0;
+  try {
+    auto res = codec.decode(data, size, max_output);
+    *out = static_cast<uint8_t*>(std::malloc(res.size() ? res.size() : 1));
+    std::memcpy(*out, res.data(), res.size());
+    *out_size = res.size();
+    return 0;
+  } catch (const std::length_error&) {
+    return 2;
+  } catch (const std::exception&) {
+    return 1;
+  }
 }
 
 void x3h_free(uint8_t* ptr) { std::free(ptr); }

@@ -40,6 +40,16 @@ def test_cli_roundtrip_files(tmp_path):
     assert src.read_bytes() == data
 
 
+def test_cli_decompress_suffixless_refuses(tmp_path):
+    """`-d -f file-without-suffix` must NOT derive the output name as the
+    input itself (open-for-write would truncate it before the read)."""
+    src = tmp_path / "noext"
+    src.write_bytes(b"precious original bytes")
+    r = _run_cli(["-d", "-f", str(src)])
+    assert r.returncode == 1
+    assert src.read_bytes() == b"precious original bytes"
+
+
 def test_cli_stdin_stdout():
     data = b"stdin roundtrip payload " * 40
     rz = _run_cli(["-z", "-t", "4", "-w", "1", "-q"], data=data)

@@ -47,6 +47,26 @@ def test_decode_matches_spec_batch():
         assert outs[i] == b, f"block {i}"
 
 
+def test_decode_counts_match_encode_counts():
+    """Event counters agree between encode and decode of the same data
+    (the reference never counts E_EOF in events[], either direction)."""
+    import jax.numpy as jnp
+
+    from x3tpu.config import E_EOF
+
+    blocks = _inputs()
+    text, tlen = codec.pack_blocks(blocks, SMALL_PARAMS, SMALL_CAPS)
+    w, l, enc_counts, _, _ = codec.encode_blocks_chunked(
+        jnp.asarray(text), jnp.asarray(tlen), SMALL_PARAMS, SMALL_CAPS
+    )
+    _, _, dec_counts, _, _ = codec.decode_blocks_chunked(
+        w, l, SMALL_PARAMS, SMALL_CAPS
+    )
+    np.testing.assert_array_equal(np.asarray(enc_counts),
+                                  np.asarray(dec_counts))
+    assert not np.asarray(enc_counts)[:, E_EOF].any()
+
+
 def test_roundtrip_high_ratio():
     # >64:1 ratio input (crashes the reference decoder; ours must not)
     data = b"\x00" * 8192

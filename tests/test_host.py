@@ -47,3 +47,23 @@ def test_host_high_ratio_decode():
     data = b"\x00" * 100_000
     stream = host.encode(data, X3Params(max_match_count=4, window=1024))
     assert host.decode(stream, max_output=1 << 20) == data
+
+
+def test_host_decode_cap_autogrow():
+    """A >64:1 stream with the default cap must auto-grow, not abort the
+    process (x3h_decode rc=2 contract; the old code called abort())."""
+    data = bytes(1 << 20)
+    stream = host.encode(data)  # ratio ~2880:1, beyond the 64:1 guess
+    assert host.decode(stream) == data
+
+
+def test_host_decode_errors_raise():
+    """Corrupt streams and too-small explicit caps raise RuntimeError
+    instead of killing the embedding process."""
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        host.decode(b"\xff" * 64, max_output=1 << 16)
+    stream = host.encode(b"payload " * 400)
+    with pytest.raises(RuntimeError):
+        host.decode(stream, max_output=8)

@@ -73,7 +73,9 @@ def main(argv: Optional[list] = None) -> int:
     mode = args.mode or "z"
 
     if args.cpu:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        # env vars alone do not override the pinned platform once jax is
+        # imported (it already is, transitively): jax.config is the only
+        # effective mechanism
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -94,8 +96,17 @@ def main(argv: Optional[list] = None) -> int:
         if mode == "z":
             ostream = _open_out(files[0] + ".x3", args.force)
         else:
-            base, dot, _ = files[0].rpartition(".")
-            ostream = _open_out(base if dot else files[0], args.force)
+            # suffix strip via splitext (dots inside directory components
+            # are not suffixes).  A suffixless input must NOT fall back to
+            # the input path itself: open(input, "wb") would truncate the
+            # file before it is read (the reference has this same strrchr
+            # hazard; we refuse instead).
+            base, ext = os.path.splitext(files[0])
+            if not ext:
+                print("Cannot derive output name (no suffix); "
+                      "pass an output file", file=sys.stderr)
+                return 1
+            ostream = _open_out(base, args.force)
     elif len(files) == 2:
         istream = open(files[0], "rb")
         ostream = _open_out(files[1], args.force)

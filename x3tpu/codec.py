@@ -449,9 +449,7 @@ def encode_lanes(
     return enc_finalize(carry)
 
 
-encode_blocks_jit = functools.partial(
-    jax.jit(encode_lanes, static_argnames=("params", "caps"))
-)
+encode_blocks_jit = jax.jit(encode_lanes, static_argnames=("params", "caps"))
 
 _enc_init_jit = jax.jit(enc_init_carry, static_argnames=("params", "caps"))
 _enc_chunk_jit = jax.jit(
@@ -568,7 +566,11 @@ def _dec_body(carry: DecCarry, params: X3Params) -> DecCarry:
         carry.dec, carry.src, step, elow, elow + espan, active
     )
     ev = am.model_inc(carry.ev, esym, active)
-    counts_arr = carry.counts.at[lane, esym].add(jnp.where(active, 1, 0))
+    # the reference never counts E_EOF in events[] (x3.c bumps it only in
+    # decode_tag and the E_NEW branches), so decode counts match encode's
+    counts_arr = carry.counts.at[lane, esym].add(
+        jnp.where(active & (esym != E_EOF), 1, 0)
+    )
 
     eof = active & (esym == E_EOF)
     is_new = active & (esym == E_NEW)
@@ -725,7 +727,8 @@ def decode_lanes(
 ):
     """Whole-loop decompress of L independent streams (words u32 [L, IW]).
 
-    Returns (out u8 [L, OB], out_lens i32 [L], counts [L, 5], overflow)."""
+    Returns (out u8 [L, OB], out_lens i32 [L], counts [L, 5],
+    sizes f32 [L, 5], overflow)."""
     carry = dec_init_carry(words, byte_lens, params, caps, seeds)
     carry = jax.lax.while_loop(
         dec_active, lambda c: _dec_body(c, params), carry
@@ -733,9 +736,7 @@ def decode_lanes(
     return dec_finalize(carry)
 
 
-decode_blocks_jit = functools.partial(
-    jax.jit(decode_lanes, static_argnames=("params", "caps"))
-)
+decode_blocks_jit = jax.jit(decode_lanes, static_argnames=("params", "caps"))
 
 _dec_init_jit = jax.jit(dec_init_carry, static_argnames=("params", "caps"))
 _dec_chunk_jit = jax.jit(

@@ -105,17 +105,27 @@ def encode(data: bytes, params: X3Params = X3Params()) -> bytes:
 
 
 def decode(data: bytes, max_output: Optional[int] = None) -> bytes:
-    """Reference-format decompress on the host CPU."""
+    """Reference-format decompress on the host CPU.
+
+    The format is headerless, so the output size is unknown up front; with
+    no explicit ``max_output`` the cap starts at a 64:1 guess (x3.c:621)
+    and grows on rc=2 (cap exceeded) until 1 GiB."""
     lib = _load()
-    out_ptr = ctypes.POINTER(ctypes.c_uint8)()
-    out_size = ctypes.c_size_t()
     cap = max_output if max_output is not None else max(64 * len(data), 1 << 20)
-    rc = lib.x3h_decode(
-        data, len(data), cap, ctypes.byref(out_ptr), ctypes.byref(out_size)
-    )
-    if rc != 0:
-        raise RuntimeError(f"x3h_decode failed: {rc}")
-    return _take(lib, out_ptr, out_size)
+    while True:
+        out_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        out_size = ctypes.c_size_t()
+        rc = lib.x3h_decode(
+            data, len(data), cap, ctypes.byref(out_ptr), ctypes.byref(out_size)
+        )
+        if rc == 0:
+            return _take(lib, out_ptr, out_size)
+        if rc == 2 and max_output is None and cap < (1 << 30):
+            cap *= 4
+            continue
+        if rc == 2:
+            raise RuntimeError(f"x3h_decode: output exceeds cap {cap}")
+        raise RuntimeError("x3h_decode: corrupt stream")
 
 
 def train_seeds(data: bytes, params: X3Params = X3Params(), k: int = 256):

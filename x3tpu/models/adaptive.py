@@ -56,21 +56,6 @@ def model_inc(freqs: jax.Array, sym: jax.Array, active: jax.Array) -> jax.Array:
     return freqs.at[lane, s].add(jnp.where(active, 1, 0).astype(freqs.dtype))
 
 
-def model_grow(
-    freqs: jax.Array, count: jax.Array, active: jax.Array
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Append a fresh symbol with frequency 1 (model_enlarge, ac.c:250-266).
-    Returns (freqs, count, overflowed)."""
-    lanes, M = freqs.shape
-    lane = jnp.arange(lanes, dtype=I32)
-    room = count < M
-    do = active & room
-    slot = jnp.minimum(count, M - 1)
-    freqs = freqs.at[lane, slot].set(jnp.where(do, 1, freqs[lane, slot]))
-    count = count + jnp.where(do, 1, 0).astype(I32)
-    return freqs, count, active & ~room
-
-
 def f32_prob(span: jax.Array, total: jax.Array) -> jax.Array:
     """f32 probability estimate matching C float semantics
     ((float)freq / total, ac.c:108-113)."""

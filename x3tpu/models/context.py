@@ -339,8 +339,7 @@ def ctx_update(
     big_n = big_n.at[lane, jnp.where(bapp, brow_now, M)].add(one, mode="drop")
 
     overflow = fam.overflow | (
-        (happ & False)
-        | (v.hub_sel & app & ~hub_room)
+        (v.hub_sel & app & ~hub_room)
         | (need_promo & ~can_promo)
         | (bdo & app & ~big_room)
     )

@@ -562,7 +562,10 @@ def decoder_kernel(
         regsf[:, :] = regsf[:, :] + jnp.where(
             iota128 == esym, add_bits, 0.0
         )
-        counts_add = jnp.where((iota128 == R_COUNTS + esym) & active, 1, 0)
+        # E_EOF is never counted (matches the reference and the encoder)
+        counts_add = jnp.where(
+            (iota128 == R_COUNTS + esym) & active & (esym != E_EOF), 1, 0
+        )
 
         # ================= F: dictionary (x3.c:309-317, 337-348) ======
         d_n = get_col(R, R_DICT_N)
