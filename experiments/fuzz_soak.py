@@ -193,6 +193,11 @@ def main():
         if trials % 100 == 0:
             log(f"{trials} trials ({nb} XLA batches, {nc} VM batches), "
                 f"{fuzzed/1e6:.1f} MB fuzzed, all exact")
+        if trials % 500 == 0:
+            # XLA:CPU JIT executables accumulate in a bounded LLVM section
+            # arena; a multi-hour soak exhausts it (~1600 trials observed
+            # twice) — drop the compile caches and re-trace
+            jax.clear_caches()
     log(f"DONE: {trials} trials ({nb} XLA, {nc} VM), {fuzzed/1e6:.1f} MB, "
         f"0 mismatches (seed {SEED})")
     return 0
