@@ -116,54 +116,41 @@ def main() -> int:
     log(f"corpus ready: {lanes} lanes x {block_kib} KiB on "
         f"{jax.default_backend()}")
 
+    import dataclasses
+
     import jax.numpy as jnp
 
-    # engine dispatch: the codec-VM Pallas kernel needs Mosaic (TPU); the
-    # CPU backend only runs it in interpret mode (too slow to bench).
+    # engine select maps onto CodecCaps.engine so the bench runs EXACTLY
+    # the production single-device dispatch (runtime._encode_one_device:
+    # VM kernel when the resolved engine selects it and the config fits,
+    # XLA chunked driver otherwise; chunk_steps pinned there to 16384 so
+    # the driver's cold bench run shares the persistent compile cache).
     # X3TPU_BENCH_VM: auto (VM on TPU) | 1 (force) | interpret | 0 (off)
-    encode = codec.encode_blocks_chunked
+    from x3tpu.parallel.runtime import _encode_one_device
+
     vm_mode = os.environ.get("X3TPU_BENCH_VM", "auto")
-    use_vm = vm_mode in ("1", "interpret") or (
-        vm_mode == "auto" and jax.default_backend() != "cpu"
-    )
-    if use_vm:
-        from x3tpu import vm
-
-        def encode(text, tlen, params, caps,
-                   _xla=codec.encode_blocks_chunked):
-            try:
-                # chunk_steps pinned to 16384: a 16 KiB block can never
-                # need more events than bytes, so the whole encode is ONE
-                # kernel launch + one done-check round trip (each costs
-                # ~33 ms through the tunnel).  Pinned so the driver's
-                # cold bench run hits the persistent compile cache.
-                return vm.encode_blocks_vm_chunked(
-                    text, tlen, params, caps, chunk_steps=16384,
-                    interpret=(vm_mode == "interpret"),
-                )
-            except vm.VMUnsupported as e:
-                log(f"codec-VM unsupported here ({e}); using XLA path")
-                return _xla(text, tlen, params, caps)
-
-        log("using codec-VM kernel path")
+    engine = {"auto": "auto", "1": "vm", "interpret": "vm_interpret",
+              "0": "xla"}.get(vm_mode, "auto")
+    caps = dataclasses.replace(caps, engine=engine)
+    log(f"engine: {caps.resolved().engine} (production dispatch)")
 
     text, tlen = codec.pack_blocks(blocks, params, caps)
     text_j, tlen_j = jnp.asarray(text), jnp.asarray(tlen)
 
     # compile + warm up (chunked execution: bounded device programs)
-    out = encode(text_j, tlen_j, params, caps)
+    out = _encode_one_device(text_j, tlen_j, params, caps, None)
     jax.block_until_ready(out[1])
     log("compile + warmup done")
 
     t0 = time.time()
-    words, byte_lens, counts, sizes, overflow = encode(
-        text_j, tlen_j, params, caps
+    words, byte_lens, counts, sizes, overflow = _encode_one_device(
+        text_j, tlen_j, params, caps, None
     )
     jax.block_until_ready(byte_lens)
     dt = time.time() - t0
     log(f"timed encode: {dt:.2f}s")
 
-    assert not bool(np.asarray(overflow.any_flag()).any()), "capacity overflow"
+    codec._check_overflow(overflow)  # names the lane and capacity if hit
 
     # verify round-trip through the native host decoder (bit-exactness of
     # host vs spec vs JAX is covered by tests/; this catches stream damage)

@@ -16,11 +16,11 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 from typing import Optional
 
 from x3tpu.config import X3Params
 from x3tpu.parallel import runtime
+from x3tpu.utils import timing
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -125,29 +125,37 @@ def main(argv: Optional[list] = None) -> int:
 
         mesh = meshmod.make_mesh(args.devices or None)
 
-    data = istream.read()
+    timers = timing.PhaseTimers()
     stats_box: list = []
-    t0 = time.time()
+    t0 = timing.wall_clock_ns()
+    with timers.phase("read"):
+        data = istream.read()
     if mode == "z":
         log(f"max match count: {params.max_match_count}")
         log(f"forward window: {params.window}")
         log(f"magic factor 1: {params.magic_factor1}")
         log(f"magic factor 2: {params.magic_factor2}")
         block_bytes = args.block_size * 1024 if args.block_size else None
-        out = runtime.compress(
-            data, params, block_bytes=block_bytes, mesh=mesh,
-            stats_out=stats_box, dict_seed=args.dict_seed,
-        )
+        with timers.phase("codec"):
+            out = runtime.compress(
+                data, params, block_bytes=block_bytes, mesh=mesh,
+                stats_out=stats_box, dict_seed=args.dict_seed,
+            )
         insize, outsize = len(data), len(out)
     else:
-        out = runtime.decompress(data, params, mesh=mesh, stats_out=stats_box)
+        with timers.phase("codec"):
+            out = runtime.decompress(
+                data, params, mesh=mesh, stats_out=stats_box
+            )
         insize, outsize = len(out), len(data)
-    elapsed = time.time() - t0
-    ostream.write(out)
-    ostream.flush()
+    elapsed = (timing.wall_clock_ns() - t0) / 1e9
+    with timers.phase("write"):
+        ostream.write(out)
+        ostream.flush()
 
     if stats_box and not args.quiet:
         log(stats_box[0].report(insize, outsize, elapsed))
+        log(timers.report())
     return 0
 
 

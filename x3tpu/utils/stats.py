@@ -45,7 +45,13 @@ class CodecStats:
         return (int(total) + 7) // 8
 
     def report(self, input_size: int, output_size: int, elapsed: float = 0.0) -> str:
-        """The reference stats block (x3.c:662-699), plus throughput."""
+        """The reference stats block (x3.c:662-695), plus throughput.
+
+        The reference's final "context entries: ctx0 N, ctx1 N" line
+        (x3.c:697) is intentionally absent: those are encoder STATE sizes
+        (pair map / dictionary entry counts), not per-block event stats,
+        and are not part of the codec's returned counters.  Use
+        ``x3tpu.host.measure_state`` when state growth is the question."""
         s = self.sizes
         stream_dict = math.ceil(s[E_CTX0] + s[E_CTX1] + s[E_IDX1])
         stream_all = max(math.ceil(s[:E_NEW + 1].sum()), 1)

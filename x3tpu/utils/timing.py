@@ -15,8 +15,11 @@ def wall_clock_ns() -> int:
 class PhaseTimers:
     """Named accumulating timers for codec phases (pack/encode/gather/...).
 
-    Use ``block_until_ready`` on device values inside the timed region for
-    honest device timings.
+    For honest device timings the timed region must synchronize via a
+    device VALUE READ (e.g. ``np.asarray``/``jax.device_get``) —
+    ``block_until_ready`` alone does not wait for execution through the
+    axon tunnel (CLAUDE.md probe9).  The chunked drivers' host-side
+    readbacks provide this implicitly.
     """
 
     def __init__(self) -> None:
