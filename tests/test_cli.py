@@ -84,6 +84,37 @@ def test_cli_stats_match_reference(ref_binary, tmp_path):
     )
 
 
+def test_cli_decode_stats_match_reference(ref_binary, tmp_path):
+    """Decode-side event counters must also equal the reference's stderr
+    report for the same stream (the reference never counts E_EOF in
+    events[] in either direction; regression for the decoder drift)."""
+    data = (GOLDEN / "text_small.bin").read_bytes()
+    src = tmp_path / "d.bin"
+    src.write_bytes(data)
+    ref_z = subprocess.run(
+        [str(ref_binary), "-zf", "-t", "4", "-w", "1", str(src),
+         str(tmp_path / "d.x3")],
+        capture_output=True, timeout=300,
+    )
+    assert ref_z.returncode == 0
+    ref_d = subprocess.run(
+        [str(ref_binary), "-df", str(tmp_path / "d.x3"),
+         str(tmp_path / "d.ref.out")],
+        capture_output=True, timeout=300,
+    )
+    our_d = _run_cli(["-d", "-f", str(tmp_path / "d.x3"),
+                      str(tmp_path / "d.our.out")])
+    assert our_d.returncode == 0, our_d.stderr.decode()
+    pat = re.compile(
+        rb"number of events: ctx0 (\d+), ctx1 (\d+), miss1 (\d+), new (\d+)"
+    )
+    mref = pat.search(ref_d.stderr)
+    mour = pat.search(our_d.stderr)
+    assert mref and mour, (ref_d.stderr, our_d.stderr)
+    assert mref.groups() == mour.groups()
+    assert (tmp_path / "d.our.out").read_bytes() == data
+
+
 def test_cli_container_mode(tmp_path):
     data = (GOLDEN / "c_source.bin").read_bytes()
     src = tmp_path / "c.bin"
