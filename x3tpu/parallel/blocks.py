@@ -72,7 +72,15 @@ def is_container(data: bytes) -> bool:
 
 
 def unpack_container(data: bytes):
-    """Returns (payloads, orig_lens, block_bytes, seeds)."""
+    """Returns (payloads, orig_lens, block_bytes, seeds).  Raises
+    ValueError on any malformed/truncated container."""
+    try:
+        return _unpack_container(data)
+    except struct.error as e:  # truncated header/table
+        raise ValueError(f"corrupt container: {e}") from None
+
+
+def _unpack_container(data: bytes):
     magic, ver, flags, _r, count, block_bytes = _HEADER.unpack_from(data, 0)
     if magic != MAGIC:
         raise ValueError("not an x3tpu container")
