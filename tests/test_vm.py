@@ -175,6 +175,7 @@ def _pack_streams(streams):
     return words, np.array([len(s) for s in streams], np.int32)
 
 
+@_subprocess_isolated
 def test_vm_decoder_matches_spec():
     """VM decode of spec-encoded streams reproduces the input bytes and
     the reference event counters (decode twin of
@@ -197,6 +198,7 @@ def test_vm_decoder_matches_spec():
         assert out[i, : opos[i]].tobytes() == b, f"block {i} ({len(b)}B)"
 
 
+@_subprocess_isolated
 def test_vm_decoder_matches_xla_decoder():
     """VM and XLA decoders agree on output, counts, and sizes for
     VM-encoded streams (full VM round trip)."""
@@ -229,6 +231,7 @@ def test_vm_decoder_matches_xla_decoder():
         assert np.asarray(vout)[i, : np.asarray(vpos)[i]].tobytes() == b
 
 
+@_subprocess_isolated
 def test_vm_decoder_source_refill():
     """Streams longer than the resident source window (2*FLUSH_WORDS words
     = 2 KiB) force read-ahead refills; regression for the src_base handoff
