@@ -177,10 +177,61 @@ def jax_words(w):
 jax_lens = jax_words
 
 
+# tier D: the huge-row tier under lowered promotion triggers (mirrors
+# tests/test_vm.py::test_vm_huge_fuzz_vs_spec, fresh random data each run;
+# fixed config + data length so the interpret trace is built once)
+HUGE_PARAMS = X3Params(max_match_count=15, window=32)
+HUGE_CAPS = CodecCaps(dict_cap=512, pair_cap=4096, ctx_items_cap=1024,
+                      ctx0_items_cap=1024, ctx_small_cap=16,
+                      block_bytes=8192)
+
+
+def tier_d(rng):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from x3tpu.vm import driver as vmdrv
+    from x3tpu.vm.config import R_HUGE1_N, vm_caps
+
+    vc = dataclasses.replace(vm_caps(HUGE_PARAMS, HUGE_CAPS),
+                             big_trig0=72, big_trig1=48)
+    data = rng.integers(1, 65, 6000, np.uint8).tobytes()
+    text, tlen = codec.pack_blocks([data], HUGE_PARAMS, HUGE_CAPS)
+    text_flat = vmdrv._prep_text(
+        jnp.asarray(text, np.uint8), vc, 1, text.shape[1]
+    )
+    tlen_p = jnp.pad(jnp.asarray(tlen, np.int32), (0, 7))
+    state = vmdrv._init_state(text_flat, tlen_p, vc, 1)
+    step = vmdrv._get_step(vc, HUGE_PARAMS, 4096, 1, True)
+    while bool(vmdrv._any_active(state[13])):
+        state = step(text_flat, *state)
+    regs = np.asarray(state[13])
+    assert regs[0, R_HUGE1_N] > 0, "no huge promotion on random data"
+    words, byte_lens, _, _, of = vmdrv._finalize(state, vc)
+    for f in of._fields:
+        assert not np.asarray(getattr(of, f))[0], f"huge overflow {f}"
+    words, byte_lens = np.asarray(words), np.asarray(byte_lens)
+    got = words[0].astype("<u4").tobytes()[: byte_lens[0]]
+    if got != spec.encode(data, HUGE_PARAMS):
+        save_repro("huge_enc", data, HUGE_PARAMS)
+        raise AssertionError("huge-tier VM vs spec mismatch")
+    out, opos, _, _, dof = vmdrv.decode_blocks_vm_chunked(
+        jax_words(words[:1]), jax_lens(byte_lens[:1]), HUGE_PARAMS,
+        HUGE_CAPS, vc=vc, interpret=True, chunk_steps=4096,
+    )
+    for f in dof._fields:
+        assert not np.asarray(getattr(dof, f))[0], f"huge dec overflow {f}"
+    if np.asarray(out)[0, : np.asarray(opos)[0]].tobytes() != data:
+        save_repro("huge_dec", data, HUGE_PARAMS)
+        raise AssertionError("huge-tier VM decode mismatch")
+    return len(data)
+
+
 def main():
     rng = np.random.default_rng(SEED)
     trials = fuzzed = 0
-    nb = nc = 0
+    nb = nc = nd = 0
     while time.time() - T0 < BUDGET:
         fuzzed += tier_a(rng)
         trials += 1
@@ -190,16 +241,19 @@ def main():
         if trials % 200 == 0:
             fuzzed += tier_c(rng)
             nc += 1
+        if trials % 400 == 0:
+            fuzzed += tier_d(rng)
+            nd += 1
         if trials % 100 == 0:
-            log(f"{trials} trials ({nb} XLA batches, {nc} VM batches), "
+            log(f"{trials} trials ({nb} XLA, {nc} VM, {nd} huge batches), "
                 f"{fuzzed/1e6:.1f} MB fuzzed, all exact")
         if trials % 500 == 0:
             # XLA:CPU JIT executables accumulate in a bounded LLVM section
             # arena; a multi-hour soak exhausts it (~1600 trials observed
             # twice) — drop the compile caches and re-trace
             jax.clear_caches()
-    log(f"DONE: {trials} trials ({nb} XLA, {nc} VM), {fuzzed/1e6:.1f} MB, "
-        f"0 mismatches (seed {SEED})")
+    log(f"DONE: {trials} trials ({nb} XLA, {nc} VM, {nd} huge), "
+        f"{fuzzed/1e6:.1f} MB, 0 mismatches (seed {SEED})")
     return 0
 
 
