@@ -44,7 +44,7 @@ from x3tpu.vm.config import (
     R_PREV_C1, R_PROMO0_N, R_PROMO1_N, R_SEG_BASE, R_TLEN, R_WIN_BASE,
     VMCaps,
 )
-from x3tpu.vm.prims import col_iota, get_col, set_col
+from x3tpu.vm.prims import col_iota, get_col, set_col, vmem_compiler_params
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -1212,6 +1212,9 @@ def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
         pltpu.SemaphoreType.DMA((L,)),          # sem_out
     ]
 
+    cp = vmem_compiler_params(sum(L * w * 4 for w in carried_widths),
+                              scratch)
+
     def call(text32, *state, interpret=False):
         return pl.pallas_call(
             kern,
@@ -1221,6 +1224,7 @@ def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
             out_shape=out_shape,
             input_output_aliases={i + 1: i for i in range(19)},
             scratch_shapes=scratch,
+            compiler_params=cp,
             interpret=interpret,
         )(text32, *state)
 

@@ -45,7 +45,7 @@ from x3tpu.vm.config import (
     R_SRC_BASE, R_SRC_NW, VMCaps,
 )
 from x3tpu.vm.kernel import _model_stats, _pack_words, _probe_matchlen
-from x3tpu.vm.prims import col_iota, get_col, set_col
+from x3tpu.vm.prims import col_iota, get_col, set_col, vmem_compiler_params
 
 I32 = jnp.int32
 U32 = jnp.uint32
@@ -989,6 +989,9 @@ def build_decoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
         pltpu.SemaphoreType.DMA((L,)),          # sem_out
     ]
 
+    cp = vmem_compiler_params(sum(L * w * 4 for w in carried_widths),
+                              scratch)
+
     def call(srcflat, *state, interpret=False):
         return pl.pallas_call(
             kern,
@@ -998,6 +1001,7 @@ def build_decoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
             out_shape=out_shape,
             input_output_aliases={i + 1: i for i in range(20)},
             scratch_shapes=scratch,
+            compiler_params=cp,
             interpret=interpret,
         )(srcflat, *state)
 

@@ -364,3 +364,38 @@ def udiv_u32_fast(a, b):
     q = jnp.where(big_b, qA, qB)
     r = jnp.where(big_b, rA, rB)
     return q, r
+
+
+def vmem_compiler_params(carried_bytes: int, scratch) -> "pltpu.CompilerParams | None":
+    """Scoped-VMEM sizing for the VM pallas_calls.
+
+    Mosaic's default scoped-vmem limit is 16 MiB.  The measured footprint
+    of these kernels is ~2x the carried state blocks (the grid in + out
+    blocks are both allocated on the scoped stack even when aliased) plus
+    the scratch shapes: the MB-block huge-row capacities (dict 24576,
+    pairs 512K) need ~24 MiB and failed AOT compile with
+    "Ran out of memory in memory space vmem ... limit 16.00M" on v5e.
+    Raise the per-kernel limit instead of shrinking capacities — v5e has
+    128 MiB physical VMEM.  Configs that fit the default limit return
+    None so their compiled artifacts (and compile-cache keys) stay
+    byte-identical.
+    """
+    est = 2 * carried_bytes
+    for s in scratch:
+        shape = getattr(s, "shape", None)
+        dtype = getattr(s, "dtype", None)
+        if shape is None or dtype is None:
+            continue
+        try:
+            item = jnp.dtype(dtype).itemsize
+        except TypeError:  # semaphore refs: negligible
+            continue
+        n = 1
+        for d in shape:
+            n *= d
+        est += n * item
+    if est + 2 * 2**20 <= 16 * 2**20:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(est + 8 * 2**20, 120 * 2**20)
+    )
