@@ -396,6 +396,10 @@ def vmem_compiler_params(carried_bytes: int, scratch) -> "pltpu.CompilerParams |
         est += n * item
     if est + 2 * 2**20 <= 16 * 2**20:
         return None
+    # the observed scoped need GROWS with the limit (v5e, full capacities:
+    # need 23.87M at the 16M default, 34.59M at a 31M limit — Mosaic sizes
+    # some buffering relative to available), slope ~0.71: double the
+    # estimate plus margin clears the fixed point with room to spare.
     return pltpu.CompilerParams(
-        vmem_limit_bytes=min(est + 8 * 2**20, 120 * 2**20)
+        vmem_limit_bytes=min(2 * est + 8 * 2**20, 120 * 2**20)
     )
