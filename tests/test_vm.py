@@ -715,3 +715,82 @@ def test_vm_overflow_subset_when_rows_exceed_caps():
     assert x_any and not v_any, (v_any, x_any)
     got = np.asarray(vw)[0].astype("<u4").tobytes()[: np.asarray(vl)[0]]
     assert got == spec.encode(data, params)
+
+
+@_subprocess_isolated
+def test_vm_sub_batched_bit_exact():
+    """The SB-sub-batch kernel layout (kernel.py: SB x 8 lanes per grid
+    step, separate per-sub-batch state, phase-major emission) is pure
+    layout: streams must be byte-identical to the spec oracle at every
+    SB, including a lane count that pads the last sub-batch."""
+    from x3tpu.vm import decode_blocks_vm_chunked
+    from x3tpu.vm.driver import encode_blocks_vm_chunked as enc
+
+    caps = CodecCaps(
+        dict_cap=512, pair_cap=1024, ctx_items_cap=128,
+        ctx0_items_cap=128, ctx_small_cap=16, block_bytes=2048,
+    )
+    golden = (GOLDEN / "text_small.bin").read_bytes()
+    rng = np.random.default_rng(11)
+    blocks = [golden[i * 97 : i * 97 + 900] for i in range(10)]
+    blocks += [rng.integers(0, 256, 300, np.uint8).tobytes(), b""]
+    text, tlen = codec.pack_blocks(blocks, PARAMS, caps)
+    want = [spec.encode(b, PARAMS) for b in blocks]
+
+    for subs in (2, 4):
+        vw, vl, _, _, of = enc(
+            text, tlen, PARAMS, caps, chunk_steps=600, interpret=True,
+            subs=subs,
+        )
+        vw, vl = np.asarray(vw), np.asarray(vl)
+        for f in of._fields:
+            assert not np.asarray(getattr(of, f)).any(), (subs, f)
+        for i in range(len(blocks)):
+            got = vw[i].astype("<u4").tobytes()[: vl[i]]
+            assert got == want[i], f"subs={subs} lane {i}"
+
+        iw = (int(vl.max()) + 3) // 4 + 2
+        out, opos, _, _, dof = decode_blocks_vm_chunked(
+            vw[:, :iw], vl, PARAMS, caps, chunk_steps=600, interpret=True,
+            subs=subs,
+        )
+        out, opos = np.asarray(out), np.asarray(opos)
+        for i, b in enumerate(blocks):
+            assert bytes(out[i][: opos[i]]) == b, f"subs={subs} dec {i}"
+
+
+@_subprocess_isolated
+def test_vm_sub_batched_sharded_mesh():
+    """Sub-batched VM kernels under shard_map on the 8-device CPU mesh:
+    per-device grids of SB x 8 lanes, streams bit-exact vs the oracle."""
+    from x3tpu.parallel import mesh as meshmod
+    from x3tpu.vm import decode_blocks_vm_sharded, encode_blocks_vm_sharded
+
+    caps = CodecCaps(
+        dict_cap=256, pair_cap=512, ctx_items_cap=64,
+        ctx0_items_cap=64, ctx_small_cap=16, block_bytes=1024,
+    )
+    mesh = meshmod.make_mesh()
+    nd = mesh.devices.size
+    golden = (GOLDEN / "text_small.bin").read_bytes()
+    # 16 lanes/device -> pick_subs would choose 2; force subs=2 explicitly
+    blocks = [golden[i * 37 : i * 37 + 500] for i in range(16 * nd)]
+    text, tlen = codec.pack_blocks(blocks, PARAMS, caps)
+    vw, vl, _, _, of = encode_blocks_vm_sharded(
+        text, tlen, PARAMS, caps, mesh, chunk_steps=600, interpret=True,
+        subs=2,
+    )
+    vw, vl = np.asarray(vw), np.asarray(vl)
+    for f in of._fields:
+        assert not np.asarray(getattr(of, f)).any(), f
+    for i, b in enumerate(blocks):
+        got = vw[i].astype("<u4").tobytes()[: vl[i]]
+        assert got == spec.encode(b, PARAMS), f"lane {i}"
+    iw = (int(vl.max()) + 3) // 4 + 2
+    out, opos, _, _, _ = decode_blocks_vm_sharded(
+        vw[:, :iw], vl, PARAMS, caps, mesh, chunk_steps=600,
+        interpret=True, subs=2,
+    )
+    out, opos = np.asarray(out), np.asarray(opos)
+    for i, b in enumerate(blocks):
+        assert bytes(out[i][: opos[i]]) == b, f"dec {i}"

@@ -179,6 +179,17 @@ class VMCaps:
         """Per-lane text row: block + segment overhang, SEG_ALIGN-multiple."""
         return _round_up(self.block_bytes + self.segb, SEG_ALIGN)
 
+    @property
+    def resident_bytes(self) -> int:
+        """Estimated VMEM-resident bytes for ONE 8-lane sub-batch:
+        dictionary planes + hubs + window segment + row/huge scratch."""
+        return 4 * LANES * (
+            12 * self.dict_cap + 5 * self.hub0
+            + (self.wbuf // 128 + _round_up(self.wbuf, SEG_ALIGN) // 128
+               + 12) * 128
+            + (self.pb2_0 + 2 * self.pb2_1 + 3 * PB + 16) * 128
+        )
+
 
 class VMUnsupported(RuntimeError):
     """The requested configuration exceeds what the VM kernel supports;
@@ -246,15 +257,37 @@ def vm_caps(params: X3Params, caps: CodecCaps) -> VMCaps:
         out_words=_round_up(caps.out_words, FLUSH_WORDS),
         h2_0=h2_0, h2_1=h2_1, nr2_0=nr2_0, nr2_1=nr2_1,
     )
-    # VMEM budget: resident dictionary planes + hubs + window segment +
-    # row/huge scratch must leave Mosaic headroom on the 16 MiB/core v5e
-    resident = 4 * LANES * (
-        12 * d + 5 * hub + (vc.wbuf // 128 + _round_up(vc.wbuf, SEG_ALIGN)
-                            // 128 + 12) * 128
-        + (vc.pb2_0 + 2 * vc.pb2_1 + 3 * PB + 16) * 128
-    )
-    if resident > 14 << 20:
+    # VMEM budget for one 8-lane sub-batch.  The per-kernel scoped-VMEM
+    # limit can be raised to ~120 MiB (prims.vmem_compiler_params; v5e has
+    # 128 MiB physical VMEM), but Mosaic double-counts the aliased in/out
+    # blocks on the scoped stack, so the single-sub-batch resident cap
+    # stays at 14 MiB — large configs then simply run at SB = 1
+    # (pick_subs) instead of being rejected.
+    if vc.resident_bytes > 14 << 20:
         raise VMUnsupported(
-            f"VMEM-resident state ~{resident >> 20} MiB exceeds budget"
+            f"VMEM-resident state ~{vc.resident_bytes >> 20} MiB "
+            "exceeds budget"
         )
     return vc
+
+
+# sub-batch VMEM budget: SB sub-batches' resident state, doubled by the
+# aliased in/out scoped allocation, must clear the ~120 MiB per-kernel
+# scoped limit with margin
+_SB_BUDGET = 40 << 20
+_SB_MAX = 4
+
+
+def pick_subs(vc: VMCaps, n_lanes: int) -> int:
+    """Sub-batches per grid step: the largest power of two <= _SB_MAX that
+    the lane count can fill and whose resident state fits the budget.
+    ``X3TPU_VM_SUBS`` overrides (hardware scaling probes)."""
+    env = os.environ.get("X3TPU_VM_SUBS")
+    if env:
+        return max(1, int(env))
+    groups = max(1, -(-n_lanes // LANES))
+    sb = 1
+    while (sb < _SB_MAX and 2 * sb <= groups
+           and 2 * sb * vc.resident_bytes <= _SB_BUDGET):
+        sb *= 2
+    return sb

@@ -22,12 +22,58 @@ from x3tpu.ops import bitio
 from x3tpu.vm.config import (
     LANES, OF_CTX0, OF_CTX1, OF_DICT, OF_OUT, OF_PAIRS,
     R_AC_HIGH, R_AC_LOW, R_AC_SCALE, R_COUNTS, R_DICT_N, R_NBITS, R_OFLOW,
-    R_P, R_TLEN, R_WIN_BASE, VMCaps, VMUnsupported, vm_caps,
+    R_P, R_TLEN, R_WIN_BASE, VMCaps, VMUnsupported, pick_subs, vm_caps,
 )
-from x3tpu.vm.kernel import build_encoder_call
+from x3tpu.vm.kernel import N_STATE, build_encoder_call
 
 I32 = jnp.int32
 U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# Sub-batch layout: a grid step runs SB sub-batches of 8 lanes, each with
+# fully separate state arrays (kernel.py).  Merged layout maps lane i to
+# row i with i = (g*SB + s)*LANES + l; the splitters below are exact
+# inverses, so input lane order is preserved end to end.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("G", "SB", "rows"))
+def _split_rows(arr, G: int, SB: int, rows: int):
+    """(G*SB*LANES*rows, cols) -> SB arrays of (G*LANES*rows, cols)."""
+    cols = arr.shape[1]
+    r = arr.reshape(G, SB, LANES * rows, cols)
+    return tuple(r[:, s].reshape(G * LANES * rows, cols) for s in range(SB))
+
+
+def _split_state(state, G: int, SB: int, vc: VMCaps, hbm_rows,
+                 n_vmem: int = 16):
+    """Merged state tuple -> flat per-sub-batch tuple (s-major)."""
+    per_arr = []
+    for k, arr in enumerate(state):
+        rows = 1 if k < n_vmem else hbm_rows[k - n_vmem]
+        per_arr.append(_split_rows(arr, G, SB, rows))
+    return tuple(per_arr[k][s] for s in range(SB) for k in range(len(state)))
+
+
+@functools.partial(jax.jit, static_argnames=("G", "SB", "rows"))
+def _merge_rows(parts, G: int, SB: int, rows: int):
+    cols = parts[0].shape[1]
+    stacked = jnp.stack(
+        [p.reshape(G, LANES * rows, cols) for p in parts], axis=1
+    )
+    return stacked.reshape(G * SB * LANES * rows, cols)
+
+
+def _merge_state(flat, G: int, SB: int, vc: VMCaps, hbm_rows,
+                 n=N_STATE, n_vmem: int = 16):
+    """Inverse of _split_state: flat per-sub-batch tuple -> merged tuple."""
+    out = []
+    for k in range(n):
+        parts = tuple(flat[s * n + k] for s in range(SB))
+        rows = 1 if k < n_vmem else hbm_rows[k - n_vmem]
+        out.append(_merge_rows(parts, G, SB, rows))
+    return tuple(out)
 
 
 def _seed_dict_arrays(seeds, G8: int, D: int):
@@ -154,41 +200,59 @@ def _prep_text(text_u8, vc: VMCaps, G: int, tb_in: int):
 
 @functools.lru_cache(maxsize=8)
 def _get_step(vc: VMCaps, params: X3Params, nsteps: int, G: int,
-              interpret: bool, ablate: frozenset = frozenset()):
-    call = build_encoder_call(vc, params, nsteps, G, ablate)
+              interpret: bool, ablate: frozenset = frozenset(),
+              SB: int = 1):
+    call = build_encoder_call(vc, params, nsteps, G, ablate, SB=SB)
 
-    donate = tuple(range(1, 20))
+    donate = tuple(range(SB, SB + N_STATE * SB))
 
     @functools.partial(jax.jit, donate_argnums=donate)
-    def step(text_flat, *state):
-        return call(text_flat, *state, interpret=interpret)
+    def step(*args):
+        return call(args[:SB], *args[SB:], interpret=interpret)
 
     return step
+
+
+@functools.partial(jax.jit, static_argnames=("SB",))
+def _any_active_subs(flat, SB: int):
+    a = jnp.bool_(False)
+    for s in range(SB):
+        regs = flat[s * N_STATE + 13]
+        a = a | jnp.any(regs[:, R_P] < regs[:, R_TLEN])
+    return a
 
 
 def encode_blocks_vm_chunked(
     text, tlen, params: X3Params, caps: CodecCaps, seeds=None,
     chunk_steps: int = 4096, interpret: bool = False,
-    ablate: frozenset = frozenset(), vc: VMCaps = None,
+    ablate: frozenset = frozenset(), vc: VMCaps = None, subs: int = 0,
 ):
     """Chunked codec-VM encode; same contract as
     codec.encode_blocks_chunked.  Raises VMUnsupported for configurations
     the kernel cannot host (callers fall back to the XLA path).  ``vc``
     overrides the derived VM capacities (tests use it to lower the
-    big->huge promotion trigger)."""
+    big->huge promotion trigger); ``subs`` overrides the sub-batch count
+    (0 = auto via pick_subs)."""
     if vc is None:
         vc = vm_caps(params, caps)
     if seeds is not None and seeds[0].shape[0] > vc.dict_cap:
         raise VMUnsupported("more dictionary seeds than dict_cap")
     L_in, tb_in = text.shape
-    G = (L_in + LANES - 1) // LANES
-    G8 = G * LANES
+    sb = subs or pick_subs(vc, L_in)
+    G = max(1, -(-L_in // (sb * LANES)))   # grid steps (SB*8 lanes each)
+    Gt = G * sb                            # 8-lane groups, merged layout
+    G8 = Gt * LANES
+    trows = vc.text_bytes // 128
+    orows = vc.out_words // 128
+    hbm_rows = (orows, vc.r0, vc.r1)
 
-    text_flat = _prep_text(jnp.asarray(text, jnp.uint8), vc, G, tb_in)
+    text_flat = _prep_text(jnp.asarray(text, jnp.uint8), vc, Gt, tb_in)
     tlen_np = np.asarray(tlen)
     tlen_p = jnp.pad(jnp.asarray(tlen, I32), (0, G8 - L_in))
-    state = _init_state(text_flat, tlen_p, vc, G, seeds=seeds)
-    step = _get_step(vc, params, chunk_steps, G, interpret, ablate)
+    state = _init_state(text_flat, tlen_p, vc, Gt, seeds=seeds)
+    texts = _split_rows(text_flat, G, sb, trows)
+    flat = _split_state(state, G, sb, vc, hbm_rows)
+    step = _get_step(vc, params, chunk_steps, G, interpret, ablate, SB=sb)
     # every event consumes >= 1 input byte (hit: dlen >= 1; miss: mlen is
     # clipped to >= 1), so ceil(max tlen / chunk_steps) launches always
     # finish the block — dispatch them ASYNC (a finished launch exits its
@@ -196,16 +260,17 @@ def encode_blocks_vm_chunked(
     # per launch (probe9: only a value read synchronizes via the tunnel)
     bound = max(1, -(-int(tlen_np.max(initial=0)) // chunk_steps))
     for _ in range(bound):
-        state = step(text_flat, *state)
+        flat = step(*texts, *flat)
     extra = 0
-    while bool(_any_active(state[13])):  # safety net; never hit by design
+    while bool(_any_active_subs(flat, sb)):  # safety net; never hit
         if extra > 2:
             raise RuntimeError(
                 "VM encode did not terminate: a lane made no progress "
                 f"after {bound + extra} launches (kernel bug?)"
             )
-        state = step(text_flat, *state)
+        flat = step(*texts, *flat)
         extra += 1
+    state = _merge_state(flat, G, sb, vc, hbm_rows)
     words, byte_lens, counts, sizes, overflow = _finalize(state, vc)
     sl = slice(0, L_in)
     return (
@@ -224,7 +289,7 @@ def encode_blocks_vm_chunked(
 from x3tpu.vm.config import (  # noqa: E402
     FLUSH_WORDS, OBF, OBW, R_AC_BUF, R_DONE, R_OPOS, R_OUT_BASE, R_SRC_NW,
 )
-from x3tpu.vm.kernel_dec import build_decoder_call  # noqa: E402
+from x3tpu.vm.kernel_dec import N_STATE_DEC, build_decoder_call  # noqa: E402
 
 
 def _dec_srows(vc: VMCaps, in_words: int) -> int:
@@ -300,6 +365,15 @@ def _any_active_dec(regs):
     return jnp.any(regs[:, R_DONE] == 0)
 
 
+@functools.partial(jax.jit, static_argnames=("SB",))
+def _any_active_dec_subs(flat, SB: int):
+    a = jnp.bool_(False)
+    for s in range(SB):
+        regs = flat[s * N_STATE_DEC + 13]
+        a = a | jnp.any(regs[:, R_DONE] == 0)
+    return a
+
+
 @functools.partial(jax.jit, static_argnames=("vc", "obrows"))
 def _finalize_dec(state, vc: VMCaps, obrows: int):
     """Merge the resident output window, unpack bytes, collect stats."""
@@ -331,14 +405,14 @@ def _finalize_dec(state, vc: VMCaps, obrows: int):
 
 @functools.lru_cache(maxsize=8)
 def _get_step_dec(vc: VMCaps, params: X3Params, nsteps: int, G: int,
-                  srows: int, obrows: int, interpret: bool):
-    call = build_decoder_call(vc, params, nsteps, G, srows, obrows)
+                  srows: int, obrows: int, interpret: bool, SB: int = 1):
+    call = build_decoder_call(vc, params, nsteps, G, srows, obrows, SB=SB)
 
-    donate = tuple(range(1, 21))
+    donate = tuple(range(SB, SB + N_STATE_DEC * SB))
 
     @functools.partial(jax.jit, donate_argnums=donate)
-    def step(srcflat, *state):
-        return call(srcflat, *state, interpret=interpret)
+    def step(*args):
+        return call(args[:SB], *args[SB:], interpret=interpret)
 
     return step
 
@@ -346,6 +420,7 @@ def _get_step_dec(vc: VMCaps, params: X3Params, nsteps: int, G: int,
 def decode_blocks_vm_chunked(
     words, byte_lens, params: X3Params, caps: CodecCaps, seeds=None,
     chunk_steps: int = 4096, interpret: bool = False, vc: VMCaps = None,
+    subs: int = 0,
 ):
     """Chunked codec-VM decode; same contract as
     codec.decode_blocks_chunked: returns (out u8 [L, block_bytes],
@@ -355,16 +430,21 @@ def decode_blocks_vm_chunked(
     if seeds is not None and seeds[0].shape[0] > vc.dict_cap:
         raise VMUnsupported("more dictionary seeds than dict_cap")
     L_in, IW = words.shape
-    G = (L_in + LANES - 1) // LANES
+    sb = subs or pick_subs(vc, L_in)
+    G = max(1, -(-L_in // (sb * LANES)))
+    Gt = G * sb
     srows = _dec_srows(vc, IW)
     obrows = _dec_obrows(vc)
+    hbm_rows = (obrows, vc.r0, vc.r1)
 
     srcflat, state = _init_state_dec(
-        jnp.asarray(words, U32), jnp.asarray(byte_lens, I32), vc, G,
+        jnp.asarray(words, U32), jnp.asarray(byte_lens, I32), vc, Gt,
         srows, obrows, seeds=seeds,
     )
+    srcs = _split_rows(srcflat, G, sb, srows)
+    flat = _split_state(state, G, sb, vc, hbm_rows, n_vmem=17)
     step = _get_step_dec(vc, params, chunk_steps, G, srows, obrows,
-                         interpret)
+                         interpret, SB=sb)
     # decode events each emit >= 1 output byte, so launches are bounded by
     # ceil((block_bytes+1)/chunk_steps) — but the actual output length is
     # unknown up front, so dispatch in async batches of 4 between ~33 ms
@@ -372,7 +452,7 @@ def decode_blocks_vm_chunked(
     # launches exit their while-loop immediately
     bound = max(1, -(-(vc.block_bytes + 1) // chunk_steps))
     done_launches = 0
-    while bool(_any_active_dec(state[13])):
+    while bool(_any_active_dec_subs(flat, sb)):
         # a valid stream finishes within `bound` launches (every decode
         # event except the final EOF emits >= 1 output byte); a lane still
         # active past that is decoding a malformed/corrupt stream whose
@@ -383,8 +463,10 @@ def decode_blocks_vm_chunked(
                 f"(active lanes after {done_launches} launches)"
             )
         for _ in range(max(1, min(4, bound - done_launches))):
-            state = step(srcflat, *state)
+            flat = step(*srcs, *flat)
             done_launches += 1
+    state = _merge_state(flat, G, sb, vc, hbm_rows, n=N_STATE_DEC,
+                         n_vmem=17)
     out, opos, counts, sizes, overflow = _finalize_dec(state, vc, obrows)
     sl = slice(0, L_in)
     return (
@@ -412,26 +494,27 @@ _AXIS = "blocks"
 
 @functools.lru_cache(maxsize=8)
 def _get_step_sharded(vc: VMCaps, params: X3Params, nsteps: int, Gd: int,
-                      interpret: bool, mh):
+                      interpret: bool, mh, SB: int = 1):
     """Per-device VM encode launch, shard_mapped over the block mesh.
-    ``Gd`` is the per-device grid (lane groups)."""
-    call = build_encoder_call(vc, params, nsteps, Gd)
+    ``Gd`` is the per-device grid (SB*8-lane steps)."""
+    call = build_encoder_call(vc, params, nsteps, Gd, SB=SB)
 
-    def local(text32, *state):
-        return call(text32, *state, interpret=interpret)
+    def local(*args):
+        return call(args[:SB], *args[SB:], interpret=interpret)
 
     sm = _shard_map(
         local, mesh=mh.mesh,
-        in_specs=(_P(_AXIS),) * 20,
-        out_specs=(_P(_AXIS),) * 19,
+        in_specs=(_P(_AXIS),) * (SB + N_STATE * SB),
+        out_specs=(_P(_AXIS),) * (N_STATE * SB),
         check_vma=False,
     )
-    return jax.jit(sm, donate_argnums=tuple(range(1, 20)))
+    return jax.jit(sm, donate_argnums=tuple(range(SB, SB + N_STATE * SB)))
 
 
 def encode_blocks_vm_sharded(
     text, tlen, params: X3Params, caps: CodecCaps, mesh, seeds=None,
     chunk_steps: int = 16384, interpret: bool = False, vc: VMCaps = None,
+    subs: int = 0,
 ):
     """Mesh-sharded codec-VM encode; same contract as
     mesh.encode_sharded / encode_blocks_vm_chunked."""
@@ -443,31 +526,40 @@ def encode_blocks_vm_sharded(
         raise VMUnsupported("more dictionary seeds than dict_cap")
     nd = mesh.devices.size
     L_in, tb_in = text.shape
-    Gd = max(1, -(-L_in // (nd * LANES)))
-    G = Gd * nd
-    G8 = G * LANES
+    lanes_dev = max(1, -(-L_in // nd))
+    sb = subs or pick_subs(vc, lanes_dev)
+    Gd = max(1, -(-lanes_dev // (sb * LANES)))
+    G = Gd * nd                           # total grid steps
+    Gt = G * sb                           # 8-lane groups, merged layout
+    G8 = Gt * LANES
+    trows = vc.text_bytes // 128
+    orows = vc.out_words // 128
+    hbm_rows = (orows, vc.r0, vc.r1)
 
-    text_flat = _prep_text(jnp.asarray(text, jnp.uint8), vc, G, tb_in)
+    text_flat = _prep_text(jnp.asarray(text, jnp.uint8), vc, Gt, tb_in)
     tlen_np = np.asarray(tlen)
     tlen_p = jnp.pad(jnp.asarray(tlen, I32), (0, G8 - L_in))
-    state = _init_state(text_flat, tlen_p, vc, G, seeds=seeds)
+    state = _init_state(text_flat, tlen_p, vc, Gt, seeds=seeds)
+    texts = _split_rows(text_flat, G, sb, trows)
+    flat = _split_state(state, G, sb, vc, hbm_rows)
     sharding = NamedSharding(mesh, _P(_AXIS))
-    text_flat = jax.device_put(text_flat, sharding)
-    state = tuple(jax.device_put(s, sharding) for s in state)
+    texts = tuple(jax.device_put(t, sharding) for t in texts)
+    flat = tuple(jax.device_put(s, sharding) for s in flat)
     step = _get_step_sharded(vc, params, chunk_steps, Gd, interpret,
-                             MeshHolder(mesh))
+                             MeshHolder(mesh), SB=sb)
     bound = max(1, -(-int(tlen_np.max(initial=0)) // chunk_steps))
     for _ in range(bound):
-        state = step(text_flat, *state)
+        flat = step(*texts, *flat)
     extra = 0
-    while bool(_any_active(state[13])):  # safety net; never hit by design
+    while bool(_any_active_subs(flat, sb)):  # safety net; never hit
         if extra > 2:
             raise RuntimeError(
                 "VM encode did not terminate: a lane made no progress "
                 f"after {bound + extra} launches (kernel bug?)"
             )
-        state = step(text_flat, *state)
+        flat = step(*texts, *flat)
         extra += 1
+    state = _merge_state(flat, G, sb, vc, hbm_rows)
     words, byte_lens, counts, sizes, overflow = _finalize(state, vc)
     sl = slice(0, L_in)
     return (
@@ -481,24 +573,26 @@ def encode_blocks_vm_sharded(
 
 @functools.lru_cache(maxsize=8)
 def _get_step_dec_sharded(vc: VMCaps, params: X3Params, nsteps: int, Gd: int,
-                          srows: int, obrows: int, interpret: bool, mh):
-    call = build_decoder_call(vc, params, nsteps, Gd, srows, obrows)
+                          srows: int, obrows: int, interpret: bool, mh,
+                          SB: int = 1):
+    call = build_decoder_call(vc, params, nsteps, Gd, srows, obrows, SB=SB)
 
-    def local(srcflat, *state):
-        return call(srcflat, *state, interpret=interpret)
+    def local(*args):
+        return call(args[:SB], *args[SB:], interpret=interpret)
 
     sm = _shard_map(
         local, mesh=mh.mesh,
-        in_specs=(_P(_AXIS),) * 21,
-        out_specs=(_P(_AXIS),) * 20,
+        in_specs=(_P(_AXIS),) * (SB + N_STATE_DEC * SB),
+        out_specs=(_P(_AXIS),) * (N_STATE_DEC * SB),
         check_vma=False,
     )
-    return jax.jit(sm, donate_argnums=tuple(range(1, 21)))
+    return jax.jit(sm, donate_argnums=tuple(range(SB, SB + N_STATE_DEC * SB)))
 
 
 def decode_blocks_vm_sharded(
     words, byte_lens, params: X3Params, caps: CodecCaps, mesh, seeds=None,
     chunk_steps: int = 16384, interpret: bool = False, vc: VMCaps = None,
+    subs: int = 0,
 ):
     """Mesh-sharded codec-VM decode (see encode_blocks_vm_sharded)."""
     from x3tpu.parallel.mesh import MeshHolder
@@ -509,31 +603,39 @@ def decode_blocks_vm_sharded(
         raise VMUnsupported("more dictionary seeds than dict_cap")
     nd = mesh.devices.size
     L_in, IW = words.shape
-    Gd = max(1, -(-L_in // (nd * LANES)))
+    lanes_dev = max(1, -(-L_in // nd))
+    sb = subs or pick_subs(vc, lanes_dev)
+    Gd = max(1, -(-lanes_dev // (sb * LANES)))
     G = Gd * nd
+    Gt = G * sb
     srows = _dec_srows(vc, IW)
     obrows = _dec_obrows(vc)
+    hbm_rows = (obrows, vc.r0, vc.r1)
 
     srcflat, state = _init_state_dec(
-        jnp.asarray(words, U32), jnp.asarray(byte_lens, I32), vc, G,
+        jnp.asarray(words, U32), jnp.asarray(byte_lens, I32), vc, Gt,
         srows, obrows, seeds=seeds,
     )
+    srcs = _split_rows(srcflat, G, sb, srows)
+    flat = _split_state(state, G, sb, vc, hbm_rows, n_vmem=17)
     sharding = NamedSharding(mesh, _P(_AXIS))
-    srcflat = jax.device_put(srcflat, sharding)
-    state = tuple(jax.device_put(s, sharding) for s in state)
+    srcs = tuple(jax.device_put(t, sharding) for t in srcs)
+    flat = tuple(jax.device_put(s, sharding) for s in flat)
     step = _get_step_dec_sharded(vc, params, chunk_steps, Gd, srows, obrows,
-                                 interpret, MeshHolder(mesh))
+                                 interpret, MeshHolder(mesh), SB=sb)
     bound = max(1, -(-(vc.block_bytes + 1) // chunk_steps))
     done_launches = 0
-    while bool(_any_active_dec(state[13])):
+    while bool(_any_active_dec_subs(flat, sb)):
         if done_launches > bound + 2:  # see the single-device driver
             raise ValueError(
                 "VM decode did not terminate: malformed stream "
                 f"(active lanes after {done_launches} launches)"
             )
         for _ in range(max(1, min(4, bound - done_launches))):
-            state = step(srcflat, *state)
+            flat = step(*srcs, *flat)
             done_launches += 1
+    state = _merge_state(flat, G, sb, vc, hbm_rows, n=N_STATE_DEC,
+                         n_vmem=17)
     out, opos, counts, sizes, overflow = _finalize_dec(state, vc, obrows)
     sl = slice(0, L_in)
     return (

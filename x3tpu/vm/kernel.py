@@ -1,15 +1,25 @@
 """The codec-VM encoder kernel: the whole x3 event loop in one Pallas
 program.
 
-One kernel launch runs up to ``nsteps`` events for every lane of a group
-(8 lanes; groups are sequential grid steps), with all adaptive state
-resident in VMEM or fetched per event by row DMA — removing the ~450
-us/event op-dispatch floor of the XLA while-loop path (round-1 ablation,
-BENCH_NOTES.md).  Semantics are exactly the reference encoder's
-(x3.c:372-434) as already modeled by x3tpu/codec.py:_enc_body; every
-section below cites the XLA twin it must stay bit-identical to.
+One kernel launch runs up to ``nsteps`` events for every lane of a group.
+A group is ``SB`` *sub-batches* of 8 lanes (SB in {1, 2, 4, 8}; groups are
+sequential grid steps).  Every vector value stays [8, width] — the Mosaic
+[L,1]->[L,D] lane-broadcast miscompile at L > 8 (CLAUDE.md) is sidestepped
+by construction — and each sub-batch carries fully separate state arrays,
+so the per-lane math is byte-identical at any SB.  The win is *latency*:
+phases are emitted sub-batch-major (all sub-batches phase A, then all
+phase B, ...), so the scalar core issues sub-batch k+1's row DMAs while
+the VPU is still chewing sub-batch k's vector work, and the narrow
+latency-bound AC chains of different sub-batches pipeline back-to-back.
+Round 2 measured a ~25 us floor per 8-lane event-group (~10 us scalar DMA
+issue + ~15 us compute, BENCH_NOTES.md); sub-batching attacks both terms
+without touching the stream format.
 
-Per-event phases (DMA-overlapped):
+Semantics are exactly the reference encoder's (x3.c:372-434) as already
+modeled by x3tpu/codec.py:_enc_body; every section below cites the XLA
+twin it must stay bit-identical to.
+
+Per-event phases (DMA-overlapped, per sub-batch):
   A  text-segment refill (byte-per-i32 rows; amortized ~1/100 events)
   B  start ctx1 row DMAs for (prev_c1, c1)       [x3.c:139-147]
   C  window barrel-shift extraction
@@ -26,6 +36,7 @@ Per-event phases (DMA-overlapped):
 from __future__ import annotations
 
 import functools
+from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +62,9 @@ U32 = jnp.uint32
 F32 = jnp.float32
 L = LANES
 MML = MAX_MATCH_LEN
+
+N_STATE = 19   # carried state arrays per sub-batch (16 VMEM + 3 HBM)
+N_SCR = 21     # scratch refs per sub-batch (17 VMEM + 4 DMA semaphores)
 
 # xfer scratch columns (vector -> scalar handoffs for DMA addressing)
 XC_NEED, XC_ROW0, XC_RPREV, XC_RCUR, XC_BPREV, XC_BCUR = 0, 1, 2, 3, 4, 5
@@ -156,31 +170,28 @@ def _fprob(span, total):
     return span.astype(F32) / jnp.maximum(total, 1).astype(F32)
 
 
+STATE_NAMES = (
+    "dictw", "dlens", "drank", "dtago", "ixf",
+    "h0t", "h0f", "h1t", "h1f", "h1p", "ev", "ms", "ch",
+    "regsi", "regsf", "sinkw", "outw", "c0r", "c1r",
+)
+SCR_NAMES = (
+    "tseg", "seg32", "c0in", "c0big", "c1pin", "c1pbig", "c1cin", "c1cbig",
+    "c0hug", "c1phug", "c1chug", "stage", "rem_scr", "res_scr", "xfer",
+    "acw", "acwf", "sem_seg", "sem_row", "sem_wb", "sem_out",
+)
+
+
 def encoder_kernel(
-    # inputs
-    text32, dictw_i, dlens_i, drank_i, dtago_i, ixf_i,
-    h0t_i, h0f_i, h1t_i, h1f_i, h1p_i, ev_i, ms_i, ch_i,
-    regsi_i, regsf_i, sinkw_i,
-    outw_i, c0r_i, c1r_i,
-    # outputs (aliased with inputs 1..19)
-    dictw, dlens, drank, dtago, ixf,
-    h0t, h0f, h1t, h1f, h1p, ev, ms, ch,
-    regsi, regsf, sinkw,
-    outw, c0r, c1r,
-    # scratch
-    tseg, seg32, c0in, c0big, c1pin, c1pbig, c1cin, c1cbig,
-    c0hug, c1phug, c1chug,
-    stage, rem_scr, res_scr, xfer, acw, acwf,
-    sem_seg, sem_row, sem_wb, sem_out,
-    *, vc: VMCaps, params: X3Params, nsteps: int, trows: int, orows: int,
-    ablate: frozenset = frozenset(),
+    *args,
+    vc: VMCaps, params: X3Params, nsteps: int, trows: int, orows: int,
+    SB: int = 1, ablate: frozenset = frozenset(),
 ):
     g = pl.program_id(0)
     D = vc.dict_cap
     WBUF = vc.wbuf
     SR = _seg_rows(vc)
     SRB = SR * 128
-    W2 = 2 * FLUSH_WORDS
     S0, S1 = vc.s0, vc.s1
     R0, R1 = vc.r0, vc.r1
     SCAN = params.window - MML - 1
@@ -190,192 +201,231 @@ def encoder_kernel(
     NR2_0, NR2_1 = vc.nr2_0, vc.nr2_1
     PB2_0, PB2_1 = vc.pb2_0, vc.pb2_1
     HB0, HB1 = vc.hug0_base, vc.hug1_base
-    c0hug_a = c0hug if NR2_0 else None
-    c1phug_a = c1phug if NR2_1 else None
-    c1chug_a = c1chug if NR2_1 else None
     # perf-ablation gates (hardware budget dissection ONLY -- any non-empty
     # ablate set produces WRONG output; see experiments/hw_vm_ablate.py)
     DO_DMA = "nodma" not in ablate
     ac_step = (lambda st, *a: st) if "noac" in ablate else prims.ac_encode
 
-    # ---- copy carried VMEM state into the (aliased) output blocks; all
-    # further access goes through the out refs
-    for a, b in (
-        (dictw_i, dictw), (dlens_i, dlens), (drank_i, drank),
-        (dtago_i, dtago), (ixf_i, ixf), (h0t_i, h0t), (h0f_i, h0f),
-        (h1t_i, h1t), (h1f_i, h1f), (h1p_i, h1p), (ev_i, ev), (ms_i, ms),
-        (ch_i, ch), (regsf_i, regsf), (sinkw_i, sinkw),
-    ):
-        b[:, :] = a[:, :]
-    # invalidate the (scratch) text segment at launch entry
-    regsi[:, :] = set_col(regsi_i[:, :], R_SEG_BASE, jnp.full((L, 1), -(1 << 20), I32))
+    # ---- unpack the per-sub-batch argument groups
+    texts = args[:SB]
+    ins = args[SB : SB + N_STATE * SB]
+    outs = args[SB + N_STATE * SB : SB + 2 * N_STATE * SB]
+    scr = args[SB + 2 * N_STATE * SB :]
+    assert len(scr) == N_SCR * SB
+    B = []
+    for s in range(SB):
+        b = SimpleNamespace()
+        b.text32 = texts[s]
+        for k, name in enumerate(STATE_NAMES):
+            setattr(b, name + "_i", ins[s * N_STATE + k])
+            setattr(b, name, outs[s * N_STATE + k])
+        for k, name in enumerate(SCR_NAMES):
+            setattr(b, name, scr[s * N_SCR + k])
+        B.append(b)
 
     iota128 = col_iota(128)
     iotaD = col_iota(D)
     iota32c = col_iota(MML)
 
     def lane_rowbase(l, rper):
+        # every sub-batch owns its own HBM arrays of G*L lanes
         return (g * L + l) * rper
+
+    # ---- copy carried VMEM state into the (aliased) output blocks; all
+    # further access goes through the out refs
+    for b in B:
+        for name in STATE_NAMES[:16]:  # the VMEM-carried arrays
+            getattr(b, name)[:, :] = getattr(b, name + "_i")[:, :]
+        # invalidate the (scratch) text segment at launch entry
+        b.regsi[:, :] = set_col(
+            b.regsi_i[:, :], R_SEG_BASE, jnp.full((L, 1), -(1 << 20), I32)
+        )
 
     # ---- pre-loop: prime the prev-ctx1 row cache.  The event loop never
     # fetches the prev row from HBM: after a hit the (updated) cur row
     # scratch is swapped into the prev scratch — they are the same context
     # (x3.c:406: prev_context1 = context1) — and after a miss prev becomes
     # the hub.  Only the first event of a launch needs the HBM copy.
-    # (probe9 cost model: a gated-out per-lane DMA region costs ~0.5 us;
-    # dropping two per-event slots saves ~8 us/event-group.)
     if DO_DMA:
-        R0v = regsi[:, :]
-        prev0 = get_col(R0v, R_PREV_C1)
-        act0 = get_col(R0v, R_P) < get_col(R0v, R_TLEN)
-        rp0 = jnp.where(act0 & (prev0 >= 1), prev0 - 1, -1)
-        xfer[:, :] = set_col(jnp.zeros((L, 128), I32), XC_RPREV, rp0)
-        for l in range(L):
-            @pl.when(xfer[l, XC_RPREV] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
-                ).start()
-        for l in range(L):
-            @pl.when(xfer[l, XC_RPREV] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
-                pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
-                ).wait()
-        hp0 = c1pin[:, 0, 0:1]
-        idxp0 = -hp0 - 1
-        neg0 = (rp0 >= 0) & (hp0 < 0)
-        if NR2_1:
-            bp0 = jnp.where(neg0 & (idxp0 < vc.m1), idxp0, -1)
-            gp0 = jnp.where(neg0 & (idxp0 >= vc.m1), idxp0 - vc.m1, -1)
-        else:
-            bp0 = jnp.where(neg0, idxp0, -1)
-            gp0 = None
-        xfer[:, :] = set_col(xfer[:, :], XC_BPREV, bp0)
-
-        @pl.when(jnp.any(bp0 >= 0))
-        def _():
+        for b in B:
+            R0v = b.regsi[:, :]
+            prev0 = get_col(R0v, R_PREV_C1)
+            act0 = get_col(R0v, R_P) < get_col(R0v, R_TLEN)
+            rp0 = jnp.where(act0 & (prev0 >= 1), prev0 - 1, -1)
+            b.xfer[:, :] = set_col(jnp.zeros((L, 128), I32), XC_RPREV, rp0)
+        for b in B:
             for l in range(L):
-                @pl.when(xfer[l, XC_BPREV] >= 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
+                @pl.when(b.xfer[l, XC_RPREV] >= 0)
+                def _(b=b, l=l):
+                    r = lane_rowbase(l, R1) + b.xfer[l, XC_RPREV]
                     pltpu.make_async_copy(
-                        c1r.at[pl.ds(r, PB), :], c1pbig.at[l],
-                        sem_row.at[l, 2],
+                        b.c1r.at[pl.ds(r, 1), :], b.c1pin.at[l],
+                        b.sem_row.at[l, 0],
                     ).start()
+        for b in B:
             for l in range(L):
-                @pl.when(xfer[l, XC_BPREV] >= 0)
-                def _(l=l):
-                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
+                @pl.when(b.xfer[l, XC_RPREV] >= 0)
+                def _(b=b, l=l):
+                    r = lane_rowbase(l, R1) + b.xfer[l, XC_RPREV]
                     pltpu.make_async_copy(
-                        c1r.at[pl.ds(r, PB), :], c1pbig.at[l],
-                        sem_row.at[l, 2],
+                        b.c1r.at[pl.ds(r, 1), :], b.c1pin.at[l],
+                        b.sem_row.at[l, 0],
                     ).wait()
+        for b in B:
+            rp0 = get_col(b.xfer[:, :], XC_RPREV)
+            hp0 = b.c1pin[:, 0, 0:1]
+            idxp0 = -hp0 - 1
+            neg0 = (rp0 >= 0) & (hp0 < 0)
+            if NR2_1:
+                bp0 = jnp.where(neg0 & (idxp0 < vc.m1), idxp0, -1)
+                gp0 = jnp.where(neg0 & (idxp0 >= vc.m1), idxp0 - vc.m1, -1)
+                b.xfer[:, :] = set_col(b.xfer[:, :], XC_GPREV, gp0)
+            else:
+                bp0 = jnp.where(neg0, idxp0, -1)
+            b.xfer[:, :] = set_col(b.xfer[:, :], XC_BPREV, bp0)
 
-        if NR2_1:
-            xfer[:, :] = set_col(xfer[:, :], XC_GPREV, gp0)
-
-            @pl.when(jnp.any(gp0 >= 0))
-            def _():
+            @pl.when(jnp.any(bp0 >= 0))
+            def _(b=b):
                 for l in range(L):
-                    @pl.when(xfer[l, XC_GPREV] >= 0)
-                    def _(l=l):
-                        r = (lane_rowbase(l, R1) + S1 + HB1
-                             + xfer[l, XC_GPREV] * PB2_1)
+                    @pl.when(b.xfer[l, XC_BPREV] >= 0)
+                    def _(b=b, l=l):
+                        r = lane_rowbase(l, R1) + S1 + b.xfer[l, XC_BPREV] * PB
                         pltpu.make_async_copy(
-                            c1r.at[pl.ds(r, PB2_1), :], c1phug.at[l],
-                            sem_row.at[l, 8],
+                            b.c1r.at[pl.ds(r, PB), :], b.c1pbig.at[l],
+                            b.sem_row.at[l, 1],
                         ).start()
                 for l in range(L):
-                    @pl.when(xfer[l, XC_GPREV] >= 0)
-                    def _(l=l):
-                        r = (lane_rowbase(l, R1) + S1 + HB1
-                             + xfer[l, XC_GPREV] * PB2_1)
+                    @pl.when(b.xfer[l, XC_BPREV] >= 0)
+                    def _(b=b, l=l):
+                        r = lane_rowbase(l, R1) + S1 + b.xfer[l, XC_BPREV] * PB
                         pltpu.make_async_copy(
-                            c1r.at[pl.ds(r, PB2_1), :], c1phug.at[l],
-                            sem_row.at[l, 8],
+                            b.c1r.at[pl.ds(r, PB), :], b.c1pbig.at[l],
+                            b.sem_row.at[l, 1],
                         ).wait()
 
-    def event_body(carry):
-        step, _alive = carry
-        R = regsi[:, :]
-        p = get_col(R, R_P)
-        tlen = get_col(R, R_TLEN)
-        active = p < tlen
+            if NR2_1:
+                gp0 = get_col(b.xfer[:, :], XC_GPREV)
 
-        # ================= A: text segment refill =================
+                @pl.when(jnp.any(gp0 >= 0))
+                def _(b=b):
+                    for l in range(L):
+                        @pl.when(b.xfer[l, XC_GPREV] >= 0)
+                        def _(b=b, l=l):
+                            r = (lane_rowbase(l, R1) + S1 + HB1
+                                 + b.xfer[l, XC_GPREV] * PB2_1)
+                            pltpu.make_async_copy(
+                                b.c1r.at[pl.ds(r, PB2_1), :], b.c1phug.at[l],
+                                b.sem_row.at[l, 4],
+                            ).start()
+                    for l in range(L):
+                        @pl.when(b.xfer[l, XC_GPREV] >= 0)
+                        def _(b=b, l=l):
+                            r = (lane_rowbase(l, R1) + S1 + HB1
+                                 + b.xfer[l, XC_GPREV] * PB2_1)
+                            pltpu.make_async_copy(
+                                b.c1r.at[pl.ds(r, PB2_1), :], b.c1phug.at[l],
+                                b.sem_row.at[l, 4],
+                            ).wait()
+
+    # =======================================================================
+    # per-event phase functions.  ``b`` is the sub-batch's refs; ``e`` its
+    # per-event traced values.  Emission order in event_body is phase-major
+    # across sub-batches so scalar DMA issue overlaps other sub-batches'
+    # vector compute.
+    # =======================================================================
+
+    def ph_regs(b, e):
+        """Read registers, decide refill, compute the cur-row index."""
+        R = b.regsi[:, :]
+        e.R = R
+        e.p = get_col(R, R_P)
+        e.tlen = get_col(R, R_TLEN)
+        e.active = e.p < e.tlen
+
+        # ---- A: text segment refill decision
         row0_old = get_col(R, R_SEG_BASE)
-        off_cur = p - row0_old * 128
-        need = active & ((off_cur < 0) | (off_cur + WBUF > SRB))
-        row0 = jnp.where(need, p >> 7, row0_old)
-        xfer[:, :] = set_col(
-            set_col(xfer[:, :], XC_NEED, need.astype(I32)), XC_ROW0, row0
-        )
-        # refill is ~1/100 events: ONE scalar gate around the whole phase
-        # (a gated-out per-lane DMA region still costs ~0.5 us, probe9)
-        @pl.when(jnp.any(need))
-        def _():
-            for l in range(L):
-                @pl.when(xfer[l, XC_NEED] != 0)
-                def _(l=l):
-                    r0 = lane_rowbase(l, trows) + xfer[l, XC_ROW0]
-                    pltpu.make_async_copy(
-                        text32.at[pl.ds(r0, SR), :], tseg.at[l],
-                        sem_seg.at[l],
-                    ).start()
-            for l in range(L):
-                @pl.when(xfer[l, XC_NEED] != 0)
-                def _(l=l):
-                    r0 = lane_rowbase(l, trows) + xfer[l, XC_ROW0]
-                    pltpu.make_async_copy(
-                        text32.at[pl.ds(r0, SR), :], tseg.at[l],
-                        sem_seg.at[l],
-                    ).wait()
-            for r in range(SR):
-                cols = slice(r * 128, (r + 1) * 128)
-                seg32[:, cols] = jnp.where(need, tseg[:, r, :], seg32[:, cols])
+        off_cur = e.p - row0_old * 128
+        e.need = e.active & ((off_cur < 0) | (off_cur + WBUF > SRB))
+        e.row0 = jnp.where(e.need, e.p >> 7, row0_old)
 
-        # ================= B: start ctx1 cur row DMA =================
-        # (the prev row is never fetched in-loop: c1pin/c1pbig hold it —
-        # primed before the loop, swapped from the cur row after each hit)
-        prev_c1 = get_col(R, R_PREV_C1)
-        c1 = get_col(R, R_C1)
-        rcur = jnp.where(active & (c1 >= 1), c1 - 1, -1)
+        # ---- B: cur ctx1 row index (the prev row is never fetched
+        # in-loop: c1pin/c1pbig hold it — primed before the loop, swapped
+        # from the cur row after each hit)
+        e.prev_c1 = get_col(R, R_PREV_C1)
+        e.c1 = get_col(R, R_C1)
+        e.rcur = jnp.where(e.active & (e.c1 >= 1), e.c1 - 1, -1)
+
+        xf = b.xfer[:, :]
+        xf = set_col(xf, XC_NEED, e.need.astype(I32))
+        xf = set_col(xf, XC_ROW0, e.row0)
         # unconditional fetch, row clamped to 0: a stray read into the
         # scratch of a hub/inactive lane is masked out downstream, and an
         # ungated DMA is cheaper than a gated-out one (probe9)
-        xfer[:, :] = set_col(xfer[:, :], XC_RCUR, jnp.maximum(rcur, 0))
+        xf = set_col(xf, XC_RCUR, jnp.maximum(e.rcur, 0))
+        b.xfer[:, :] = xf
+
+    def ph_refill(b, e):
+        """A: text segment refill (~1/100 events: ONE scalar gate around
+        the whole phase — a gated-out per-lane DMA region still costs
+        ~0.5 us, probe9)."""
+        @pl.when(jnp.any(e.need))
+        def _():
+            for l in range(L):
+                @pl.when(b.xfer[l, XC_NEED] != 0)
+                def _(l=l):
+                    r0 = lane_rowbase(l, trows) + b.xfer[l, XC_ROW0]
+                    pltpu.make_async_copy(
+                        b.text32.at[pl.ds(r0, SR), :], b.tseg.at[l],
+                        b.sem_seg.at[l],
+                    ).start()
+            for l in range(L):
+                @pl.when(b.xfer[l, XC_NEED] != 0)
+                def _(l=l):
+                    r0 = lane_rowbase(l, trows) + b.xfer[l, XC_ROW0]
+                    pltpu.make_async_copy(
+                        b.text32.at[pl.ds(r0, SR), :], b.tseg.at[l],
+                        b.sem_seg.at[l],
+                    ).wait()
+            for r in range(SR):
+                cols = slice(r * 128, (r + 1) * 128)
+                b.seg32[:, cols] = jnp.where(
+                    e.need, b.tseg[:, r, :], b.seg32[:, cols]
+                )
+
+    def ph_cur_start(b, e):
+        """B: start the cur ctx1 row DMA (unconditional, clamped row)."""
         if DO_DMA:
             for l in range(L):
-                r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
+                r = lane_rowbase(l, R1) + b.xfer[l, XC_RCUR]
                 pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
+                    b.c1r.at[pl.ds(r, 1), :], b.c1cin.at[l],
+                    b.sem_row.at[l, 0],
                 ).start()
 
-        # ================= C: window extraction =================
-        off = p - row0 * 128
-        x = seg32[:, :]
-        for b in range(10):
-            bit = (off >> b) & 1
-            rolled = pltpu.roll(x, SRB - (1 << b), axis=1)
+    def ph_window(b, e):
+        """C: window extraction (segment barrel shift)."""
+        off = e.p - e.row0 * 128
+        x = b.seg32[:, :]
+        for bit_i in range(10):
+            bit = (off >> bit_i) & 1
+            rolled = pltpu.roll(x, SRB - (1 << bit_i), axis=1)
             x = jnp.where(bit == 1, rolled, x)
-        win = x[:, :WBUF]
+        e.win = x[:, :WBUF]
 
-        # ================= D: dict probe + window scan =================
-        tw = _pack_words(win)
-        d_n = get_col(R, R_DICT_N)
-        dictw_v = dictw[:, :]
-        dlens_v = dlens[:, :]
+    def ph_probe_scan(b, e):
+        """D: dictionary probe + window scan."""
+        e.tw = _pack_words(e.win)
+        e.d_n = get_col(e.R, R_DICT_N)
+        e.dictw_v = b.dictw[:, :]
+        e.dlens_v = b.dlens[:, :]
         if "noprobe" in ablate:
-            found = jnp.zeros((L, 1), jnp.bool_)
-            slot = jnp.zeros((L, 1), I32)
-            dlen = jnp.zeros((L, 1), I32)
-            probe_mlen = jnp.zeros((L, D), I32)
+            e.found = jnp.zeros((L, 1), jnp.bool_)
+            e.slot = jnp.zeros((L, 1), I32)
+            e.dlen = jnp.zeros((L, 1), I32)
+            e.probe_mlen = jnp.zeros((L, D), I32)
         else:
-            found, slot, dlen, probe_mlen = _probe(
-                dictw_v, dlens_v, d_n, tw, D
+            e.found, e.slot, e.dlen, e.probe_mlen = _probe(
+                e.dictw_v, e.dlens_v, e.d_n, e.tw, D
             )
 
         if SCAN > 0 and "noscan" not in ablate:
@@ -384,6 +434,7 @@ def encoder_kernel(
             # pl.when(jnp.any(run)) gating cost a pipeline sync per round
             # — more than the skipped compute was worth.)
             iota_s = col_iota(SCANP)
+            win = e.win
             run = (iota_s < SCAN) & (win[:, 1 : 1 + SCANP] == win[:, 0:1])
             counts_l = [jnp.sum(run.astype(I32), axis=1, keepdims=True)]
             for i in range(1, MML):
@@ -392,133 +443,150 @@ def encoder_kernel(
                 )
                 counts_l.append(jnp.sum(run.astype(I32), axis=1,
                                         keepdims=True))
-            counts = jnp.concatenate(counts_l, axis=1)
+            e.counts = jnp.concatenate(counts_l, axis=1)
         else:
-            counts = jnp.zeros((L, MML), I32)
+            e.counts = jnp.zeros((L, MML), I32)
 
-        # ================= E: spans, pair lookup, ctx0 DMA ============
+    def ph_spans_pair(b, e):
+        """E: wait cur row; promoted-span DMAs; pair lookup; start ctx0
+        row DMA."""
         if DO_DMA:
             for l in range(L):
-                r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
+                r = lane_rowbase(l, R1) + b.xfer[l, XC_RCUR]
                 pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
+                    b.c1r.at[pl.ds(r, 1), :], b.c1cin.at[l],
+                    b.sem_row.at[l, 0],
                 ).wait()
 
-        hc = c1cin[:, 0, 0:1]
+        hc = b.c1cin[:, 0, 0:1]
         idxc = -hc - 1
-        negc = (rcur >= 0) & (hc < 0)
+        negc = (e.rcur >= 0) & (hc < 0)
         if NR2_1:
             bcur = jnp.where(negc & (idxc < vc.m1), idxc, -1)
             gcur = jnp.where(negc & (idxc >= vc.m1), idxc - vc.m1, -1)
         else:
             bcur = jnp.where(negc, idxc, -1)
             gcur = None
-        xfer[:, :] = set_col(xfer[:, :], XC_BCUR, bcur)
+        b.xfer[:, :] = set_col(b.xfer[:, :], XC_BCUR, bcur)
         if NR2_1:
-            xfer[:, :] = set_col(xfer[:, :], XC_GCUR, gcur)
+            b.xfer[:, :] = set_col(b.xfer[:, :], XC_GCUR, gcur)
         if DO_DMA:
             # promoted rows are rare (most blocks never promote): one
             # scalar gate for the whole big-span fetch
             @pl.when(jnp.any(bcur >= 0))
             def _():
                 for l in range(L):
-                    @pl.when(xfer[l, XC_BCUR] >= 0)
+                    @pl.when(b.xfer[l, XC_BCUR] >= 0)
                     def _(l=l):
-                        r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
+                        r = lane_rowbase(l, R1) + S1 + b.xfer[l, XC_BCUR] * PB
                         pltpu.make_async_copy(
-                            c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
-                            sem_row.at[l, 3],
+                            b.c1r.at[pl.ds(r, PB), :], b.c1cbig.at[l],
+                            b.sem_row.at[l, 1],
                         ).start()
                 for l in range(L):
-                    @pl.when(xfer[l, XC_BCUR] >= 0)
+                    @pl.when(b.xfer[l, XC_BCUR] >= 0)
                     def _(l=l):
-                        r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
+                        r = lane_rowbase(l, R1) + S1 + b.xfer[l, XC_BCUR] * PB
                         pltpu.make_async_copy(
-                            c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
-                            sem_row.at[l, 3],
+                            b.c1r.at[pl.ds(r, PB), :], b.c1cbig.at[l],
+                            b.sem_row.at[l, 1],
                         ).wait()
         if DO_DMA and NR2_1:
             @pl.when(jnp.any(gcur >= 0))
             def _():
                 for l in range(L):
-                    @pl.when(xfer[l, XC_GCUR] >= 0)
+                    @pl.when(b.xfer[l, XC_GCUR] >= 0)
                     def _(l=l):
                         r = (lane_rowbase(l, R1) + S1 + HB1
-                             + xfer[l, XC_GCUR] * PB2_1)
+                             + b.xfer[l, XC_GCUR] * PB2_1)
                         pltpu.make_async_copy(
-                            c1r.at[pl.ds(r, PB2_1), :], c1chug.at[l],
-                            sem_row.at[l, 6],
+                            b.c1r.at[pl.ds(r, PB2_1), :], b.c1chug.at[l],
+                            b.sem_row.at[l, 4],
                         ).start()
                 for l in range(L):
-                    @pl.when(xfer[l, XC_GCUR] >= 0)
+                    @pl.when(b.xfer[l, XC_GCUR] >= 0)
                     def _(l=l):
                         r = (lane_rowbase(l, R1) + S1 + HB1
-                             + xfer[l, XC_GCUR] * PB2_1)
+                             + b.xfer[l, XC_GCUR] * PB2_1)
                         pltpu.make_async_copy(
-                            c1r.at[pl.ds(r, PB2_1), :], c1chug.at[l],
-                            sem_row.at[l, 6],
+                            b.c1r.at[pl.ds(r, PB2_1), :], b.c1chug.at[l],
+                            b.sem_row.at[l, 4],
                         ).wait()
 
-        hub1n = get_col(R, R_HUB1_N)
-        v_prev = rw.row_view(rw.FAM1, prev_c1, c1pin, c1pbig, hub1n, active,
-                             hug_scr=c1phug_a, m=vc.m1)
-        pair_found, _, pair_id = rw.row_find(
-            rw.FAM1, v_prev, c1, c1pin, c1pbig, h1t[:, :], h1f[:, :],
-            h1p[:, :], hug_scr=c1phug_a, nr2=NR2_1,
+        e.hub1n = get_col(e.R, R_HUB1_N)
+        e.v_prev = rw.row_view(
+            rw.FAM1, e.prev_c1, b.c1pin, b.c1pbig, e.hub1n, e.active,
+            hug_scr=b.c1phug if NR2_1 else None, m=vc.m1,
         )
-        cid0 = jnp.where(pair_found & active, pair_id, 0)
+        pair_found, _, pair_id = rw.row_find(
+            rw.FAM1, e.v_prev, e.c1, b.c1pin, b.c1pbig, b.h1t[:, :],
+            b.h1f[:, :], b.h1p[:, :],
+            hug_scr=b.c1phug if NR2_1 else None, nr2=NR2_1,
+        )
+        e.cid0 = jnp.where(pair_found & e.active, pair_id, 0)
 
-        rc0 = jnp.where(active & (cid0 >= 1), cid0 - 1, -1)
+        e.rc0 = jnp.where(e.active & (e.cid0 >= 1), e.cid0 - 1, -1)
         # unconditional fetch (clamped row; stray reads masked downstream)
-        xfer[:, :] = set_col(xfer[:, :], XC_RC0, jnp.maximum(rc0, 0))
+        b.xfer[:, :] = set_col(b.xfer[:, :], XC_RC0, jnp.maximum(e.rc0, 0))
         if DO_DMA:
             for l in range(L):
-                r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
+                r = lane_rowbase(l, R0) + b.xfer[l, XC_RC0]
                 pltpu.make_async_copy(
-                    c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
+                    b.c0r.at[pl.ds(r, 1), :], b.c0in.at[l],
+                    b.sem_row.at[l, 2],
                 ).start()
 
-        # ================= F: sweep + vetoes (backend.c:76-97) ========
+    def ph_sweep_all(E):
+        """F: threshold sweep + magic-factor vetoes (backend.c:76-97),
+        merged across sub-batches: ONE scalar-carried while_loop whose
+        rounds process every sub-batch (resolved sub-batches no-op), so
+        the per-round vector->scalar sync cost is paid once, not SB
+        times."""
         T = params.max_match_count
         f1, f2 = params.magic_factor1, params.magic_factor2
-        if "nosweep" in ablate:
-            fbm = jnp.ones((L, 1), I32)
-        elif T < 1:
-            fbm = jnp.ones((L, 1), I32)
-        elif f1 == 0 and f2 == 0:
-            cand0 = counts >= 2
-            level = jnp.minimum(counts - 1, T)
-            key = jnp.where(cand0, level * MML + iota32c, -1)
-            has = jnp.any(cand0, axis=1, keepdims=True)
-            kmax = jnp.max(key, axis=1, keepdims=True)
-            best_i = jnp.max(
-                jnp.where(key == kmax, iota32c, -1), axis=1, keepdims=True
-            )
-            fbm = jnp.where(has, best_i + 1, 1)
-        else:
-            cand0 = counts >= 2
-            level = jnp.minimum(counts - 1, T)
+        if "nosweep" in ablate or T < 1:
+            for e in E:
+                e.fbm = jnp.ones((L, 1), I32)
+            return
+        if f1 == 0 and f2 == 0:
+            for e in E:
+                cand0 = e.counts >= 2
+                level = jnp.minimum(e.counts - 1, T)
+                key = jnp.where(cand0, level * MML + iota32c, -1)
+                has = jnp.any(cand0, axis=1, keepdims=True)
+                kmax = jnp.max(key, axis=1, keepdims=True)
+                best_i = jnp.max(
+                    jnp.where(key == kmax, iota32c, -1), axis=1,
+                    keepdims=True,
+                )
+                e.fbm = jnp.where(has, best_i + 1, 1)
+            return
+
+        unresolved0 = jnp.bool_(False)
+        for b, e in zip(B, E):
+            e.cand0 = e.counts >= 2
+            e.level = jnp.minimum(e.counts - 1, T)
             # inactive lanes start resolved (fbm 1), as in ops/match.py
-            res_scr[:, :] = jnp.where(
-                (iota128 == 0) & ~active, 1, jnp.zeros((L, 128), I32)
+            b.res_scr[:, :] = jnp.where(
+                (iota128 == 0) & ~e.active, 1, jnp.zeros((L, 128), I32)
             )
-            rem_scr[:, :] = jnp.concatenate(
-                [cand0.astype(I32), jnp.zeros((L, 128 - MML), I32)], 1
+            b.rem_scr[:, :] = jnp.concatenate(
+                [e.cand0.astype(I32), jnp.zeros((L, 128 - MML), I32)], 1
             )
+            unresolved0 = unresolved0 | (jnp.sum(e.active.astype(I32)) > 0)
 
-            # scalar-carried while_loop: exits as soon as every lane is
-            # resolved (typically 1-3 rounds), paying ONE vector->scalar
-            # sync per executed round instead of a pl.when pred for all 32
-            def sweep_cond(c):
-                it, unresolved = c
-                return (it < MML) & unresolved
+        def sweep_cond(c):
+            it, unresolved = c
+            return (it < MML) & unresolved
 
-            def sweep_round(c):
-                it, _ = c
-                result = res_scr[:, 0:1]
-                remaining = rem_scr[:, 0:MML] != 0
+        def sweep_round(c):
+            it, _ = c
+            still = jnp.bool_(False)
+            for b, e in zip(B, E):
+                result = b.res_scr[:, 0:1]
+                remaining = b.rem_scr[:, 0:MML] != 0
                 unresolved = result == 0
-                key = jnp.where(remaining, level * MML + iota32c, -1)
+                key = jnp.where(remaining, e.level * MML + iota32c, -1)
                 has = jnp.any(remaining, axis=1, keepdims=True)
                 kmx = jnp.max(key, axis=1, keepdims=True)
                 bi = jnp.maximum(
@@ -531,8 +599,8 @@ def encoder_kernel(
                 vetoed = jnp.zeros((L, 1), jnp.bool_)
                 if f1 > 0:
                     vl = _probe_best_len(
-                        dictw_v, dlens_v, d_n,
-                        _pack_words(_select32(win, bi)), D,
+                        e.dictw_v, e.dlens_v, e.d_n,
+                        _pack_words(_select32(e.win, bi)), D,
                     )
                     vetoed = vetoed | (
                         pending & (bi >= 2) & (vl > 0)
@@ -542,8 +610,8 @@ def encoder_kernel(
                     veto2 = jnp.zeros((L, 1), jnp.bool_)
                     for o in range(1, MML):
                         vl_o = _probe_best_len(
-                            dictw_v, dlens_v, d_n,
-                            _pack_words(win[:, o : o + MML]), D,
+                            e.dictw_v, e.dlens_v, e.d_n,
+                            _pack_words(e.win[:, o : o + MML]), D,
                         )
                         veto2 = veto2 | (
                             (o <= bi) & (vl_o > 0)
@@ -551,120 +619,129 @@ def encoder_kernel(
                         )
                     vetoed = vetoed | (pending & (bi >= 1) & veto2)
                 result = jnp.where(pending & ~vetoed, bi + 1, result)
-                res_scr[:, :] = jnp.where(iota128 == 0, result,
-                                          res_scr[:, :])
+                b.res_scr[:, :] = jnp.where(iota128 == 0, result,
+                                            b.res_scr[:, :])
                 clear = vetoed & (iota128 == bi)
-                rem_scr[:, :] = jnp.where(clear, 0, rem_scr[:, :])
-                still = jnp.sum((result == 0).astype(I32)) > 0
-                return it + 1, still
+                b.rem_scr[:, :] = jnp.where(clear, 0, b.rem_scr[:, :])
+                still = still | (jnp.sum((result == 0).astype(I32)) > 0)
+            return it + 1, still
 
-            unresolved0 = jnp.sum(active.astype(I32)) > 0
-            jax.lax.while_loop(
-                sweep_cond, sweep_round, (jnp.int32(0), unresolved0)
-            )
-            fbm = res_scr[:, 0:1]
+        jax.lax.while_loop(
+            sweep_cond, sweep_round, (jnp.int32(0), unresolved0)
+        )
+        for b, e in zip(B, E):
+            e.fbm = b.res_scr[:, 0:1]
 
-        # ================= wait ctx0, span DMA ========================
+    def ph_wait_c0(b, e):
+        """Wait the ctx0 row DMA; fetch its promoted span if any."""
         if DO_DMA:
             for l in range(L):
-                r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
+                r = lane_rowbase(l, R0) + b.xfer[l, XC_RC0]
                 pltpu.make_async_copy(
-                    c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
+                    b.c0r.at[pl.ds(r, 1), :], b.c0in.at[l],
+                    b.sem_row.at[l, 2],
                 ).wait()
-        h0 = c0in[:, 0, 0:1]
+        h0 = b.c0in[:, 0, 0:1]
         idx0 = -h0 - 1
-        neg0c = (rc0 >= 0) & (h0 < 0)
+        neg0c = (e.rc0 >= 0) & (h0 < 0)
         if NR2_0:
             bc0 = jnp.where(neg0c & (idx0 < vc.m0), idx0, -1)
             gc0 = jnp.where(neg0c & (idx0 >= vc.m0), idx0 - vc.m0, -1)
         else:
             bc0 = jnp.where(neg0c, idx0, -1)
             gc0 = None
-        xfer[:, :] = set_col(xfer[:, :], XC_BC0, bc0)
+        b.xfer[:, :] = set_col(b.xfer[:, :], XC_BC0, bc0)
         if NR2_0:
-            xfer[:, :] = set_col(xfer[:, :], XC_GC0, gc0)
+            b.xfer[:, :] = set_col(b.xfer[:, :], XC_GC0, gc0)
         if DO_DMA:
             @pl.when(jnp.any(bc0 >= 0))
             def _():
                 for l in range(L):
-                    @pl.when(xfer[l, XC_BC0] >= 0)
+                    @pl.when(b.xfer[l, XC_BC0] >= 0)
                     def _(l=l):
-                        r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
+                        r = lane_rowbase(l, R0) + S0 + b.xfer[l, XC_BC0] * PB
                         pltpu.make_async_copy(
-                            c0r.at[pl.ds(r, PB), :], c0big.at[l],
-                            sem_row.at[l, 5],
+                            b.c0r.at[pl.ds(r, PB), :], b.c0big.at[l],
+                            b.sem_row.at[l, 3],
                         ).start()
                 for l in range(L):
-                    @pl.when(xfer[l, XC_BC0] >= 0)
+                    @pl.when(b.xfer[l, XC_BC0] >= 0)
                     def _(l=l):
-                        r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
+                        r = lane_rowbase(l, R0) + S0 + b.xfer[l, XC_BC0] * PB
                         pltpu.make_async_copy(
-                            c0r.at[pl.ds(r, PB), :], c0big.at[l],
-                            sem_row.at[l, 5],
+                            b.c0r.at[pl.ds(r, PB), :], b.c0big.at[l],
+                            b.sem_row.at[l, 3],
                         ).wait()
         if DO_DMA and NR2_0:
             @pl.when(jnp.any(gc0 >= 0))
             def _():
                 for l in range(L):
-                    @pl.when(xfer[l, XC_GC0] >= 0)
+                    @pl.when(b.xfer[l, XC_GC0] >= 0)
                     def _(l=l):
                         r = (lane_rowbase(l, R0) + S0 + HB0
-                             + xfer[l, XC_GC0] * PB2_0)
+                             + b.xfer[l, XC_GC0] * PB2_0)
                         pltpu.make_async_copy(
-                            c0r.at[pl.ds(r, PB2_0), :], c0hug.at[l],
-                            sem_row.at[l, 7],
+                            b.c0r.at[pl.ds(r, PB2_0), :], b.c0hug.at[l],
+                            b.sem_row.at[l, 5],
                         ).start()
                 for l in range(L):
-                    @pl.when(xfer[l, XC_GC0] >= 0)
+                    @pl.when(b.xfer[l, XC_GC0] >= 0)
                     def _(l=l):
                         r = (lane_rowbase(l, R0) + S0 + HB0
-                             + xfer[l, XC_GC0] * PB2_0)
+                             + b.xfer[l, XC_GC0] * PB2_0)
                         pltpu.make_async_copy(
-                            c0r.at[pl.ds(r, PB2_0), :], c0hug.at[l],
-                            sem_row.at[l, 7],
+                            b.c0r.at[pl.ds(r, PB2_0), :], b.c0hug.at[l],
+                            b.sem_row.at[l, 5],
                         ).wait()
 
-        # ================= G: mode stats + selection (x3.c:150-172) ===
-        hub0n = get_col(R, R_HUB0_N)
-        v0 = rw.row_view(rw.FAM0, cid0, c0in, c0big, hub0n, active,
-                         hug_scr=c0hug_a, m=vc.m0)
-        f0, pos0, _ = rw.row_find(
-            rw.FAM0, v0, slot, c0in, c0big, h0t[:, :], h0f[:, :], None,
-            hug_scr=c0hug_a, nr2=NR2_0,
+    def ph_mode(b, e):
+        """G: mode stats + selection (x3.c:150-172) + decision
+        (x3.c:381-404)."""
+        hub0n = get_col(e.R, R_HUB0_N)
+        e.v0 = rw.row_view(rw.FAM0, e.cid0, b.c0in, b.c0big, hub0n, e.active,
+                           hug_scr=b.c0hug if NR2_0 else None, m=vc.m0)
+        e.f0, e.pos0, _ = rw.row_find(
+            rw.FAM0, e.v0, e.slot, b.c0in, b.c0big, b.h0t[:, :],
+            b.h0f[:, :], None,
+            hug_scr=b.c0hug if NR2_0 else None, nr2=NR2_0,
         )
         low0, span0, tot0 = rw.row_stats(
-            rw.FAM0, v0, pos0, c0in, c0big, h0f[:, :],
-            hug_scr=c0hug_a, nr2=NR2_0,
+            rw.FAM0, e.v0, e.pos0, b.c0in, b.c0big, b.h0f[:, :],
+            hug_scr=b.c0hug if NR2_0 else None, nr2=NR2_0,
         )
-        v_cur = rw.row_view(rw.FAM1, c1, c1cin, c1cbig, hub1n, active,
-                            hug_scr=c1chug_a, m=vc.m1)
-        f1c, pos1, _ = rw.row_find(
-            rw.FAM1, v_cur, slot, c1cin, c1cbig, h1t[:, :], h1f[:, :],
-            h1p[:, :], hug_scr=c1chug_a, nr2=NR2_1,
+        e.v_cur = rw.row_view(rw.FAM1, e.c1, b.c1cin, b.c1cbig, e.hub1n,
+                              e.active,
+                              hug_scr=b.c1chug if NR2_1 else None, m=vc.m1)
+        e.f1c, e.pos1, _ = rw.row_find(
+            rw.FAM1, e.v_cur, e.slot, b.c1cin, b.c1cbig, b.h1t[:, :],
+            b.h1f[:, :], b.h1p[:, :],
+            hug_scr=b.c1chug if NR2_1 else None, nr2=NR2_1,
         )
         low1, span1, tot1 = rw.row_stats(
-            rw.FAM1, v_cur, pos1, c1cin, c1cbig, h1f[:, :],
-            hug_scr=c1chug_a, nr2=NR2_1,
+            rw.FAM1, e.v_cur, e.pos1, b.c1cin, b.c1cbig, b.h1f[:, :],
+            hug_scr=b.c1chug if NR2_1 else None, nr2=NR2_1,
         )
 
-        rank = jnp.sum(jnp.where(iotaD == slot, drank[:, :], 0), axis=1,
-                       keepdims=True)
-        ixv = ixf[:, :]
-        ixlow = jnp.sum(jnp.where(iotaD < rank, ixv, 0), axis=1,
-                        keepdims=True)
-        ixspan = jnp.sum(jnp.where(iotaD == rank, ixv, 0), axis=1,
-                         keepdims=True)
-        ixtot = jnp.sum(ixv, axis=1, keepdims=True)
+        e.rank = jnp.sum(jnp.where(iotaD == e.slot, b.drank[:, :], 0),
+                         axis=1, keepdims=True)
+        ixv = b.ixf[:, :]
+        e.ixlow = jnp.sum(jnp.where(iotaD < e.rank, ixv, 0), axis=1,
+                          keepdims=True)
+        e.ixspan = jnp.sum(jnp.where(iotaD == e.rank, ixv, 0), axis=1,
+                           keepdims=True)
+        e.ixtot = jnp.sum(ixv, axis=1, keepdims=True)
+        e.ixv = ixv
 
-        evv = ev[:, :]
-        etot = jnp.sum(evv, axis=1, keepdims=True)
-        p_ev0 = _fprob(get_col(evv, E_CTX0), etot)
-        p_ev1 = _fprob(get_col(evv, E_CTX1), etot)
-        p_ev2 = _fprob(get_col(evv, E_IDX1), etot)
+        evv = b.ev[:, :]
+        e.evv = evv
+        e.etot = jnp.sum(evv, axis=1, keepdims=True)
+        p_ev0 = _fprob(get_col(evv, E_CTX0), e.etot)
+        p_ev1 = _fprob(get_col(evv, E_CTX1), e.etot)
+        p_ev2 = _fprob(get_col(evv, E_IDX1), e.etot)
         zero = jnp.float32(0)
-        prob0 = jnp.where(f0, p_ev0 * _fprob(span0, tot0), zero)
-        prob1 = jnp.where(f1c, p_ev1 * _fprob(span1, tot1), zero)
-        probx = p_ev2 * _fprob(ixspan, ixtot)
+        prob0 = jnp.where(e.f0, p_ev0 * _fprob(span0, tot0), zero)
+        prob1 = jnp.where(e.f1c, p_ev1 * _fprob(span1, tot1), zero)
+        probx = p_ev2 * _fprob(e.ixspan, e.ixtot)
         mode = jnp.full((L, 1), E_IDX1, I32)
         best = probx
         take0 = prob0 > best
@@ -672,62 +749,69 @@ def encoder_kernel(
         best = jnp.where(take0, prob0, best)
         take1 = prob1 > best
         mode = jnp.where(take1, E_CTX1, mode)
-        best = jnp.where(take1, prob1, best)
+        e.best = jnp.where(take1, prob1, best)
+        e.mode = mode
+        e.low0, e.span0, e.tot0 = low0, span0, tot0
+        e.low1, e.span1, e.tot1 = low1, span1, tot1
 
-        # ================= decision (x3.c:381-404) ====================
+        # decision (x3.c:381-404)
         if params.nl_remap:
             nl = jnp.where(
-                dlen == 1, 1,
-                jnp.where(dlen == 2, 4,
-                          jnp.where(dlen == 3, 6,
-                                    jnp.where(dlen == 4, 8, 9999))),
+                e.dlen == 1, 1,
+                jnp.where(e.dlen == 2, 4,
+                          jnp.where(e.dlen == 3, 6,
+                                    jnp.where(e.dlen == 4, 8, 9999))),
             )
-            nl = jnp.where(dlen == 0, 0, nl)
+            nl = jnp.where(e.dlen == 0, 0, nl)
         else:
-            nl = dlen
-        hit = active & found & (nl >= fbm) & (p + dlen <= tlen)
-        miss = active & ~hit
-        mlen = jnp.clip(jnp.minimum(fbm, tlen - p), 1, MML)
-        dup = jnp.any(
-            (iotaD < d_n) & (dlens_v == mlen) & (probe_mlen >= mlen),
+            nl = e.dlen
+        e.hit = e.active & e.found & (nl >= e.fbm) & (e.p + e.dlen <= e.tlen)
+        e.miss = e.active & ~e.hit
+        e.mlen = jnp.clip(jnp.minimum(e.fbm, e.tlen - e.p), 1, MML)
+        e.dup = jnp.any(
+            (iotaD < e.d_n) & (e.dlens_v == e.mlen)
+            & (e.probe_mlen >= e.mlen),
             axis=1, keepdims=True,
         )
 
-        # ================= H: AC coding ===============================
+    def ph_ac_head(b, e):
+        """H: event symbol + payload symbol; bridge AC state into scratch
+        for the merged literal loop."""
         acst = dict(
-            low=get_col(R, R_AC_LOW).astype(U32),
-            high=get_col(R, R_AC_HIGH).astype(U32),
-            scale=get_col(R, R_AC_SCALE),
-            nbits=get_col(R, R_NBITS),
-            win_base=get_col(R, R_WIN_BASE),
-            win=sinkw[:, :],
+            low=get_col(e.R, R_AC_LOW).astype(U32),
+            high=get_col(e.R, R_AC_HIGH).astype(U32),
+            scale=get_col(e.R, R_AC_SCALE),
+            nbits=get_col(e.R, R_NBITS),
+            win_base=get_col(e.R, R_WIN_BASE),
+            win=b.sinkw[:, :],
             oflow=jnp.zeros((L, 1), jnp.bool_),
         )
-        esym = jnp.where(hit, mode, E_NEW)
-        elow, espan, _et = _model_stats(evv, esym, 128)
-        acst = ac_step(acst, elow, espan, etot, active)
-        ev[:, :] = evv + jnp.where((iota128 == esym) & active, 1, 0)
+        e.esym = jnp.where(e.hit, e.mode, E_NEW)
+        elow, espan, _et = _model_stats(e.evv, e.esym, 128)
+        acst = ac_step(acst, elow, espan, e.etot, e.active)
+        b.ev[:, :] = e.evv + jnp.where((iota128 == e.esym) & e.active, 1, 0)
+        e.espan = espan
 
         # payload symbol (x3.c:179-190 / 257-261)
-        msv = ms[:, :]
-        mslow, msspan, mstot = _model_stats(msv, mlen - 1, 128)
-        is0 = hit & (mode == E_CTX0)
-        is1 = hit & (mode == E_CTX1)
-        isx = hit & (mode == E_IDX1)
-        plow = jnp.where(is0, low0, jnp.where(is1, low1,
-                jnp.where(isx, ixlow, mslow)))
-        pspan = jnp.where(is0, span0, jnp.where(is1, span1,
-                 jnp.where(isx, ixspan, msspan)))
-        ptot = jnp.where(is0, tot0, jnp.where(is1, tot1,
-                jnp.where(isx, ixtot, mstot)))
-        acst = ac_step(acst, plow, pspan, ptot, active)
-        ixf[:, :] = ixv + jnp.where((iotaD == rank) & isx, 1, 0)
-        ms[:, :] = msv + jnp.where((iota128 == mlen - 1) & miss, 1, 0)
+        msv = b.ms[:, :]
+        mslow, msspan, mstot = _model_stats(msv, e.mlen - 1, 128)
+        is0 = e.hit & (e.mode == E_CTX0)
+        is1 = e.hit & (e.mode == E_CTX1)
+        isx = e.hit & (e.mode == E_IDX1)
+        plow = jnp.where(is0, e.low0, jnp.where(is1, e.low1,
+                jnp.where(isx, e.ixlow, mslow)))
+        pspan = jnp.where(is0, e.span0, jnp.where(is1, e.span1,
+                 jnp.where(isx, e.ixspan, msspan)))
+        ptot = jnp.where(is0, e.tot0, jnp.where(is1, e.tot1,
+                jnp.where(isx, e.ixtot, mstot)))
+        acst = ac_step(acst, plow, pspan, ptot, e.active)
+        b.ixf[:, :] = e.ixv + jnp.where((iotaD == e.rank) & isx, 1, 0)
+        b.ms[:, :] = msv + jnp.where((iota128 == e.mlen - 1) & e.miss, 1, 0)
+        e.msspan, e.mstot = msspan, mstot
 
-        # literal bytes (x3.c:263-267): scalar-carried loop, AC state
-        # bridged through scratch
-        frag32 = win[:, :MML]
-        acw[:, :] = set_col(
+        # literal bytes (x3.c:263-267): AC state bridged through scratch
+        e.frag32 = e.win[:, :MML]
+        b.acw[:, :] = set_col(
             set_col(
                 set_col(
                     set_col(
@@ -738,32 +822,39 @@ def encoder_kernel(
                 AC_NBITS, acst["nbits"]),
             AC_OFLOW, acst["oflow"].astype(I32),
         )
-        sinkw[:, :] = acst["win"]
-        acwf[:, :] = jnp.zeros((L, 128), F32)
-        kmax = (jnp.int32(0) if "nolit" in ablate
-                else jnp.max(jnp.where(miss, mlen, 0)))
+        b.sinkw[:, :] = acst["win"]
+        b.acwf[:, :] = jnp.zeros((L, 128), F32)
+        e.win_base = acst["win_base"]
+        e.kmax = (jnp.int32(0) if "nolit" in ablate
+                  else jnp.max(jnp.where(e.miss, e.mlen, 0)))
 
-        # early-exit scalar while: most events are dictionary hits with
-        # zero literal bytes, and even a skipped gated round costs ~145 ns
-        # (probe9) — 32 of them per event added up
+    def ph_lit_all(E):
+        """Merged literal loop: ONE early-exit scalar while over the max
+        fragment length of ALL sub-batches (most events are dictionary
+        hits with zero literal bytes); each round codes one byte per
+        active missing lane of every sub-batch."""
+        kmax = E[0].kmax
+        for e in E[1:]:
+            kmax = jnp.maximum(kmax, e.kmax)
+
         def lit_step(k):
-            if True:
-                a2 = acw[:, :]
+            for b, e in zip(B, E):
+                a2 = b.acw[:, :]
                 st2 = dict(
                     low=get_col(a2, AC_LOW).astype(U32),
                     high=get_col(a2, AC_HIGH).astype(U32),
                     scale=get_col(a2, AC_SCALE),
                     nbits=get_col(a2, AC_NBITS),
-                    win_base=acst["win_base"],
-                    win=sinkw[:, :],
+                    win_base=e.win_base,
+                    win=b.sinkw[:, :],
                     oflow=get_col(a2, AC_OFLOW) != 0,
                 )
-                act = miss & (k < mlen)
+                act = e.miss & (k < e.mlen)
                 byte = jnp.sum(
-                    jnp.where(iota32c == k, frag32, 0), axis=1,
+                    jnp.where(iota32c == k, e.frag32, 0), axis=1,
                     keepdims=True,
                 )
-                chv = ch[:, :]
+                chv = b.ch[:, :]
                 i256 = col_iota(256)
                 blow = jnp.sum(jnp.where(i256 < byte, chv, 0), axis=1,
                                keepdims=True)
@@ -771,370 +862,428 @@ def encoder_kernel(
                                 keepdims=True)
                 btot = jnp.sum(chv, axis=1, keepdims=True)
                 st2 = ac_step(st2, blow, bspan, btot, act)
-                ch[:, :] = chv + jnp.where((i256 == byte) & act, 1, 0)
-                acwf[:, :] = acwf[:, :] + jnp.where(
+                b.ch[:, :] = chv + jnp.where((i256 == byte) & act, 1, 0)
+                b.acwf[:, :] = b.acwf[:, :] + jnp.where(
                     (col_iota(128) == 0) & act,
                     prims.bits_f32(bspan, btot), 0.0,
                 )
-                acw[:, :] = set_col(
+                b.acw[:, :] = set_col(
                     set_col(
                         set_col(
                             set_col(
-                                set_col(acw[:, :], AC_LOW,
+                                set_col(b.acw[:, :], AC_LOW,
                                         st2["low"].astype(I32)),
                                 AC_HIGH, st2["high"].astype(I32)),
                             AC_SCALE, st2["scale"]),
                         AC_NBITS, st2["nbits"]),
                     AC_OFLOW, st2["oflow"].astype(I32),
                 )
-                sinkw[:, :] = st2["win"]
-
+                b.sinkw[:, :] = st2["win"]
             return k + 1
 
         jax.lax.while_loop(lambda k: k < kmax, lit_step, jnp.int32(0))
-        a2 = acw[:, :]
-        acst = dict(
+
+    def ph_ac_tail(b, e):
+        """Collect the post-literal AC state + the stats bits
+        (x3.c:192-193, 253-264)."""
+        a2 = b.acw[:, :]
+        e.acst = dict(
             low=get_col(a2, AC_LOW).astype(U32),
             high=get_col(a2, AC_HIGH).astype(U32),
             scale=get_col(a2, AC_SCALE),
             nbits=get_col(a2, AC_NBITS),
-            win_base=acst["win_base"],
-            win=sinkw[:, :],
+            win_base=e.win_base,
+            win=b.sinkw[:, :],
             oflow=get_col(a2, AC_OFLOW) != 0,
         )
-        lit_bits = acwf[:, 0:1]
-
-        # stats (x3.c:192-193, 253-264)
-        ev_bits = prims.bits_f32(espan, etot)
-        ms_bits = prims.bits_f32(msspan, mstot)
-        hit_bits = -jnp.log2(jnp.maximum(best, jnp.float32(1e-38)))
+        lit_bits = b.acwf[:, 0:1]
+        ev_bits = prims.bits_f32(e.espan, e.etot)
+        ms_bits = prims.bits_f32(e.msspan, e.mstot)
+        hit_bits = -jnp.log2(jnp.maximum(e.best, jnp.float32(1e-38)))
         add_bits = jnp.where(
-            hit, hit_bits,
-            jnp.where(miss, ev_bits + ms_bits + lit_bits, 0.0),
+            e.hit, hit_bits,
+            jnp.where(e.miss, ev_bits + ms_bits + lit_bits, 0.0),
         )
-        regsf[:, :] = regsf[:, :] + jnp.where(
-            iota128 == esym, add_bits, 0.0
+        b.regsf[:, :] = b.regsf[:, :] + jnp.where(
+            iota128 == e.esym, add_bits, 0.0
         )
 
-        # ================= I: dictionary (dict.c:132, x3.c:411-420) ===
-        drank_v = drank[:, :]
-        dtago_v = dtago[:, :]
-        validD = iotaD < d_n
+    def ph_dict(b, e):
+        """I: dictionary MTF / insert (dict.c:132, x3.c:411-420)."""
+        drank_v = b.drank[:, :]
+        dtago_v = b.dtago[:, :]
+        validD = iotaD < e.d_n
         # MTF of the hit tag
-        bump = validD & hit & (drank_v < rank)
+        bump = validD & e.hit & (drank_v < e.rank)
         drank_v = jnp.where(bump, drank_v + 1, drank_v)
-        drank_v = jnp.where((iotaD == slot) & hit, 0, drank_v)
+        drank_v = jnp.where((iotaD == e.slot) & e.hit, 0, drank_v)
         shifted = pltpu.roll(dtago_v, 1, axis=1)
-        dtago_v = jnp.where(hit & (iotaD <= rank), shifted, dtago_v)
-        dtago_v = jnp.where(hit & (iotaD == 0), slot, dtago_v)
+        dtago_v = jnp.where(e.hit & (iotaD <= e.rank), shifted, dtago_v)
+        dtago_v = jnp.where(e.hit & (iotaD == 0), e.slot, dtago_v)
         # insert on miss unless duplicate
-        room = d_n < D
-        ins = miss & ~dup & room
-        of_dict = miss & ~dup & ~room
-        slot_new = jnp.minimum(d_n, D - 1)
-        pw = pl.when(jnp.any(ins))
+        room = e.d_n < D
+        ins = e.miss & ~e.dup & room
+        e.of_dict = e.miss & ~e.dup & ~room
+        slot_new = jnp.minimum(e.d_n, D - 1)
 
-        @pw
+        @pl.when(jnp.any(ins))
         def _():
             for w in range(8):
                 cols = slice(w * D, (w + 1) * D)
-                dictw[:, cols] = jnp.where(
-                    ins & (iotaD == slot_new), tw[w], dictw[:, cols]
+                b.dictw[:, cols] = jnp.where(
+                    ins & (iotaD == slot_new), e.tw[w], b.dictw[:, cols]
                 )
 
-        dlens[:, :] = jnp.where(ins & (iotaD == slot_new), mlen, dlens_v)
+        b.dlens[:, :] = jnp.where(ins & (iotaD == slot_new), e.mlen,
+                                  e.dlens_v)
         drank_v = jnp.where(ins & validD, drank_v + 1, drank_v)
         drank_v = jnp.where(ins & (iotaD == slot_new), 0, drank_v)
         shifted2 = pltpu.roll(dtago_v, 1, axis=1)
         dtago_v = jnp.where(ins & (iotaD > 0), shifted2, dtago_v)
         dtago_v = jnp.where(ins & (iotaD == 0), slot_new, dtago_v)
-        drank[:, :] = drank_v
-        dtago[:, :] = dtago_v
-        ixf[:, :] = jnp.where(ins & (iotaD == slot_new), 1, ixf[:, :])
-        d_n2 = d_n + jnp.where(ins, 1, 0)
+        b.drank[:, :] = drank_v
+        b.dtago[:, :] = dtago_v
+        b.ixf[:, :] = jnp.where(ins & (iotaD == slot_new), 1, b.ixf[:, :])
+        e.d_n2 = e.d_n + jnp.where(ins, 1, 0)
 
-        # ================= J: context updates (x3.c:195-222) ==========
-        pair_n = get_col(R, R_PAIR_N)
-        promo0 = get_col(R, R_PROMO0_N)
-        promo1 = get_col(R, R_PROMO1_N)
-        huge0 = get_col(R, R_HUGE0_N)
-        huge1 = get_col(R, R_HUGE1_N)
-        hub0n2, promo0_2, dp0, span0_idx, of0, huge0_2, dg0, gid0 = (
-            rw.row_update(
-                rw.FAM0, v0, slot, f0, pos0, hit, c0in, c0big,
-                h0t, h0f, None, hub0n, vc.hub0, promo0, vc.m0,
-                hug_scr=c0hug_a, nr2=NR2_0, m=vc.m0, huge_n=huge0,
-                huge_cap=vc.h2_0, big_trig=vc.big_trig0,
-            )
+    def ph_ctx(b, e):
+        """J: context updates + pair registration (x3.c:195-222)."""
+        pair_n = get_col(e.R, R_PAIR_N)
+        promo0 = get_col(e.R, R_PROMO0_N)
+        promo1 = get_col(e.R, R_PROMO1_N)
+        huge0 = get_col(e.R, R_HUGE0_N)
+        huge1 = get_col(e.R, R_HUGE1_N)
+        (e.hub0n2, e.promo0_2, dp0, e.span0_idx, of0, e.huge0_2, dg0,
+         e.gid0) = rw.row_update(
+            rw.FAM0, e.v0, e.slot, e.f0, e.pos0, e.hit, b.c0in, b.c0big,
+            b.h0t, b.h0f, None, get_col(e.R, R_HUB0_N), vc.hub0, promo0,
+            vc.m0,
+            hug_scr=b.c0hug if NR2_0 else None, nr2=NR2_0, m=vc.m0,
+            huge_n=huge0, huge_cap=vc.h2_0, big_trig=vc.big_trig0,
         )
-        hub1n2, promo1_2, dp1, span1_idx, of1, huge1_2, dg1, gid1 = (
-            rw.row_update(
-                rw.FAM1, v_cur, slot, f1c, pos1, hit, c1cin, c1cbig,
-                h1t, h1f, h1p, hub1n, vc.hub1, promo1, vc.m1,
-                # clamp the registered id: past the pairs capacity the
-                # lane is OF_PAIRS-flagged (host discards + retries), but
-                # an unclamped stored id would later address ctx0 rows
-                # beyond the lane's region (cid0-1 feeds the row DMAs)
-                new_pair_id=jnp.minimum(pair_n, S0 - 1),
-                hug_scr=c1chug_a, nr2=NR2_1, m=vc.m1, huge_n=huge1,
-                huge_cap=vc.h2_1, big_trig=vc.big_trig1,
-            )
+        (e.hub1n2, e.promo1_2, dp1, e.span1_idx, of1, e.huge1_2, dg1,
+         e.gid1) = rw.row_update(
+            rw.FAM1, e.v_cur, e.slot, e.f1c, e.pos1, e.hit, b.c1cin,
+            b.c1cbig, b.h1t, b.h1f, b.h1p, e.hub1n, vc.hub1, promo1, vc.m1,
+            # clamp the registered id: past the pairs capacity the
+            # lane is OF_PAIRS-flagged (host discards + retries), but
+            # an unclamped stored id would later address ctx0 rows
+            # beyond the lane's region (cid0-1 feeds the row DMAs)
+            new_pair_id=jnp.minimum(pair_n, S0 - 1),
+            hug_scr=b.c1chug if NR2_1 else None, nr2=NR2_1, m=vc.m1,
+            huge_n=huge1, huge_cap=vc.h2_1, big_trig=vc.big_trig1,
         )
-        new_pair = hit & ~f1c
-        of_pairs = new_pair & (pair_n >= S0)
-        pair_n2 = pair_n + jnp.where(new_pair, 1, 0)
+        new_pair = e.hit & ~e.f1c
+        e.of_pairs = new_pair & (pair_n >= S0)
+        e.pair_n2 = pair_n + jnp.where(new_pair, 1, 0)
+        e.of0, e.of1 = of0, of1
+        e.dp0, e.dp1, e.dg0, e.dg1 = dp0, dp1, dg0, dg1
 
-        # ================= K: write-backs, flush, advance =============
-        wb0 = hit & (cid0 >= 1)
-        wb0b = wb0 & (v0.is_big | dp0)
-        wb1 = hit & (c1 >= 1)
-        wb1b = wb1 & (v_cur.is_big | dp1)
-        wb0g = wb0 & (v0.is_huge | dg0) if NR2_0 else None
-        wb1g = wb1 & (v_cur.is_huge | dg1) if NR2_1 else None
+    def ph_wb_start(b, e):
+        """K: write-back DMA starts."""
+        wb0 = e.hit & (e.cid0 >= 1)
+        e.wb0b = wb0 & (e.v0.is_big | e.dp0)
+        wb1 = e.hit & (e.c1 >= 1)
+        e.wb1b = wb1 & (e.v_cur.is_big | e.dp1)
+        e.wb0g = wb0 & (e.v0.is_huge | e.dg0) if NR2_0 else None
+        e.wb1g = wb1 & (e.v_cur.is_huge | e.dg1) if NR2_1 else None
         # unconditional write-backs: a non-hit lane's row scratch is
         # unmodified (row_update masks by hit), so writing it back is a
         # no-op byte-wise; lanes that fetched nothing target the per-lane
         # dump row (vc.dump0/dump1)
-        wb0r = jnp.where(rc0 >= 0, rc0, vc.dump0)
-        wb1r = jnp.where(rcur >= 0, rcur, vc.dump1)
-        xf = xfer[:, :]
+        wb0r = jnp.where(e.rc0 >= 0, e.rc0, vc.dump0)
+        wb1r = jnp.where(e.rcur >= 0, e.rcur, vc.dump1)
+        xf = b.xfer[:, :]
         xf = set_col(xf, XC_WB0R, wb0r)
-        xf = set_col(xf, XC_WB0B, wb0b.astype(I32))
-        xf = set_col(xf, XC_WB0S, span0_idx)
+        xf = set_col(xf, XC_WB0B, e.wb0b.astype(I32))
+        xf = set_col(xf, XC_WB0S, e.span0_idx)
         xf = set_col(xf, XC_WB1R, wb1r)
-        xf = set_col(xf, XC_WB1B, wb1b.astype(I32))
-        xf = set_col(xf, XC_WB1S, span1_idx)
+        xf = set_col(xf, XC_WB1B, e.wb1b.astype(I32))
+        xf = set_col(xf, XC_WB1S, e.span1_idx)
         if NR2_0:
-            xf = set_col(xf, XC_WB0G, wb0g.astype(I32))
-            xf = set_col(xf, XC_WB0GS, gid0)
+            xf = set_col(xf, XC_WB0G, e.wb0g.astype(I32))
+            xf = set_col(xf, XC_WB0GS, e.gid0)
         if NR2_1:
-            xf = set_col(xf, XC_WB1G, wb1g.astype(I32))
-            xf = set_col(xf, XC_WB1GS, gid1)
-        xfer[:, :] = xf
-        any_wbb = jnp.any(wb0b | wb1b)
+            xf = set_col(xf, XC_WB1G, e.wb1g.astype(I32))
+            xf = set_col(xf, XC_WB1GS, e.gid1)
+        b.xfer[:, :] = xf
+        e.any_wbb = jnp.any(e.wb0b | e.wb1b)
         if NR2_0 or NR2_1:
             wbg_acc = jnp.zeros((L, 1), jnp.bool_)
             if NR2_0:
-                wbg_acc = wbg_acc | wb0g
+                wbg_acc = wbg_acc | e.wb0g
             if NR2_1:
-                wbg_acc = wbg_acc | wb1g
-            any_wbg = jnp.any(wbg_acc)
+                wbg_acc = wbg_acc | e.wb1g
+            e.any_wbg = jnp.any(wbg_acc)
         if DO_DMA:
             for l in range(L):
-                r = lane_rowbase(l, R0) + xfer[l, XC_WB0R]
+                r = lane_rowbase(l, R0) + b.xfer[l, XC_WB0R]
                 pltpu.make_async_copy(
-                    c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
+                    b.c0in.at[l], b.c0r.at[pl.ds(r, 1), :], b.sem_wb.at[0]
                 ).start()
-                r1w = lane_rowbase(l, R1) + xfer[l, XC_WB1R]
+                r1w = lane_rowbase(l, R1) + b.xfer[l, XC_WB1R]
                 pltpu.make_async_copy(
-                    c1cin.at[l], c1r.at[pl.ds(r1w, 1), :], sem_wb.at[l, 2]
+                    b.c1cin.at[l], b.c1r.at[pl.ds(r1w, 1), :],
+                    b.sem_wb.at[2],
                 ).start()
 
-            @pl.when(any_wbb)
+            @pl.when(e.any_wbb)
             def _():
                 for l in range(L):
-                    @pl.when(xfer[l, XC_WB0B] != 0)
+                    @pl.when(b.xfer[l, XC_WB0B] != 0)
                     def _(l=l):
-                        r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
+                        r = lane_rowbase(l, R0) + S0 + b.xfer[l, XC_WB0S] * PB
                         pltpu.make_async_copy(
-                            c0big.at[l], c0r.at[pl.ds(r, PB), :],
-                            sem_wb.at[l, 1],
+                            b.c0big.at[l], b.c0r.at[pl.ds(r, PB), :],
+                            b.sem_wb.at[1],
                         ).start()
 
-                    @pl.when(xfer[l, XC_WB1B] != 0)
+                    @pl.when(b.xfer[l, XC_WB1B] != 0)
                     def _(l=l):
-                        r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
+                        r = lane_rowbase(l, R1) + S1 + b.xfer[l, XC_WB1S] * PB
                         pltpu.make_async_copy(
-                            c1cbig.at[l], c1r.at[pl.ds(r, PB), :],
-                            sem_wb.at[l, 3],
+                            b.c1cbig.at[l], b.c1r.at[pl.ds(r, PB), :],
+                            b.sem_wb.at[3],
                         ).start()
 
             if NR2_0 or NR2_1:
-                @pl.when(any_wbg)
+                @pl.when(e.any_wbg)
                 def _():
                     for l in range(L):
                         if NR2_0:
-                            @pl.when(xfer[l, XC_WB0G] != 0)
+                            @pl.when(b.xfer[l, XC_WB0G] != 0)
                             def _(l=l):
                                 r = (lane_rowbase(l, R0) + S0 + HB0
-                                     + xfer[l, XC_WB0GS] * PB2_0)
+                                     + b.xfer[l, XC_WB0GS] * PB2_0)
                                 pltpu.make_async_copy(
-                                    c0hug.at[l], c0r.at[pl.ds(r, PB2_0), :],
-                                    sem_wb.at[l, 4],
+                                    b.c0hug.at[l],
+                                    b.c0r.at[pl.ds(r, PB2_0), :],
+                                    b.sem_wb.at[4],
                                 ).start()
                         if NR2_1:
-                            @pl.when(xfer[l, XC_WB1G] != 0)
+                            @pl.when(b.xfer[l, XC_WB1G] != 0)
                             def _(l=l):
                                 r = (lane_rowbase(l, R1) + S1 + HB1
-                                     + xfer[l, XC_WB1GS] * PB2_1)
+                                     + b.xfer[l, XC_WB1GS] * PB2_1)
                                 pltpu.make_async_copy(
-                                    c1chug.at[l], c1r.at[pl.ds(r, PB2_1), :],
-                                    sem_wb.at[l, 5],
+                                    b.c1chug.at[l],
+                                    b.c1r.at[pl.ds(r, PB2_1), :],
+                                    b.sem_wb.at[5],
                                 ).start()
 
-        # sink flush: move a full FLUSH_WORDS half out to HBM.  Bounded to
-        # the lane's orows region (the decoder's flush has the analogous
-        # gate): past the output capacity the lane is already OF_OUT-
-        # flagged — its stream is discarded by the host retry — and an
-        # unbounded flush row would DMA into the NEXT lane's output
-        win_base = acst["win_base"]
-        widx_now = (acst["nbits"] >> 5) - win_base
+    def ph_flush(b, e):
+        """K: sink flush — move a full FLUSH_WORDS half out to HBM.
+        Bounded to the lane's orows region (past the output capacity the
+        lane is already OF_OUT-flagged; an unbounded flush row would DMA
+        into the NEXT lane's output)."""
+        win_base = e.acst["win_base"]
+        widx_now = (e.acst["nbits"] >> 5) - win_base
         flush = (widx_now >= FLUSH_WORDS) & (
             (win_base >> 7) + 2 <= orows
         )
-        xfer[:, :] = set_col(
-            set_col(xfer[:, :], XC_FLUSH, flush.astype(I32)),
+        e.flush = flush
+        b.xfer[:, :] = set_col(
+            set_col(b.xfer[:, :], XC_FLUSH, flush.astype(I32)),
             XC_FROW, win_base >> 7,
         )
 
         @pl.when(jnp.any(flush))
         def _():
-            stage[:, 0, :] = sinkw[:, 0:128]
-            stage[:, 1, :] = sinkw[:, 128:256]
+            b.stage[:, 0, :] = b.sinkw[:, 0:128]
+            b.stage[:, 1, :] = b.sinkw[:, 128:256]
             for l in range(L):
-                @pl.when(xfer[l, XC_FLUSH] != 0)
+                @pl.when(b.xfer[l, XC_FLUSH] != 0)
                 def _(l=l):
-                    r = lane_rowbase(l, orows) + xfer[l, XC_FROW]
+                    r = lane_rowbase(l, orows) + b.xfer[l, XC_FROW]
                     pltpu.make_async_copy(
-                        stage.at[l], outw.at[pl.ds(r, 2), :], sem_out.at[l]
+                        b.stage.at[l], b.outw.at[pl.ds(r, 2), :],
+                        b.sem_out,
                     ).start()
             for l in range(L):
-                @pl.when(xfer[l, XC_FLUSH] != 0)
+                @pl.when(b.xfer[l, XC_FLUSH] != 0)
                 def _(l=l):
-                    r = lane_rowbase(l, orows) + xfer[l, XC_FROW]
+                    r = lane_rowbase(l, orows) + b.xfer[l, XC_FROW]
                     pltpu.make_async_copy(
-                        stage.at[l], outw.at[pl.ds(r, 2), :], sem_out.at[l]
+                        b.stage.at[l], b.outw.at[pl.ds(r, 2), :],
+                        b.sem_out,
                     ).wait()
 
         shifted_win = jnp.concatenate(
-            [acst["win"][:, FLUSH_WORDS:], jnp.zeros((L, FLUSH_WORDS), I32)],
+            [e.acst["win"][:, FLUSH_WORDS:],
+             jnp.zeros((L, FLUSH_WORDS), I32)],
             axis=1,
         )
-        sinkw[:, :] = jnp.where(flush, shifted_win, acst["win"])
-        win_base2 = win_base + jnp.where(flush, FLUSH_WORDS, 0)
+        b.sinkw[:, :] = jnp.where(flush, shifted_win, e.acst["win"])
+        e.win_base2 = win_base + jnp.where(flush, FLUSH_WORDS, 0)
 
-        # wait row write-backs before the next event's reads
+    def ph_wb_wait(b, e):
+        """K: wait row write-backs before the next event's reads."""
         if DO_DMA:
             for l in range(L):
-                r = lane_rowbase(l, R0) + xfer[l, XC_WB0R]
+                r = lane_rowbase(l, R0) + b.xfer[l, XC_WB0R]
                 pltpu.make_async_copy(
-                    c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
+                    b.c0in.at[l], b.c0r.at[pl.ds(r, 1), :], b.sem_wb.at[0]
                 ).wait()
-                r1w = lane_rowbase(l, R1) + xfer[l, XC_WB1R]
+                r1w = lane_rowbase(l, R1) + b.xfer[l, XC_WB1R]
                 pltpu.make_async_copy(
-                    c1cin.at[l], c1r.at[pl.ds(r1w, 1), :], sem_wb.at[l, 2]
+                    b.c1cin.at[l], b.c1r.at[pl.ds(r1w, 1), :],
+                    b.sem_wb.at[2],
                 ).wait()
 
-            @pl.when(any_wbb)
+            @pl.when(e.any_wbb)
             def _():
                 for l in range(L):
-                    @pl.when(xfer[l, XC_WB0B] != 0)
+                    @pl.when(b.xfer[l, XC_WB0B] != 0)
                     def _(l=l):
-                        r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
+                        r = lane_rowbase(l, R0) + S0 + b.xfer[l, XC_WB0S] * PB
                         pltpu.make_async_copy(
-                            c0big.at[l], c0r.at[pl.ds(r, PB), :],
-                            sem_wb.at[l, 1],
+                            b.c0big.at[l], b.c0r.at[pl.ds(r, PB), :],
+                            b.sem_wb.at[1],
                         ).wait()
 
-                    @pl.when(xfer[l, XC_WB1B] != 0)
+                    @pl.when(b.xfer[l, XC_WB1B] != 0)
                     def _(l=l):
-                        r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
+                        r = lane_rowbase(l, R1) + S1 + b.xfer[l, XC_WB1S] * PB
                         pltpu.make_async_copy(
-                            c1cbig.at[l], c1r.at[pl.ds(r, PB), :],
-                            sem_wb.at[l, 3],
+                            b.c1cbig.at[l], b.c1r.at[pl.ds(r, PB), :],
+                            b.sem_wb.at[3],
                         ).wait()
 
             if NR2_0 or NR2_1:
-                @pl.when(any_wbg)
+                @pl.when(e.any_wbg)
                 def _():
                     for l in range(L):
                         if NR2_0:
-                            @pl.when(xfer[l, XC_WB0G] != 0)
+                            @pl.when(b.xfer[l, XC_WB0G] != 0)
                             def _(l=l):
                                 r = (lane_rowbase(l, R0) + S0 + HB0
-                                     + xfer[l, XC_WB0GS] * PB2_0)
+                                     + b.xfer[l, XC_WB0GS] * PB2_0)
                                 pltpu.make_async_copy(
-                                    c0hug.at[l], c0r.at[pl.ds(r, PB2_0), :],
-                                    sem_wb.at[l, 4],
+                                    b.c0hug.at[l],
+                                    b.c0r.at[pl.ds(r, PB2_0), :],
+                                    b.sem_wb.at[4],
                                 ).wait()
                         if NR2_1:
-                            @pl.when(xfer[l, XC_WB1G] != 0)
+                            @pl.when(b.xfer[l, XC_WB1G] != 0)
                             def _(l=l):
                                 r = (lane_rowbase(l, R1) + S1 + HB1
-                                     + xfer[l, XC_WB1GS] * PB2_1)
+                                     + b.xfer[l, XC_WB1GS] * PB2_1)
                                 pltpu.make_async_copy(
-                                    c1chug.at[l], c1r.at[pl.ds(r, PB2_1), :],
-                                    sem_wb.at[l, 5],
+                                    b.c1chug.at[l],
+                                    b.c1r.at[pl.ds(r, PB2_1), :],
+                                    b.sem_wb.at[5],
                                 ).wait()
 
+    def ph_advance(b, e):
+        """K: prev-row cache swap + register advance.  Returns the
+        sub-batch's alive flag."""
         # prev-row cache swap (x3.c:406 prev_context1 = context1): lanes
         # that hit carry the UPDATED cur row as next event's prev row; a
         # miss resets prev to the hub, so c1pin content is then unread
-        c1pin[:, 0, :] = jnp.where(
-            hit & (c1 >= 1), c1cin[:, 0, :], c1pin[:, 0, :]
+        b.c1pin[:, 0, :] = jnp.where(
+            e.hit & (e.c1 >= 1), b.c1cin[:, 0, :], b.c1pin[:, 0, :]
         )
 
-        @pl.when(jnp.any(wb1b))
+        @pl.when(jnp.any(e.wb1b))
         def _():
             for r in range(PB):
-                c1pbig[:, r, :] = jnp.where(
-                    wb1b, c1cbig[:, r, :], c1pbig[:, r, :]
+                b.c1pbig[:, r, :] = jnp.where(
+                    e.wb1b, b.c1cbig[:, r, :], b.c1pbig[:, r, :]
                 )
 
         if NR2_1:
             # a hit on a huge (or just-promoted) cur row carries its huge
             # span into the prev cache, like the big swap above
-            @pl.when(jnp.any(wb1g))
+            @pl.when(jnp.any(e.wb1g))
             def _():
                 for r in range(PB2_1):
-                    c1phug[:, r, :] = jnp.where(
-                        wb1g, c1chug[:, r, :], c1phug[:, r, :]
+                    b.c1phug[:, r, :] = jnp.where(
+                        e.wb1g, b.c1chug[:, r, :], b.c1phug[:, r, :]
                     )
 
         # advance (x3.c:397-428 mirror of codec.py step 9)
-        p2 = p + jnp.where(hit, dlen, jnp.where(miss, mlen, 0))
-        prev2 = jnp.where(hit, c1, jnp.where(miss, 0, prev_c1))
-        c1_2 = jnp.where(hit, slot, jnp.where(miss, 0, c1))
+        p2 = e.p + jnp.where(e.hit, e.dlen, jnp.where(e.miss, e.mlen, 0))
+        prev2 = jnp.where(e.hit, e.c1, jnp.where(e.miss, 0, e.prev_c1))
+        c1_2 = jnp.where(e.hit, e.slot, jnp.where(e.miss, 0, e.c1))
 
-        of_out = acst["oflow"] | (
-            acst["nbits"] > vc.out_words * 32 - 32 * FLUSH_WORDS
+        of_out = e.acst["oflow"] | (
+            e.acst["nbits"] > vc.out_words * 32 - 32 * FLUSH_WORDS
         )
         of_bits = (
-            jnp.where(of_dict, OF_DICT, 0)
-            | jnp.where(of0, OF_CTX0, 0)
-            | jnp.where(of1, OF_CTX1, 0)
-            | jnp.where(of_pairs, OF_PAIRS, 0)
+            jnp.where(e.of_dict, OF_DICT, 0)
+            | jnp.where(e.of0, OF_CTX0, 0)
+            | jnp.where(e.of1, OF_CTX1, 0)
+            | jnp.where(e.of_pairs, OF_PAIRS, 0)
             | jnp.where(of_out, OF_OUT, 0)
         )
 
-        Rn = R
+        Rn = e.R
         Rn = set_col(Rn, R_P, p2)
         Rn = set_col(Rn, R_PREV_C1, prev2)
         Rn = set_col(Rn, R_C1, c1_2)
-        Rn = set_col(Rn, R_PAIR_N, pair_n2)
-        Rn = set_col(Rn, R_DICT_N, d_n2)
-        Rn = set_col(Rn, R_AC_LOW, acst["low"].astype(I32))
-        Rn = set_col(Rn, R_AC_HIGH, acst["high"].astype(I32))
-        Rn = set_col(Rn, R_AC_SCALE, acst["scale"])
-        Rn = set_col(Rn, R_NBITS, acst["nbits"])
-        Rn = set_col(Rn, R_WIN_BASE, win_base2)
-        Rn = set_col(Rn, R_SEG_BASE, row0)
-        Rn = set_col(Rn, R_HUB0_N, hub0n2)
-        Rn = set_col(Rn, R_HUB1_N, hub1n2)
-        Rn = set_col(Rn, R_PROMO0_N, promo0_2)
-        Rn = set_col(Rn, R_PROMO1_N, promo1_2)
+        Rn = set_col(Rn, R_PAIR_N, e.pair_n2)
+        Rn = set_col(Rn, R_DICT_N, e.d_n2)
+        Rn = set_col(Rn, R_AC_LOW, e.acst["low"].astype(I32))
+        Rn = set_col(Rn, R_AC_HIGH, e.acst["high"].astype(I32))
+        Rn = set_col(Rn, R_AC_SCALE, e.acst["scale"])
+        Rn = set_col(Rn, R_NBITS, e.acst["nbits"])
+        Rn = set_col(Rn, R_WIN_BASE, e.win_base2)
+        Rn = set_col(Rn, R_SEG_BASE, e.row0)
+        Rn = set_col(Rn, R_HUB0_N, e.hub0n2)
+        Rn = set_col(Rn, R_HUB1_N, e.hub1n2)
+        Rn = set_col(Rn, R_PROMO0_N, e.promo0_2)
+        Rn = set_col(Rn, R_PROMO1_N, e.promo1_2)
         if NR2_0:
-            Rn = set_col(Rn, R_HUGE0_N, huge0_2)
+            Rn = set_col(Rn, R_HUGE0_N, e.huge0_2)
         if NR2_1:
-            Rn = set_col(Rn, R_HUGE1_N, huge1_2)
-        Rn = set_col(Rn, R_OFLOW, get_col(R, R_OFLOW) | of_bits)
+            Rn = set_col(Rn, R_HUGE1_N, e.huge1_2)
+        Rn = set_col(Rn, R_OFLOW, get_col(e.R, R_OFLOW) | of_bits)
         # event counters (x3.c:42): counts[esym] += 1
         Rn = Rn + jnp.where(
-            (iota128 == R_COUNTS + esym) & active, 1, 0
+            (iota128 == R_COUNTS + e.esym) & e.active, 1, 0
         )
-        regsi[:, :] = Rn
+        b.regsi[:, :] = Rn
 
-        alive = jnp.sum((p2 < tlen).astype(I32)) > 0
+        return jnp.sum((p2 < e.tlen).astype(I32)) > 0
+
+    def event_body(carry):
+        step, _alive = carry
+        E = [SimpleNamespace() for _ in range(SB)]
+        for b, e in zip(B, E):
+            ph_regs(b, e)
+        for b, e in zip(B, E):
+            ph_refill(b, e)
+        for b, e in zip(B, E):
+            ph_cur_start(b, e)
+        for b, e in zip(B, E):
+            ph_window(b, e)
+        for b, e in zip(B, E):
+            ph_probe_scan(b, e)
+        for b, e in zip(B, E):
+            ph_spans_pair(b, e)
+        ph_sweep_all(E)
+        for b, e in zip(B, E):
+            ph_wait_c0(b, e)
+        for b, e in zip(B, E):
+            ph_mode(b, e)
+        for b, e in zip(B, E):
+            ph_ac_head(b, e)
+        ph_lit_all(E)
+        for b, e in zip(B, E):
+            ph_ac_tail(b, e)
+        for b, e in zip(B, E):
+            ph_dict(b, e)
+        for b, e in zip(B, E):
+            ph_ctx(b, e)
+        for b, e in zip(B, E):
+            ph_wb_start(b, e)
+        for b, e in zip(B, E):
+            ph_flush(b, e)
+        for b, e in zip(B, E):
+            ph_wb_wait(b, e)
+        alive = jnp.bool_(False)
+        for b, e in zip(B, E):
+            alive = alive | ph_advance(b, e)
         return step + 1, alive
 
     def cond(carry):
@@ -1145,19 +1294,22 @@ def encoder_kernel(
 
 
 def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
-                       ablate: frozenset = frozenset()):
-    """Construct the jitted pallas_call for (vc, params, nsteps, G)."""
+                       ablate: frozenset = frozenset(), SB: int = 1):
+    """Construct the jitted pallas_call for (vc, params, nsteps, G, SB).
+
+    The call signature is ``call(texts, *states, interpret=False)`` where
+    ``texts`` is a tuple of SB per-sub-batch text arrays and ``states`` is
+    the flat concatenation of SB 19-tuples of per-sub-batch state arrays
+    (each sized for G*LANES lanes)."""
     D = vc.dict_cap
     SR = _seg_rows(vc)
     G8 = G * L
     trows = vc.text_bytes // 128
     orows = vc.out_words // 128
-    SCAN = params.window - MML - 1
-    SCANP = max((SCAN + 127) // 128 * 128, 128)
 
     kern = functools.partial(
         encoder_kernel, vc=vc, params=params, nsteps=nsteps,
-        trows=trows, orows=orows, ablate=ablate,
+        trows=trows, orows=orows, SB=SB, ablate=ablate,
     )
 
     def vspec(width):
@@ -1169,26 +1321,23 @@ def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
         8 * D, D, D, D, D, vc.hub0, vc.hub0, vc.hub1, vc.hub1, vc.hub1,
         128, 128, 256, 128, 128, 2 * FLUSH_WORDS,
     ]
-    in_specs = (
-        [anyspec]
-        + [vspec(w) for w in carried_widths]
-        + [anyspec, anyspec, anyspec]
-    )
-    out_specs = [vspec(w) for w in carried_widths] + [anyspec] * 3
+    state_specs = [vspec(w) for w in carried_widths] + [anyspec] * 3
+    in_specs = [anyspec] * SB + state_specs * SB
+    out_specs = state_specs * SB
 
-    def shapes(dtype_f32_idx):
+    def sub_shapes():
         out = []
         for i, w in enumerate(carried_widths):
-            dt = jnp.float32 if i == dtype_f32_idx else jnp.int32
+            dt = jnp.float32 if i == 14 else jnp.int32  # regs_f is f32
             out.append(jax.ShapeDtypeStruct((G8, w), dt))
         out.append(jax.ShapeDtypeStruct((G8 * orows, 128), jnp.int32))
         out.append(jax.ShapeDtypeStruct((G8 * vc.r0, 128), jnp.int32))
         out.append(jax.ShapeDtypeStruct((G8 * vc.r1, 128), jnp.int32))
         return out
 
-    out_shape = shapes(dtype_f32_idx=14)  # regs_f is f32
+    out_shape = sub_shapes() * SB
 
-    scratch = [
+    sub_scratch = [
         pltpu.VMEM((L, SR, 128), I32),          # tseg
         pltpu.VMEM((L, SR * 128), I32),         # seg32
         pltpu.VMEM((L, 1, 128), I32),           # c0in
@@ -1206,26 +1355,38 @@ def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
         pltpu.VMEM((L, 128), I32),              # xfer
         pltpu.VMEM((L, 128), I32),              # acw
         pltpu.VMEM((L, 128), jnp.float32),      # acwf
-        pltpu.SemaphoreType.DMA((L,)),          # sem_seg
-        pltpu.SemaphoreType.DMA((L, 9)),        # sem_row
-        pltpu.SemaphoreType.DMA((L, 6)),        # sem_wb
-        pltpu.SemaphoreType.DMA((L,)),          # sem_out
+        # Fetch semaphores are PER LANE: the fetched scratch is read
+        # right after the wait loop, and a shared counting semaphore is
+        # racy there (lane 0's wait can be satisfied by lane 3's
+        # completed copy, and Mosaic may schedule lane 0's read before
+        # the remaining waits).  Write-back/flush semaphores are shared
+        # counters: their dependent accesses are beyond the event-loop
+        # back-edge, so only the balanced count matters.  Full per-lane
+        # semaphores overflowed the ~2 KB sflag space at SB = 4
+        # (measured: 544 semaphores need 2.4 KB).
+        pltpu.SemaphoreType.DMA((L,)),          # sem_seg (refill)
+        pltpu.SemaphoreType.DMA((L, 6)),        # sem_row (fetch slots)
+        pltpu.SemaphoreType.DMA((6,)),          # sem_wb (shared counters)
+        pltpu.SemaphoreType.DMA,                # sem_out (shared)
     ]
+    scratch = sub_scratch * SB
 
-    cp = vmem_compiler_params(sum(L * w * 4 for w in carried_widths),
-                              scratch)
+    cp = vmem_compiler_params(
+        SB * sum(L * w * 4 for w in carried_widths), scratch
+    )
 
-    def call(text32, *state, interpret=False):
+    def call(texts, *state, interpret=False):
+        assert len(texts) == SB and len(state) == N_STATE * SB
         return pl.pallas_call(
             kern,
             grid=(G,),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
-            input_output_aliases={i + 1: i for i in range(19)},
+            input_output_aliases={SB + i: i for i in range(N_STATE * SB)},
             scratch_shapes=scratch,
             compiler_params=cp,
             interpret=interpret,
-        )(text32, *state)
+        )(*texts, *state)
 
     return call

@@ -3,7 +3,10 @@ program.
 
 Mirror of kernel.py for the decode direction (x3.c:285-353 semantics, as
 modeled by x3tpu/codec.py:_dec_body).  One launch decodes up to ``nsteps``
-events per lane of a group; all adaptive state is identical to the
+events per lane of a group; a group is ``SB`` sub-batches of 8 lanes with
+fully separate state arrays, emitted phase-major so the sub-batches'
+serial AC chains and row DMAs pipeline against each other (see kernel.py
+for the sub-batch design).  All adaptive state is identical to the
 encoder's (dictionary planes, hub/inline/promoted context rows, dense
 model rows) so the two kernels stay in lockstep by construction.  The
 decode direction has NO window scan and NO mode-selection probability
@@ -11,11 +14,11 @@ sweep — the mode arrives explicitly in the stream (x3.c:150-172 is
 encoder-only) — so a decode event is substantially cheaper than its
 encode twin.
 
-Per-event phases:
+Per-event phases (per sub-batch):
   A  source-window refill (read-ahead DMA of compressed words)
   B  start ctx1 row DMAs for (prev_c1, c1)        [x3.c:63-67]
   C  decode event symbol via model_events          [x3.c:293]
-  D  E_NEW: length + literal bytes (serial loop)   [x3.c:272-283]
+  D  E_NEW: length + literal bytes (merged loop)   [x3.c:272-283]
   E  hit: pair lookup, ctx0 row DMA, payload decode by mode
                                                    [x3.c:57-129]
   F  dictionary MTF / insert (+ dup lookup)        [x3.c:309-317, 337-348]
@@ -26,6 +29,7 @@ Per-event phases:
 from __future__ import annotations
 
 import functools
+from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +60,9 @@ FW = FLUSH_WORDS
 FWROWS = FLUSH_WORDS // 128
 OBROWS_F = OBF // 128
 
+N_STATE_DEC = 20   # carried state arrays per sub-batch (17 VMEM + 3 HBM)
+N_SCR_DEC = 19     # scratch refs per sub-batch (15 VMEM + 4 semaphores)
+
 # xfer scratch columns (vector -> scalar handoffs for DMA addressing)
 XC_SREF, XC_SROW = 0, 1
 XC_RPREV, XC_RCUR, XC_BPREV, XC_BCUR, XC_RC0, XC_BC0 = 2, 3, 4, 5, 6, 7
@@ -66,6 +73,17 @@ XC_GPREV, XC_GCUR, XC_GC0 = 16, 17, 18
 XC_WB1G, XC_WB1GS, XC_WB0G, XC_WB0GS = 19, 20, 21, 22
 # acw scratch columns (AC state bridge across the literal while-loop)
 AC_LOW, AC_HIGH, AC_BUF, AC_BITPOS = 0, 1, 2, 3
+
+STATE_NAMES_DEC = (
+    "dictw", "dlens", "drank", "dtago", "ixf",
+    "h0t", "h0f", "h1t", "h1f", "h1p", "ev", "ms", "ch",
+    "regsi", "regsf", "srcwin", "outwin", "outb", "c0r", "c1r",
+)
+SCR_NAMES_DEC = (
+    "sseg", "c0in", "c0big", "c1pin", "c1pbig", "c1cin", "c1cbig",
+    "c0hug", "c1phug", "c1chug", "stage", "frag_scr", "acw", "acwf",
+    "xfer", "sem_src", "sem_row", "sem_wb", "sem_out",
+)
 
 
 def _st_of(R, srcwin):
@@ -82,22 +100,9 @@ def _st_of(R, srcwin):
 
 
 def decoder_kernel(
-    # inputs
-    srcflat, dictw_i, dlens_i, drank_i, dtago_i, ixf_i,
-    h0t_i, h0f_i, h1t_i, h1f_i, h1p_i, ev_i, ms_i, ch_i,
-    regsi_i, regsf_i, srcwin_i, outwin_i,
-    outb_i, c0r_i, c1r_i,
-    # outputs (aliased with inputs 1..20)
-    dictw, dlens, drank, dtago, ixf,
-    h0t, h0f, h1t, h1f, h1p, ev, ms, ch,
-    regsi, regsf, srcwin, outwin,
-    outb, c0r, c1r,
-    # scratch
-    sseg, c0in, c0big, c1pin, c1pbig, c1cin, c1cbig,
-    c0hug, c1phug, c1chug,
-    stage, frag_scr, acw, acwf, xfer,
-    sem_src, sem_row, sem_wb, sem_out,
-    *, vc: VMCaps, params: X3Params, nsteps: int, srows: int, obrows: int,
+    *args,
+    vc: VMCaps, params: X3Params, nsteps: int, srows: int, obrows: int,
+    SB: int = 1,
 ):
     g = pl.program_id(0)
     D = vc.dict_cap
@@ -108,19 +113,23 @@ def decoder_kernel(
     NR2_0, NR2_1 = vc.nr2_0, vc.nr2_1
     PB2_0, PB2_1 = vc.pb2_0, vc.pb2_1
     HB0, HB1 = vc.hug0_base, vc.hug1_base
-    c0hug_a = c0hug if NR2_0 else None
-    c1phug_a = c1phug if NR2_1 else None
-    c1chug_a = c1chug if NR2_1 else None
 
-    # carried VMEM state: copy input -> aliased output, use out refs after
-    for a, b in (
-        (dictw_i, dictw), (dlens_i, dlens), (drank_i, drank),
-        (dtago_i, dtago), (ixf_i, ixf), (h0t_i, h0t), (h0f_i, h0f),
-        (h1t_i, h1t), (h1f_i, h1f), (h1p_i, h1p), (ev_i, ev), (ms_i, ms),
-        (ch_i, ch), (regsi_i, regsi), (regsf_i, regsf),
-        (srcwin_i, srcwin), (outwin_i, outwin),
-    ):
-        b[:, :] = a[:, :]
+    # ---- unpack the per-sub-batch argument groups
+    srcs = args[:SB]
+    ins = args[SB : SB + N_STATE_DEC * SB]
+    outs = args[SB + N_STATE_DEC * SB : SB + 2 * N_STATE_DEC * SB]
+    scr = args[SB + 2 * N_STATE_DEC * SB :]
+    assert len(scr) == N_SCR_DEC * SB
+    B = []
+    for s in range(SB):
+        b = SimpleNamespace()
+        b.srcflat = srcs[s]
+        for k, name in enumerate(STATE_NAMES_DEC):
+            setattr(b, name + "_i", ins[s * N_STATE_DEC + k])
+            setattr(b, name, outs[s * N_STATE_DEC + k])
+        for k, name in enumerate(SCR_NAMES_DEC):
+            setattr(b, name, scr[s * N_SCR_DEC + k])
+        B.append(b)
 
     iota128 = col_iota(128)
     iotaD = col_iota(D)
@@ -129,179 +138,204 @@ def decoder_kernel(
     def lane_rowbase(l, rper):
         return (g * L + l) * rper
 
+    # carried VMEM state: copy input -> aliased output, use out refs after
+    for b in B:
+        for name in STATE_NAMES_DEC[:17]:
+            getattr(b, name)[:, :] = getattr(b, name + "_i")[:, :]
+
     # ---- pre-loop: prime the prev-ctx1 row cache (mirror of kernel.py:
     # the loop never fetches the prev row; after a hit the updated cur row
     # is swapped in, after E_NEW prev resets to the hub)
-    R0v = regsi[:, :]
-    prev0 = get_col(R0v, R_PREV_C1)
-    act0 = get_col(R0v, R_DONE) == 0
-    rp0 = jnp.where(act0 & (prev0 >= 1), prev0 - 1, -1)
-    xfer[:, :] = set_col(jnp.zeros((L, 128), I32), XC_RPREV, rp0)
-    for l in range(L):
-        @pl.when(xfer[l, XC_RPREV] >= 0)
-        def _(l=l):
-            r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
-            pltpu.make_async_copy(
-                c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
-            ).start()
-    for l in range(L):
-        @pl.when(xfer[l, XC_RPREV] >= 0)
-        def _(l=l):
-            r = lane_rowbase(l, R1) + xfer[l, XC_RPREV]
-            pltpu.make_async_copy(
-                c1r.at[pl.ds(r, 1), :], c1pin.at[l], sem_row.at[l, 0]
-            ).wait()
-    hp0 = c1pin[:, 0, 0:1]
-    idxp0 = -hp0 - 1
-    neg0 = (rp0 >= 0) & (hp0 < 0)
-    if NR2_1:
-        bp0 = jnp.where(neg0 & (idxp0 < vc.m1), idxp0, -1)
-        gp0 = jnp.where(neg0 & (idxp0 >= vc.m1), idxp0 - vc.m1, -1)
-    else:
-        bp0 = jnp.where(neg0, idxp0, -1)
-        gp0 = None
-    xfer[:, :] = set_col(xfer[:, :], XC_BPREV, bp0)
-
-    @pl.when(jnp.any(bp0 >= 0))
-    def _():
+    for b in B:
+        R0v = b.regsi[:, :]
+        prev0 = get_col(R0v, R_PREV_C1)
+        act0 = get_col(R0v, R_DONE) == 0
+        rp0 = jnp.where(act0 & (prev0 >= 1), prev0 - 1, -1)
+        b.xfer[:, :] = set_col(jnp.zeros((L, 128), I32), XC_RPREV, rp0)
+    for b in B:
         for l in range(L):
-            @pl.when(xfer[l, XC_BPREV] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
+            @pl.when(b.xfer[l, XC_RPREV] >= 0)
+            def _(b=b, l=l):
+                r = lane_rowbase(l, R1) + b.xfer[l, XC_RPREV]
                 pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, PB), :], c1pbig.at[l], sem_row.at[l, 2]
+                    b.c1r.at[pl.ds(r, 1), :], b.c1pin.at[l],
+                    b.sem_row.at[l, 0],
                 ).start()
+    for b in B:
         for l in range(L):
-            @pl.when(xfer[l, XC_BPREV] >= 0)
-            def _(l=l):
-                r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BPREV] * PB
+            @pl.when(b.xfer[l, XC_RPREV] >= 0)
+            def _(b=b, l=l):
+                r = lane_rowbase(l, R1) + b.xfer[l, XC_RPREV]
                 pltpu.make_async_copy(
-                    c1r.at[pl.ds(r, PB), :], c1pbig.at[l], sem_row.at[l, 2]
+                    b.c1r.at[pl.ds(r, 1), :], b.c1pin.at[l],
+                    b.sem_row.at[l, 0],
                 ).wait()
+    for b in B:
+        rp0 = get_col(b.xfer[:, :], XC_RPREV)
+        hp0 = b.c1pin[:, 0, 0:1]
+        idxp0 = -hp0 - 1
+        neg0 = (rp0 >= 0) & (hp0 < 0)
+        if NR2_1:
+            bp0 = jnp.where(neg0 & (idxp0 < vc.m1), idxp0, -1)
+            gp0 = jnp.where(neg0 & (idxp0 >= vc.m1), idxp0 - vc.m1, -1)
+            b.xfer[:, :] = set_col(b.xfer[:, :], XC_GPREV, gp0)
+        else:
+            bp0 = jnp.where(neg0, idxp0, -1)
+        b.xfer[:, :] = set_col(b.xfer[:, :], XC_BPREV, bp0)
 
-    if NR2_1:
-        xfer[:, :] = set_col(xfer[:, :], XC_GPREV, gp0)
-
-        @pl.when(jnp.any(gp0 >= 0))
-        def _():
+        @pl.when(jnp.any(bp0 >= 0))
+        def _(b=b):
             for l in range(L):
-                @pl.when(xfer[l, XC_GPREV] >= 0)
-                def _(l=l):
-                    r = (lane_rowbase(l, R1) + S1 + HB1
-                         + xfer[l, XC_GPREV] * PB2_1)
+                @pl.when(b.xfer[l, XC_BPREV] >= 0)
+                def _(b=b, l=l):
+                    r = lane_rowbase(l, R1) + S1 + b.xfer[l, XC_BPREV] * PB
                     pltpu.make_async_copy(
-                        c1r.at[pl.ds(r, PB2_1), :], c1phug.at[l],
-                        sem_row.at[l, 8],
+                        b.c1r.at[pl.ds(r, PB), :], b.c1pbig.at[l],
+                        b.sem_row.at[l, 1],
                     ).start()
             for l in range(L):
-                @pl.when(xfer[l, XC_GPREV] >= 0)
-                def _(l=l):
-                    r = (lane_rowbase(l, R1) + S1 + HB1
-                         + xfer[l, XC_GPREV] * PB2_1)
+                @pl.when(b.xfer[l, XC_BPREV] >= 0)
+                def _(b=b, l=l):
+                    r = lane_rowbase(l, R1) + S1 + b.xfer[l, XC_BPREV] * PB
                     pltpu.make_async_copy(
-                        c1r.at[pl.ds(r, PB2_1), :], c1phug.at[l],
-                        sem_row.at[l, 8],
+                        b.c1r.at[pl.ds(r, PB), :], b.c1pbig.at[l],
+                        b.sem_row.at[l, 1],
                     ).wait()
 
-    def event_body(carry):
-        step, _alive = carry
-        R = regsi[:, :]
-        done = get_col(R, R_DONE) != 0
-        active = ~done
+        if NR2_1:
+            gp0 = get_col(b.xfer[:, :], XC_GPREV)
 
-        # ================= A: source refill =================
+            @pl.when(jnp.any(gp0 >= 0))
+            def _(b=b):
+                for l in range(L):
+                    @pl.when(b.xfer[l, XC_GPREV] >= 0)
+                    def _(b=b, l=l):
+                        r = (lane_rowbase(l, R1) + S1 + HB1
+                             + b.xfer[l, XC_GPREV] * PB2_1)
+                        pltpu.make_async_copy(
+                            b.c1r.at[pl.ds(r, PB2_1), :], b.c1phug.at[l],
+                            b.sem_row.at[l, 4],
+                        ).start()
+                for l in range(L):
+                    @pl.when(b.xfer[l, XC_GPREV] >= 0)
+                    def _(b=b, l=l):
+                        r = (lane_rowbase(l, R1) + S1 + HB1
+                             + b.xfer[l, XC_GPREV] * PB2_1)
+                        pltpu.make_async_copy(
+                            b.c1r.at[pl.ds(r, PB2_1), :], b.c1phug.at[l],
+                            b.sem_row.at[l, 4],
+                        ).wait()
+
+    # =======================================================================
+    # per-event phase functions (see kernel.py for the sub-batch design)
+    # =======================================================================
+
+    def ph_regs(b, e):
+        R = b.regsi[:, :]
+        e.R = R
+        e.done = get_col(R, R_DONE) != 0
+        e.active = ~e.done
+
+        # ---- A: source refill decision
         bitpos = get_col(R, R_NBITS)
         src_base = get_col(R, R_SRC_BASE)
         widx = (bitpos >> 5) - src_base
-        refill = active & (widx >= FW)
-        src_base2 = src_base + jnp.where(refill, FW, 0)
-        srow = (src_base2 + FW) >> 7
-        can_dma = refill & (srow + FWROWS <= srows)
-        xfer[:, :] = set_col(
-            set_col(xfer[:, :], XC_SREF, can_dma.astype(I32)),
-            XC_SROW, srow,
-        )
-        @pl.when(jnp.any(can_dma))
+        e.refill = e.active & (widx >= FW)
+        e.src_base2 = src_base + jnp.where(e.refill, FW, 0)
+        srow = (e.src_base2 + FW) >> 7
+        e.can_dma = e.refill & (srow + FWROWS <= srows)
+
+        # ---- B: cur ctx1 row index
+        e.prev_c1 = get_col(R, R_PREV_C1)
+        e.c1 = get_col(R, R_C1)
+        e.rcur = jnp.where(e.active & (e.c1 >= 1), e.c1 - 1, -1)
+
+        xf = b.xfer[:, :]
+        xf = set_col(xf, XC_SREF, e.can_dma.astype(I32))
+        xf = set_col(xf, XC_SROW, srow)
+        xf = set_col(xf, XC_RCUR, jnp.maximum(e.rcur, 0))
+        b.xfer[:, :] = xf
+
+    def ph_refill(b, e):
+        @pl.when(jnp.any(e.can_dma))
         def _():
             for l in range(L):
-                @pl.when(xfer[l, XC_SREF] != 0)
+                @pl.when(b.xfer[l, XC_SREF] != 0)
                 def _(l=l):
-                    r = lane_rowbase(l, srows) + xfer[l, XC_SROW]
+                    r = lane_rowbase(l, srows) + b.xfer[l, XC_SROW]
                     pltpu.make_async_copy(
-                        srcflat.at[pl.ds(r, FWROWS), :], sseg.at[l],
-                        sem_src.at[l],
+                        b.srcflat.at[pl.ds(r, FWROWS), :], b.sseg.at[l],
+                        b.sem_src.at[l],
                     ).start()
             for l in range(L):
-                @pl.when(xfer[l, XC_SREF] != 0)
+                @pl.when(b.xfer[l, XC_SREF] != 0)
                 def _(l=l):
-                    r = lane_rowbase(l, srows) + xfer[l, XC_SROW]
+                    r = lane_rowbase(l, srows) + b.xfer[l, XC_SROW]
                     pltpu.make_async_copy(
-                        srcflat.at[pl.ds(r, FWROWS), :], sseg.at[l],
-                        sem_src.at[l],
+                        b.srcflat.at[pl.ds(r, FWROWS), :], b.sseg.at[l],
+                        b.sem_src.at[l],
                     ).wait()
 
-        @pl.when(jnp.any(refill))
+        @pl.when(jnp.any(e.refill))
         def _():
             iota2 = col_iota(2 * FW)
             shifted = jnp.concatenate(
-                [srcwin[:, FW:], jnp.zeros((L, FW), I32)], axis=1
+                [b.srcwin[:, FW:], jnp.zeros((L, FW), I32)], axis=1
             )
             merged = shifted
             for r in range(FWROWS):
                 lo = FW + r * 128
                 placed = jnp.concatenate(
-                    [jnp.zeros((L, lo), I32), sseg[:, r, :],
+                    [jnp.zeros((L, lo), I32), b.sseg[:, r, :],
                      jnp.zeros((L, 2 * FW - lo - 128), I32)]
                     if lo + 128 < 2 * FW else
-                    [jnp.zeros((L, lo), I32), sseg[:, r, :]],
+                    [jnp.zeros((L, lo), I32), b.sseg[:, r, :]],
                     axis=1,
                 )
                 merged = jnp.where(
-                    can_dma & (iota2 >= lo) & (iota2 < lo + 128),
+                    e.can_dma & (iota2 >= lo) & (iota2 < lo + 128),
                     placed, merged,
                 )
-            srcwin[:, :] = jnp.where(refill, merged, srcwin[:, :])
+            b.srcwin[:, :] = jnp.where(e.refill, merged, b.srcwin[:, :])
 
-        # ================= B: start ctx1 row DMAs =================
-        prev_c1 = get_col(R, R_PREV_C1)
-        c1 = get_col(R, R_C1)
-        rcur = jnp.where(active & (c1 >= 1), c1 - 1, -1)
-        # unconditional fetch, row clamped to 0 (stray reads masked
-        # downstream); the prev row comes from the swap cache, never HBM
-        xfer[:, :] = set_col(xfer[:, :], XC_RCUR, jnp.maximum(rcur, 0))
+    def ph_cur_start(b, e):
         for l in range(L):
-            r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
+            r = lane_rowbase(l, R1) + b.xfer[l, XC_RCUR]
             pltpu.make_async_copy(
-                c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
+                b.c1r.at[pl.ds(r, 1), :], b.c1cin.at[l], b.sem_row.at[l, 0]
             ).start()
 
-        # ================= C: event symbol (x3.c:293) =================
+    def ph_evsym(b, e):
+        """C: event symbol (x3.c:293) + E_NEW length; bridge AC state for
+        the merged literal loop."""
         # NB: src_base2, not the register value — the refill above already
         # shifted the window, so reads this event must use the new base
-        st = dict(_st_of(R, srcwin[:, :]), src_base=src_base2)
-        evv = ev[:, :]
-        etot = jnp.sum(evv, axis=1, keepdims=True)
-        estep, evalue = prims.ac_decode_value(st, etot)
+        st = dict(_st_of(e.R, b.srcwin[:, :]), src_base=e.src_base2)
+        evv = b.ev[:, :]
+        e.etot = jnp.sum(evv, axis=1, keepdims=True)
+        estep, evalue = prims.ac_decode_value(st, e.etot)
         esym, elow, espan = prims.model_decode(evv, evalue, 128)
-        esym = jnp.where(active, esym, E_EOF)
-        st = prims.ac_decode_update(st, estep, elow, espan, active)
-        ev[:, :] = evv + jnp.where((iota128 == esym) & active, 1, 0)
+        e.esym = jnp.where(e.active, esym, E_EOF)
+        st = prims.ac_decode_update(st, estep, elow, espan, e.active)
+        b.ev[:, :] = evv + jnp.where((iota128 == e.esym) & e.active, 1, 0)
+        e.espan = espan
 
-        eof = active & (esym == E_EOF)
-        is_new = active & (esym == E_NEW)
-        hit = active & ~eof & ~is_new
+        e.eof = e.active & (e.esym == E_EOF)
+        e.is_new = e.active & (e.esym == E_NEW)
+        e.hit = e.active & ~e.eof & ~e.is_new
 
-        # ================= D: E_NEW length + literals =================
-        msv = ms[:, :]
-        mstot = jnp.sum(msv, axis=1, keepdims=True)
-        lstep, lvalue = prims.ac_decode_value(st, mstot)
+        # ---- D: E_NEW length
+        msv = b.ms[:, :]
+        e.mstot = jnp.sum(msv, axis=1, keepdims=True)
+        lstep, lvalue = prims.ac_decode_value(st, e.mstot)
         lsym, lslow, lsspan = prims.model_decode(msv, lvalue, 128)
-        st = prims.ac_decode_update(st, lstep, lslow, lsspan, is_new)
-        ms[:, :] = msv + jnp.where((iota128 == lsym) & is_new, 1, 0)
-        length_new = jnp.where(is_new, lsym + 1, 0)
+        st = prims.ac_decode_update(st, lstep, lslow, lsspan, e.is_new)
+        b.ms[:, :] = msv + jnp.where((iota128 == lsym) & e.is_new, 1, 0)
+        e.length_new = jnp.where(e.is_new, lsym + 1, 0)
+        e.lsspan = lsspan
 
-        # literal bytes: scalar-carried loop, AC state bridged via scratch
-        acw[:, :] = set_col(
+        # literal bytes: AC state bridged via scratch
+        b.acw[:, :] = set_col(
             set_col(
                 set_col(
                     set_col(jnp.zeros((L, 128), I32), AC_LOW,
@@ -310,618 +344,690 @@ def decoder_kernel(
                 AC_BUF, st["buf"].astype(I32)),
             AC_BITPOS, st["bitpos"],
         )
-        acwf[:, :] = jnp.zeros((L, 128), F32)
-        frag_scr[:, :] = jnp.zeros((L, 128), I32)
-        kmax = jnp.max(jnp.where(is_new, length_new, 0))
+        b.acwf[:, :] = jnp.zeros((L, 128), F32)
+        b.frag_scr[:, :] = jnp.zeros((L, 128), I32)
+        e.st_base = st  # src_base/nwords carried; low/high/buf via acw
+        e.kmax = jnp.max(jnp.where(e.is_new, e.length_new, 0))
 
-        # early-exit scalar while (mirror of kernel.py)
+    def ph_lit_all(E):
+        """Merged early-exit literal loop across sub-batches (see
+        kernel.py ph_lit_all)."""
+        kmax = E[0].kmax
+        for e in E[1:]:
+            kmax = jnp.maximum(kmax, e.kmax)
+
         def lit_step(k):
-            if True:
-                a2 = acw[:, :]
+            for b, e in zip(B, E):
+                a2 = b.acw[:, :]
                 st2 = dict(
                     low=get_col(a2, AC_LOW).astype(U32),
                     high=get_col(a2, AC_HIGH).astype(U32),
                     buf=get_col(a2, AC_BUF).astype(U32),
                     bitpos=get_col(a2, AC_BITPOS),
-                    src_base=st["src_base"],
-                    nwords=st["nwords"],
-                    win=srcwin[:, :],
+                    src_base=e.st_base["src_base"],
+                    nwords=e.st_base["nwords"],
+                    win=b.srcwin[:, :],
                 )
-                act = is_new & (k < length_new)
-                chv = ch[:, :]
+                act = e.is_new & (k < e.length_new)
+                chv = b.ch[:, :]
                 btot = jnp.sum(chv, axis=1, keepdims=True)
                 bstep, bvalue = prims.ac_decode_value(st2, btot)
                 bsym, blow, bspan = prims.model_decode(chv, bvalue, 256)
                 st2 = prims.ac_decode_update(st2, bstep, blow, bspan, act)
-                ch[:, :] = chv + jnp.where(
+                b.ch[:, :] = chv + jnp.where(
                     (col_iota(256) == bsym) & act, 1, 0
                 )
-                frag_scr[:, :] = jnp.where(
-                    (col_iota(128) == k) & act, bsym, frag_scr[:, :]
+                b.frag_scr[:, :] = jnp.where(
+                    (col_iota(128) == k) & act, bsym, b.frag_scr[:, :]
                 )
-                acwf[:, :] = acwf[:, :] + jnp.where(
+                b.acwf[:, :] = b.acwf[:, :] + jnp.where(
                     (col_iota(128) == 0) & act,
                     prims.bits_f32(bspan, btot), 0.0,
                 )
-                acw[:, :] = set_col(
+                b.acw[:, :] = set_col(
                     set_col(
                         set_col(
-                            set_col(acw[:, :], AC_LOW,
+                            set_col(b.acw[:, :], AC_LOW,
                                     st2["low"].astype(I32)),
                             AC_HIGH, st2["high"].astype(I32)),
                         AC_BUF, st2["buf"].astype(I32)),
                     AC_BITPOS, st2["bitpos"],
                 )
-
             return k + 1
 
         jax.lax.while_loop(lambda k: k < kmax, lit_step, jnp.int32(0))
-        a2 = acw[:, :]
-        st = dict(
-            st,
+
+    def ph_lit_tail(b, e):
+        a2 = b.acw[:, :]
+        e.st = dict(
+            e.st_base,
             low=get_col(a2, AC_LOW).astype(U32),
             high=get_col(a2, AC_HIGH).astype(U32),
             buf=get_col(a2, AC_BUF).astype(U32),
             bitpos=get_col(a2, AC_BITPOS),
-            win=srcwin[:, :],
+            win=b.srcwin[:, :],
         )
-        lit_bits = acwf[:, 0:1]
-        frag32 = frag_scr[:, :MML]
-        tw_frag = _pack_words(
-            jnp.where(iota32c < length_new, frag32, 0)
+        e.lit_bits = b.acwf[:, 0:1]
+        e.frag32 = b.frag_scr[:, :MML]
+        e.tw_frag = _pack_words(
+            jnp.where(iota32c < e.length_new, e.frag32, 0)
         )
 
-        # ================= E: hit payload (x3.c:57-129) ===============
+    def ph_spans_pair(b, e):
+        """E: wait cur row; promoted spans; pair lookup; start ctx0 DMA."""
         for l in range(L):
-            r = lane_rowbase(l, R1) + xfer[l, XC_RCUR]
+            r = lane_rowbase(l, R1) + b.xfer[l, XC_RCUR]
             pltpu.make_async_copy(
-                c1r.at[pl.ds(r, 1), :], c1cin.at[l], sem_row.at[l, 1]
+                b.c1r.at[pl.ds(r, 1), :], b.c1cin.at[l], b.sem_row.at[l, 0]
             ).wait()
 
-        hc = c1cin[:, 0, 0:1]
+        hc = b.c1cin[:, 0, 0:1]
         idxc = -hc - 1
-        negc = (rcur >= 0) & (hc < 0)
+        negc = (e.rcur >= 0) & (hc < 0)
         if NR2_1:
             bcur = jnp.where(negc & (idxc < vc.m1), idxc, -1)
             gcur = jnp.where(negc & (idxc >= vc.m1), idxc - vc.m1, -1)
         else:
             bcur = jnp.where(negc, idxc, -1)
             gcur = None
-        xfer[:, :] = set_col(xfer[:, :], XC_BCUR, bcur)
+        b.xfer[:, :] = set_col(b.xfer[:, :], XC_BCUR, bcur)
         if NR2_1:
-            xfer[:, :] = set_col(xfer[:, :], XC_GCUR, gcur)
+            b.xfer[:, :] = set_col(b.xfer[:, :], XC_GCUR, gcur)
 
         @pl.when(jnp.any(bcur >= 0))
         def _():
             for l in range(L):
-                @pl.when(xfer[l, XC_BCUR] >= 0)
+                @pl.when(b.xfer[l, XC_BCUR] >= 0)
                 def _(l=l):
-                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
+                    r = lane_rowbase(l, R1) + S1 + b.xfer[l, XC_BCUR] * PB
                     pltpu.make_async_copy(
-                        c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
-                        sem_row.at[l, 3],
+                        b.c1r.at[pl.ds(r, PB), :], b.c1cbig.at[l],
+                        b.sem_row.at[l, 1],
                     ).start()
             for l in range(L):
-                @pl.when(xfer[l, XC_BCUR] >= 0)
+                @pl.when(b.xfer[l, XC_BCUR] >= 0)
                 def _(l=l):
-                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_BCUR] * PB
+                    r = lane_rowbase(l, R1) + S1 + b.xfer[l, XC_BCUR] * PB
                     pltpu.make_async_copy(
-                        c1r.at[pl.ds(r, PB), :], c1cbig.at[l],
-                        sem_row.at[l, 3],
+                        b.c1r.at[pl.ds(r, PB), :], b.c1cbig.at[l],
+                        b.sem_row.at[l, 1],
                     ).wait()
 
         if NR2_1:
             @pl.when(jnp.any(gcur >= 0))
             def _():
                 for l in range(L):
-                    @pl.when(xfer[l, XC_GCUR] >= 0)
+                    @pl.when(b.xfer[l, XC_GCUR] >= 0)
                     def _(l=l):
                         r = (lane_rowbase(l, R1) + S1 + HB1
-                             + xfer[l, XC_GCUR] * PB2_1)
+                             + b.xfer[l, XC_GCUR] * PB2_1)
                         pltpu.make_async_copy(
-                            c1r.at[pl.ds(r, PB2_1), :], c1chug.at[l],
-                            sem_row.at[l, 6],
+                            b.c1r.at[pl.ds(r, PB2_1), :], b.c1chug.at[l],
+                            b.sem_row.at[l, 4],
                         ).start()
                 for l in range(L):
-                    @pl.when(xfer[l, XC_GCUR] >= 0)
+                    @pl.when(b.xfer[l, XC_GCUR] >= 0)
                     def _(l=l):
                         r = (lane_rowbase(l, R1) + S1 + HB1
-                             + xfer[l, XC_GCUR] * PB2_1)
+                             + b.xfer[l, XC_GCUR] * PB2_1)
                         pltpu.make_async_copy(
-                            c1r.at[pl.ds(r, PB2_1), :], c1chug.at[l],
-                            sem_row.at[l, 6],
+                            b.c1r.at[pl.ds(r, PB2_1), :], b.c1chug.at[l],
+                            b.sem_row.at[l, 4],
                         ).wait()
 
-        hub1n = get_col(R, R_HUB1_N)
-        v_prev = rw.row_view(rw.FAM1, prev_c1, c1pin, c1pbig, hub1n, active,
-                             hug_scr=c1phug_a, m=vc.m1)
-        pair_found, _, pair_id = rw.row_find(
-            rw.FAM1, v_prev, c1, c1pin, c1pbig, h1t[:, :], h1f[:, :],
-            h1p[:, :], hug_scr=c1phug_a, nr2=NR2_1,
+        e.hub1n = get_col(e.R, R_HUB1_N)
+        e.v_prev = rw.row_view(
+            rw.FAM1, e.prev_c1, b.c1pin, b.c1pbig, e.hub1n, e.active,
+            hug_scr=b.c1phug if NR2_1 else None, m=vc.m1,
         )
-        cid0 = jnp.where(pair_found & active, pair_id, 0)
+        pair_found, _, pair_id = rw.row_find(
+            rw.FAM1, e.v_prev, e.c1, b.c1pin, b.c1pbig, b.h1t[:, :],
+            b.h1f[:, :], b.h1p[:, :],
+            hug_scr=b.c1phug if NR2_1 else None, nr2=NR2_1,
+        )
+        e.cid0 = jnp.where(pair_found & e.active, pair_id, 0)
 
-        rc0 = jnp.where(active & (cid0 >= 1), cid0 - 1, -1)
-        # unconditional fetch (clamped row; stray reads masked downstream)
-        xfer[:, :] = set_col(xfer[:, :], XC_RC0, jnp.maximum(rc0, 0))
+        e.rc0 = jnp.where(e.active & (e.cid0 >= 1), e.cid0 - 1, -1)
+        b.xfer[:, :] = set_col(b.xfer[:, :], XC_RC0, jnp.maximum(e.rc0, 0))
         for l in range(L):
-            r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
+            r = lane_rowbase(l, R0) + b.xfer[l, XC_RC0]
             pltpu.make_async_copy(
-                c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
+                b.c0r.at[pl.ds(r, 1), :], b.c0in.at[l], b.sem_row.at[l, 2]
             ).start()
+
+    def ph_wait_c0(b, e):
         for l in range(L):
-            r = lane_rowbase(l, R0) + xfer[l, XC_RC0]
+            r = lane_rowbase(l, R0) + b.xfer[l, XC_RC0]
             pltpu.make_async_copy(
-                c0r.at[pl.ds(r, 1), :], c0in.at[l], sem_row.at[l, 4]
+                b.c0r.at[pl.ds(r, 1), :], b.c0in.at[l], b.sem_row.at[l, 2]
             ).wait()
-        h0 = c0in[:, 0, 0:1]
+        h0 = b.c0in[:, 0, 0:1]
         idx0 = -h0 - 1
-        neg0c = (rc0 >= 0) & (h0 < 0)
+        neg0c = (e.rc0 >= 0) & (h0 < 0)
         if NR2_0:
             bc0 = jnp.where(neg0c & (idx0 < vc.m0), idx0, -1)
             gc0 = jnp.where(neg0c & (idx0 >= vc.m0), idx0 - vc.m0, -1)
         else:
             bc0 = jnp.where(neg0c, idx0, -1)
             gc0 = None
-        xfer[:, :] = set_col(xfer[:, :], XC_BC0, bc0)
+        b.xfer[:, :] = set_col(b.xfer[:, :], XC_BC0, bc0)
         if NR2_0:
-            xfer[:, :] = set_col(xfer[:, :], XC_GC0, gc0)
+            b.xfer[:, :] = set_col(b.xfer[:, :], XC_GC0, gc0)
 
         @pl.when(jnp.any(bc0 >= 0))
         def _():
             for l in range(L):
-                @pl.when(xfer[l, XC_BC0] >= 0)
+                @pl.when(b.xfer[l, XC_BC0] >= 0)
                 def _(l=l):
-                    r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
+                    r = lane_rowbase(l, R0) + S0 + b.xfer[l, XC_BC0] * PB
                     pltpu.make_async_copy(
-                        c0r.at[pl.ds(r, PB), :], c0big.at[l],
-                        sem_row.at[l, 5],
+                        b.c0r.at[pl.ds(r, PB), :], b.c0big.at[l],
+                        b.sem_row.at[l, 3],
                     ).start()
             for l in range(L):
-                @pl.when(xfer[l, XC_BC0] >= 0)
+                @pl.when(b.xfer[l, XC_BC0] >= 0)
                 def _(l=l):
-                    r = lane_rowbase(l, R0) + S0 + xfer[l, XC_BC0] * PB
+                    r = lane_rowbase(l, R0) + S0 + b.xfer[l, XC_BC0] * PB
                     pltpu.make_async_copy(
-                        c0r.at[pl.ds(r, PB), :], c0big.at[l],
-                        sem_row.at[l, 5],
+                        b.c0r.at[pl.ds(r, PB), :], b.c0big.at[l],
+                        b.sem_row.at[l, 3],
                     ).wait()
 
         if NR2_0:
             @pl.when(jnp.any(gc0 >= 0))
             def _():
                 for l in range(L):
-                    @pl.when(xfer[l, XC_GC0] >= 0)
+                    @pl.when(b.xfer[l, XC_GC0] >= 0)
                     def _(l=l):
                         r = (lane_rowbase(l, R0) + S0 + HB0
-                             + xfer[l, XC_GC0] * PB2_0)
+                             + b.xfer[l, XC_GC0] * PB2_0)
                         pltpu.make_async_copy(
-                            c0r.at[pl.ds(r, PB2_0), :], c0hug.at[l],
-                            sem_row.at[l, 7],
+                            b.c0r.at[pl.ds(r, PB2_0), :], b.c0hug.at[l],
+                            b.sem_row.at[l, 5],
                         ).start()
                 for l in range(L):
-                    @pl.when(xfer[l, XC_GC0] >= 0)
+                    @pl.when(b.xfer[l, XC_GC0] >= 0)
                     def _(l=l):
                         r = (lane_rowbase(l, R0) + S0 + HB0
-                             + xfer[l, XC_GC0] * PB2_0)
+                             + b.xfer[l, XC_GC0] * PB2_0)
                         pltpu.make_async_copy(
-                            c0r.at[pl.ds(r, PB2_0), :], c0hug.at[l],
-                            sem_row.at[l, 7],
+                            b.c0r.at[pl.ds(r, PB2_0), :], b.c0hug.at[l],
+                            b.sem_row.at[l, 5],
                         ).wait()
 
-        hub0n = get_col(R, R_HUB0_N)
-        v0 = rw.row_view(rw.FAM0, cid0, c0in, c0big, hub0n, active,
-                         hug_scr=c0hug_a, m=vc.m0)
-        v_cur = rw.row_view(rw.FAM1, c1, c1cin, c1cbig, hub1n, active,
-                            hug_scr=c1chug_a, m=vc.m1)
+    def ph_payload(b, e):
+        """E: payload decode by mode (x3.c:57-129) + stats mirror."""
+        hub0n = get_col(e.R, R_HUB0_N)
+        e.v0 = rw.row_view(rw.FAM0, e.cid0, b.c0in, b.c0big, hub0n,
+                           e.active,
+                           hug_scr=b.c0hug if NR2_0 else None, m=vc.m0)
+        e.v_cur = rw.row_view(rw.FAM1, e.c1, b.c1cin, b.c1cbig, e.hub1n,
+                              e.active,
+                              hug_scr=b.c1chug if NR2_1 else None, m=vc.m1)
 
-        is0 = hit & (esym == E_CTX0)
-        is1 = hit & (esym == E_CTX1)
-        isx = hit & (esym == E_IDX1)
+        is0 = e.hit & (e.esym == E_CTX0)
+        is1 = e.hit & (e.esym == E_CTX1)
+        e.isx = e.hit & (e.esym == E_IDX1)
 
         _, _, tot0 = rw.row_stats(
-            rw.FAM0, v0, jnp.zeros((L, 1), I32), c0in, c0big, h0f[:, :],
-            hug_scr=c0hug_a, nr2=NR2_0,
+            rw.FAM0, e.v0, jnp.zeros((L, 1), I32), b.c0in, b.c0big,
+            b.h0f[:, :], hug_scr=b.c0hug if NR2_0 else None, nr2=NR2_0,
         )
         _, _, tot1 = rw.row_stats(
-            rw.FAM1, v_cur, jnp.zeros((L, 1), I32), c1cin, c1cbig,
-            h1f[:, :], hug_scr=c1chug_a, nr2=NR2_1,
+            rw.FAM1, e.v_cur, jnp.zeros((L, 1), I32), b.c1cin, b.c1cbig,
+            b.h1f[:, :], hug_scr=b.c1chug if NR2_1 else None, nr2=NR2_1,
         )
-        ixv = ixf[:, :]
+        ixv = b.ixf[:, :]
         ixtot = jnp.sum(ixv, axis=1, keepdims=True)
         ptot = jnp.where(is0, tot0, jnp.where(is1, tot1, ixtot))
         ptot = jnp.maximum(ptot, 1)
-        pstep, pvalue = prims.ac_decode_value(st, ptot)
+        pstep, pvalue = prims.ac_decode_value(e.st, ptot)
         pos0d, tag0d, low0d, span0d = rw.row_decode_pos(
-            rw.FAM0, v0, pvalue, c0in, c0big, h0f[:, :], h0t[:, :],
-            hug_scr=c0hug_a, nr2=NR2_0,
+            rw.FAM0, e.v0, pvalue, b.c0in, b.c0big, b.h0f[:, :],
+            b.h0t[:, :], hug_scr=b.c0hug if NR2_0 else None, nr2=NR2_0,
         )
         pos1d, tag1d, low1d, span1d = rw.row_decode_pos(
-            rw.FAM1, v_cur, pvalue, c1cin, c1cbig, h1f[:, :], h1t[:, :],
-            hug_scr=c1chug_a, nr2=NR2_1,
+            rw.FAM1, e.v_cur, pvalue, b.c1cin, b.c1cbig, b.h1f[:, :],
+            b.h1t[:, :], hug_scr=b.c1chug if NR2_1 else None, nr2=NR2_1,
         )
         rankd, ixlowd, ixspand = prims.model_decode(ixv, pvalue, D)
-        dtago_v0 = dtago[:, :]
-        slot_x = jnp.sum(jnp.where(iotaD == rankd, dtago_v0, 0), axis=1,
+        e.dtago_v0 = b.dtago[:, :]
+        slot_x = jnp.sum(jnp.where(iotaD == rankd, e.dtago_v0, 0), axis=1,
                          keepdims=True)
 
-        slot_hit = jnp.where(is0, tag0d, jnp.where(is1, tag1d, slot_x))
+        e.slot_hit = jnp.where(is0, tag0d, jnp.where(is1, tag1d, slot_x))
         plow = jnp.where(is0, low0d, jnp.where(is1, low1d, ixlowd))
         pspan = jnp.where(is0, span0d, jnp.where(is1, span1d, ixspand))
-        st = prims.ac_decode_update(st, pstep, plow, pspan, hit)
-        ixf[:, :] = ixv + jnp.where((iotaD == rankd) & isx, 1, 0)
+        e.st = prims.ac_decode_update(e.st, pstep, plow, pspan, e.hit)
+        b.ixf[:, :] = ixv + jnp.where((iotaD == rankd) & e.isx, 1, 0)
+        e.rankd = rankd
 
         # stats mirror (x3.c:294, 78-96, 275-281)
-        ev_bits = prims.bits_f32(espan, etot)
-        ms_bits = prims.bits_f32(lsspan, mstot)
+        ev_bits = prims.bits_f32(e.espan, e.etot)
+        ms_bits = prims.bits_f32(e.lsspan, e.mstot)
         pay_bits = prims.bits_f32(pspan, ptot)
         add_bits = jnp.where(
-            hit, ev_bits + pay_bits,
-            jnp.where(is_new, ev_bits + ms_bits + lit_bits,
-                      jnp.where(eof, ev_bits, 0.0)),
+            e.hit, ev_bits + pay_bits,
+            jnp.where(e.is_new, ev_bits + ms_bits + e.lit_bits,
+                      jnp.where(e.eof, ev_bits, 0.0)),
         )
-        regsf[:, :] = regsf[:, :] + jnp.where(
-            iota128 == esym, add_bits, 0.0
+        b.regsf[:, :] = b.regsf[:, :] + jnp.where(
+            iota128 == e.esym, add_bits, 0.0
         )
         # E_EOF is never counted (matches the reference and the encoder)
-        counts_add = jnp.where(
-            (iota128 == R_COUNTS + esym) & active & (esym != E_EOF), 1, 0
+        e.counts_add = jnp.where(
+            (iota128 == R_COUNTS + e.esym) & e.active & (e.esym != E_EOF),
+            1, 0,
         )
 
-        # ================= F: dictionary (x3.c:309-317, 337-348) ======
-        d_n = get_col(R, R_DICT_N)
-        dictw_v = dictw[:, :]
-        dlens_v = dlens[:, :]
-        drank_v = drank[:, :]
-        dtago_v = dtago_v0
-        validD = iotaD < d_n
+    def ph_dict(b, e):
+        """F: dictionary MTF / insert (x3.c:309-317, 337-348)."""
+        e.d_n = get_col(e.R, R_DICT_N)
+        e.dictw_v = b.dictw[:, :]
+        e.dlens_v = b.dlens[:, :]
+        drank_v = b.drank[:, :]
+        dtago_v = e.dtago_v0
+        validD = iotaD < e.d_n
 
         # dup lookup of the decoded fragment (pre-insert state)
-        frag_mlen = _probe_matchlen(dictw_v, tw_frag, D)
+        frag_mlen = _probe_matchlen(e.dictw_v, e.tw_frag, D)
         dup = jnp.any(
-            validD & (dlens_v == length_new) & (frag_mlen >= length_new)
-            & is_new,
+            validD & (e.dlens_v == e.length_new)
+            & (frag_mlen >= e.length_new) & e.is_new,
             axis=1, keepdims=True,
         )
 
         # MTF of the hit slot (rank = recency rank of slot_hit)
-        rank_mtf = jnp.sum(jnp.where(iotaD == slot_hit, drank_v, 0), axis=1,
-                           keepdims=True)
-        bump = validD & hit & (drank_v < rank_mtf)
+        rank_mtf = jnp.sum(jnp.where(iotaD == e.slot_hit, drank_v, 0),
+                           axis=1, keepdims=True)
+        bump = validD & e.hit & (drank_v < rank_mtf)
         drank_v = jnp.where(bump, drank_v + 1, drank_v)
-        drank_v = jnp.where((iotaD == slot_hit) & hit, 0, drank_v)
+        drank_v = jnp.where((iotaD == e.slot_hit) & e.hit, 0, drank_v)
         shifted = pltpu.roll(dtago_v, 1, axis=1)
-        dtago_v = jnp.where(hit & (iotaD <= rank_mtf), shifted, dtago_v)
-        dtago_v = jnp.where(hit & (iotaD == 0), slot_hit, dtago_v)
+        dtago_v = jnp.where(e.hit & (iotaD <= rank_mtf), shifted, dtago_v)
+        dtago_v = jnp.where(e.hit & (iotaD == 0), e.slot_hit, dtago_v)
 
         # insert on E_NEW unless duplicate
-        room = d_n < D
-        ins = is_new & ~dup & room
-        of_dict = is_new & ~dup & ~room
-        slot_new = jnp.minimum(d_n, D - 1)
+        room = e.d_n < D
+        ins = e.is_new & ~dup & room
+        e.of_dict = e.is_new & ~dup & ~room
+        slot_new = jnp.minimum(e.d_n, D - 1)
 
         @pl.when(jnp.any(ins))
         def _():
             for w in range(8):
                 cols = slice(w * D, (w + 1) * D)
-                dictw[:, cols] = jnp.where(
-                    ins & (iotaD == slot_new), tw_frag[w], dictw[:, cols]
+                b.dictw[:, cols] = jnp.where(
+                    ins & (iotaD == slot_new), e.tw_frag[w],
+                    b.dictw[:, cols],
                 )
 
-        dlens[:, :] = jnp.where(ins & (iotaD == slot_new), length_new,
-                                dlens_v)
+        b.dlens[:, :] = jnp.where(ins & (iotaD == slot_new), e.length_new,
+                                  e.dlens_v)
         drank_v = jnp.where(ins & validD, drank_v + 1, drank_v)
         drank_v = jnp.where(ins & (iotaD == slot_new), 0, drank_v)
         shifted2 = pltpu.roll(dtago_v, 1, axis=1)
         dtago_v = jnp.where(ins & (iotaD > 0), shifted2, dtago_v)
         dtago_v = jnp.where(ins & (iotaD == 0), slot_new, dtago_v)
-        drank[:, :] = drank_v
-        dtago[:, :] = dtago_v
-        ixf[:, :] = jnp.where(ins & (iotaD == slot_new), 1, ixf[:, :])
-        d_n2 = d_n + jnp.where(ins, 1, 0)
+        b.drank[:, :] = drank_v
+        b.dtago[:, :] = dtago_v
+        b.ixf[:, :] = jnp.where(ins & (iotaD == slot_new), 1, b.ixf[:, :])
+        e.d_n2 = e.d_n + jnp.where(ins, 1, 0)
 
-        # ================= G: context updates (x3.c:99-127) ===========
-        pair_n = get_col(R, R_PAIR_N)
-        promo0 = get_col(R, R_PROMO0_N)
-        promo1 = get_col(R, R_PROMO1_N)
-        huge0 = get_col(R, R_HUGE0_N)
-        huge1 = get_col(R, R_HUGE1_N)
+    def ph_ctx(b, e):
+        """G: context updates (x3.c:99-127)."""
+        pair_n = get_col(e.R, R_PAIR_N)
+        promo0 = get_col(e.R, R_PROMO0_N)
+        promo1 = get_col(e.R, R_PROMO1_N)
+        huge0 = get_col(e.R, R_HUGE0_N)
+        huge1 = get_col(e.R, R_HUGE1_N)
         f0u, pos0u, _ = rw.row_find(
-            rw.FAM0, v0, slot_hit, c0in, c0big, h0t[:, :], h0f[:, :], None,
-            hug_scr=c0hug_a, nr2=NR2_0,
+            rw.FAM0, e.v0, e.slot_hit, b.c0in, b.c0big, b.h0t[:, :],
+            b.h0f[:, :], None,
+            hug_scr=b.c0hug if NR2_0 else None, nr2=NR2_0,
         )
         f1u, pos1u, _ = rw.row_find(
-            rw.FAM1, v_cur, slot_hit, c1cin, c1cbig, h1t[:, :], h1f[:, :],
-            h1p[:, :], hug_scr=c1chug_a, nr2=NR2_1,
+            rw.FAM1, e.v_cur, e.slot_hit, b.c1cin, b.c1cbig, b.h1t[:, :],
+            b.h1f[:, :], b.h1p[:, :],
+            hug_scr=b.c1chug if NR2_1 else None, nr2=NR2_1,
         )
-        hub0n2, promo0_2, dp0, span0_idx, of0, huge0_2, dg0, gid0 = (
-            rw.row_update(
-                rw.FAM0, v0, slot_hit, f0u, pos0u, hit, c0in, c0big,
-                h0t, h0f, None, hub0n, vc.hub0, promo0, vc.m0,
-                hug_scr=c0hug_a, nr2=NR2_0, m=vc.m0, huge_n=huge0,
-                huge_cap=vc.h2_0, big_trig=vc.big_trig0,
-            )
+        (e.hub0n2, e.promo0_2, dp0, e.span0_idx, of0, e.huge0_2, dg0,
+         e.gid0) = rw.row_update(
+            rw.FAM0, e.v0, e.slot_hit, f0u, pos0u, e.hit, b.c0in, b.c0big,
+            b.h0t, b.h0f, None, get_col(e.R, R_HUB0_N), vc.hub0, promo0,
+            vc.m0,
+            hug_scr=b.c0hug if NR2_0 else None, nr2=NR2_0, m=vc.m0,
+            huge_n=huge0, huge_cap=vc.h2_0, big_trig=vc.big_trig0,
         )
-        hub1n2, promo1_2, dp1, span1_idx, of1, huge1_2, dg1, gid1 = (
-            rw.row_update(
-                rw.FAM1, v_cur, slot_hit, f1u, pos1u, hit, c1cin, c1cbig,
-                h1t, h1f, h1p, hub1n, vc.hub1, promo1, vc.m1,
-                # clamped for memory safety past the pairs cap (see the
-                # encoder kernel's note; the lane is OF_PAIRS-flagged)
-                new_pair_id=jnp.minimum(pair_n, S0 - 1),
-                hug_scr=c1chug_a, nr2=NR2_1, m=vc.m1, huge_n=huge1,
-                huge_cap=vc.h2_1, big_trig=vc.big_trig1,
-            )
+        (e.hub1n2, e.promo1_2, dp1, e.span1_idx, of1, e.huge1_2, dg1,
+         e.gid1) = rw.row_update(
+            rw.FAM1, e.v_cur, e.slot_hit, f1u, pos1u, e.hit, b.c1cin,
+            b.c1cbig, b.h1t, b.h1f, b.h1p, e.hub1n, vc.hub1, promo1,
+            vc.m1,
+            # clamped for memory safety past the pairs cap (see the
+            # encoder kernel's note; the lane is OF_PAIRS-flagged)
+            new_pair_id=jnp.minimum(pair_n, S0 - 1),
+            hug_scr=b.c1chug if NR2_1 else None, nr2=NR2_1, m=vc.m1,
+            huge_n=huge1, huge_cap=vc.h2_1, big_trig=vc.big_trig1,
         )
-        new_pair = hit & ~f1u
-        of_pairs = new_pair & (pair_n >= S0)
-        pair_n2 = pair_n + jnp.where(new_pair, 1, 0)
+        new_pair = e.hit & ~f1u
+        e.of_pairs = new_pair & (pair_n >= S0)
+        e.pair_n2 = pair_n + jnp.where(new_pair, 1, 0)
+        e.of0, e.of1 = of0, of1
+        e.dp0, e.dp1, e.dg0, e.dg1 = dp0, dp1, dg0, dg1
 
-        # ================= H: output emit + flush + write-backs =======
+    def ph_emit(b, e):
+        """H: output emit + flush."""
         # dictionary entry bytes of the hit slot (pre-insert state; a hit
         # lane never inserts, so dlens_v/dictw post-insert reads would be
         # identical for it — use the pre-insert values for clarity)
-        hlen = jnp.sum(jnp.where(iotaD == slot_hit, dlens_v, 0), axis=1,
-                       keepdims=True)
+        hlen = jnp.sum(jnp.where(iotaD == e.slot_hit, e.dlens_v, 0),
+                       axis=1, keepdims=True)
         dbytes = []
         for w in range(8):
             dw = jnp.sum(
-                jnp.where(iotaD == slot_hit,
-                          dictw_v[:, w * D : (w + 1) * D], 0),
+                jnp.where(iotaD == e.slot_hit,
+                          e.dictw_v[:, w * D : (w + 1) * D], 0),
                 axis=1, keepdims=True,
             )
-            for b in range(4):
-                dbytes.append((dw >> (8 * b)) & 0xFF)
+            for bb in range(4):
+                dbytes.append((dw >> (8 * bb)) & 0xFF)
         dict_bytes = jnp.concatenate(dbytes, axis=1)
 
-        length = jnp.where(is_new, length_new, jnp.where(hit, hlen, 0))
-        data32 = jnp.where(is_new, frag32, dict_bytes)
+        length = jnp.where(e.is_new, e.length_new,
+                           jnp.where(e.hit, hlen, 0))
+        data32 = jnp.where(e.is_new, e.frag32, dict_bytes)
         data32 = jnp.where(iota32c < length, data32, 0)
 
-        opos = get_col(R, R_OPOS)
-        out_base = get_col(R, R_OUT_BASE)
-        emit = (is_new | hit) & (length > 0)
-        of_out = emit & (opos + length > OCAP)
-        ok_emit = emit & ~of_out
+        opos = get_col(e.R, R_OPOS)
+        out_base = get_col(e.R, R_OUT_BASE)
+        emit = (e.is_new | e.hit) & (length > 0)
+        e.of_out = emit & (opos + length > OCAP)
+        ok_emit = emit & ~e.of_out
 
         off = jnp.where(ok_emit, opos - out_base, 0)
         x = jnp.concatenate(
-            [jnp.where(ok_emit, data32, 0), jnp.zeros((L, OBW - MML), I32)],
+            [jnp.where(ok_emit, data32, 0),
+             jnp.zeros((L, OBW - MML), I32)],
             axis=1,
         )
-        for b in range(9):  # OBW = 512 -> 9-bit barrel shift
-            bit = (off >> b) & 1
-            rolled = pltpu.roll(x, 1 << b, axis=1)
+        for bb in range(9):  # OBW = 512 -> 9-bit barrel shift
+            bit = (off >> bb) & 1
+            rolled = pltpu.roll(x, 1 << bb, axis=1)
             x = jnp.where(bit == 1, rolled, x)
-        outwin[:, :] = outwin[:, :] + x
-        opos2 = opos + jnp.where(ok_emit, length, 0)
+        b.outwin[:, :] = b.outwin[:, :] + x
+        e.opos2 = opos + jnp.where(ok_emit, length, 0)
 
         # flush a full OBF-byte half to HBM
-        flush = (opos2 - out_base >= OBF) & (out_base + OBF <= obrows * 128)
-        xfer[:, :] = set_col(
-            set_col(xfer[:, :], XC_FLUSH, flush.astype(I32)),
+        flush = (e.opos2 - out_base >= OBF) & (
+            out_base + OBF <= obrows * 128
+        )
+        b.xfer[:, :] = set_col(
+            set_col(b.xfer[:, :], XC_FLUSH, flush.astype(I32)),
             XC_FROW, out_base >> 7,
         )
 
         @pl.when(jnp.any(flush))
         def _():
             for r in range(OBROWS_F):
-                stage[:, r, :] = outwin[:, r * 128 : (r + 1) * 128]
+                b.stage[:, r, :] = b.outwin[:, r * 128 : (r + 1) * 128]
             for l in range(L):
-                @pl.when(xfer[l, XC_FLUSH] != 0)
+                @pl.when(b.xfer[l, XC_FLUSH] != 0)
                 def _(l=l):
-                    ro = lane_rowbase(l, obrows) + xfer[l, XC_FROW]
+                    ro = lane_rowbase(l, obrows) + b.xfer[l, XC_FROW]
                     pltpu.make_async_copy(
-                        stage.at[l], outb.at[pl.ds(ro, OBROWS_F), :],
-                        sem_out.at[l],
+                        b.stage.at[l], b.outb.at[pl.ds(ro, OBROWS_F), :],
+                        b.sem_out,
                     ).start()
             for l in range(L):
-                @pl.when(xfer[l, XC_FLUSH] != 0)
+                @pl.when(b.xfer[l, XC_FLUSH] != 0)
                 def _(l=l):
-                    ro = lane_rowbase(l, obrows) + xfer[l, XC_FROW]
+                    ro = lane_rowbase(l, obrows) + b.xfer[l, XC_FROW]
                     pltpu.make_async_copy(
-                        stage.at[l], outb.at[pl.ds(ro, OBROWS_F), :],
-                        sem_out.at[l],
+                        b.stage.at[l], b.outb.at[pl.ds(ro, OBROWS_F), :],
+                        b.sem_out,
                     ).wait()
 
         shifted_out = jnp.concatenate(
-            [outwin[:, OBF:], jnp.zeros((L, OBF), I32)], axis=1
+            [b.outwin[:, OBF:], jnp.zeros((L, OBF), I32)], axis=1
         )
-        outwin[:, :] = jnp.where(flush, shifted_out, outwin[:, :])
-        out_base2 = out_base + jnp.where(flush, OBF, 0)
+        b.outwin[:, :] = jnp.where(flush, shifted_out, b.outwin[:, :])
+        e.out_base2 = out_base + jnp.where(flush, OBF, 0)
 
-        # ctx row write-backs (started after updates, waited before the
-        # next event's reads)
-        wb0 = hit & (cid0 >= 1)
-        wb0b = wb0 & (v0.is_big | dp0)
-        wb1 = hit & (c1 >= 1)
-        wb1b = wb1 & (v_cur.is_big | dp1)
-        wb0g = wb0 & (v0.is_huge | dg0) if NR2_0 else None
-        wb1g = wb1 & (v_cur.is_huge | dg1) if NR2_1 else None
-        # unconditional small-row write-backs (non-hit lanes' scratch is
-        # unmodified -> byte-wise no-op; no-fetch lanes target dump rows)
-        wb0r = jnp.where(rc0 >= 0, rc0, vc.dump0)
-        wb1r = jnp.where(rcur >= 0, rcur, vc.dump1)
-        xf = xfer[:, :]
+    def ph_wb_start(b, e):
+        """H: ctx row write-back starts (waited before next event)."""
+        wb0 = e.hit & (e.cid0 >= 1)
+        e.wb0b = wb0 & (e.v0.is_big | e.dp0)
+        wb1 = e.hit & (e.c1 >= 1)
+        e.wb1b = wb1 & (e.v_cur.is_big | e.dp1)
+        e.wb0g = wb0 & (e.v0.is_huge | e.dg0) if NR2_0 else None
+        e.wb1g = wb1 & (e.v_cur.is_huge | e.dg1) if NR2_1 else None
+        wb0r = jnp.where(e.rc0 >= 0, e.rc0, vc.dump0)
+        wb1r = jnp.where(e.rcur >= 0, e.rcur, vc.dump1)
+        xf = b.xfer[:, :]
         xf = set_col(xf, XC_WB0R, wb0r)
-        xf = set_col(xf, XC_WB0B, wb0b.astype(I32))
-        xf = set_col(xf, XC_WB0S, span0_idx)
+        xf = set_col(xf, XC_WB0B, e.wb0b.astype(I32))
+        xf = set_col(xf, XC_WB0S, e.span0_idx)
         xf = set_col(xf, XC_WB1R, wb1r)
-        xf = set_col(xf, XC_WB1B, wb1b.astype(I32))
-        xf = set_col(xf, XC_WB1S, span1_idx)
+        xf = set_col(xf, XC_WB1B, e.wb1b.astype(I32))
+        xf = set_col(xf, XC_WB1S, e.span1_idx)
         if NR2_0:
-            xf = set_col(xf, XC_WB0G, wb0g.astype(I32))
-            xf = set_col(xf, XC_WB0GS, gid0)
+            xf = set_col(xf, XC_WB0G, e.wb0g.astype(I32))
+            xf = set_col(xf, XC_WB0GS, e.gid0)
         if NR2_1:
-            xf = set_col(xf, XC_WB1G, wb1g.astype(I32))
-            xf = set_col(xf, XC_WB1GS, gid1)
-        xfer[:, :] = xf
-        any_wbb = jnp.any(wb0b | wb1b)
+            xf = set_col(xf, XC_WB1G, e.wb1g.astype(I32))
+            xf = set_col(xf, XC_WB1GS, e.gid1)
+        b.xfer[:, :] = xf
+        e.any_wbb = jnp.any(e.wb0b | e.wb1b)
         if NR2_0 or NR2_1:
             wbg_acc = jnp.zeros((L, 1), jnp.bool_)
             if NR2_0:
-                wbg_acc = wbg_acc | wb0g
+                wbg_acc = wbg_acc | e.wb0g
             if NR2_1:
-                wbg_acc = wbg_acc | wb1g
-            any_wbg = jnp.any(wbg_acc)
+                wbg_acc = wbg_acc | e.wb1g
+            e.any_wbg = jnp.any(wbg_acc)
         for l in range(L):
-            r = lane_rowbase(l, R0) + xfer[l, XC_WB0R]
+            r = lane_rowbase(l, R0) + b.xfer[l, XC_WB0R]
             pltpu.make_async_copy(
-                c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
+                b.c0in.at[l], b.c0r.at[pl.ds(r, 1), :], b.sem_wb.at[0]
             ).start()
-            r1w = lane_rowbase(l, R1) + xfer[l, XC_WB1R]
+            r1w = lane_rowbase(l, R1) + b.xfer[l, XC_WB1R]
             pltpu.make_async_copy(
-                c1cin.at[l], c1r.at[pl.ds(r1w, 1), :], sem_wb.at[l, 2]
+                b.c1cin.at[l], b.c1r.at[pl.ds(r1w, 1), :], b.sem_wb.at[2]
             ).start()
 
-        @pl.when(any_wbb)
+        @pl.when(e.any_wbb)
         def _():
             for l in range(L):
-                @pl.when(xfer[l, XC_WB0B] != 0)
+                @pl.when(b.xfer[l, XC_WB0B] != 0)
                 def _(l=l):
-                    r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
+                    r = lane_rowbase(l, R0) + S0 + b.xfer[l, XC_WB0S] * PB
                     pltpu.make_async_copy(
-                        c0big.at[l], c0r.at[pl.ds(r, PB), :], sem_wb.at[l, 1]
+                        b.c0big.at[l], b.c0r.at[pl.ds(r, PB), :],
+                        b.sem_wb.at[1],
                     ).start()
 
-                @pl.when(xfer[l, XC_WB1B] != 0)
+                @pl.when(b.xfer[l, XC_WB1B] != 0)
                 def _(l=l):
-                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
+                    r = lane_rowbase(l, R1) + S1 + b.xfer[l, XC_WB1S] * PB
                     pltpu.make_async_copy(
-                        c1cbig.at[l], c1r.at[pl.ds(r, PB), :], sem_wb.at[l, 3]
+                        b.c1cbig.at[l], b.c1r.at[pl.ds(r, PB), :],
+                        b.sem_wb.at[3],
                     ).start()
 
         if NR2_0 or NR2_1:
-            @pl.when(any_wbg)
+            @pl.when(e.any_wbg)
             def _():
                 for l in range(L):
                     if NR2_0:
-                        @pl.when(xfer[l, XC_WB0G] != 0)
+                        @pl.when(b.xfer[l, XC_WB0G] != 0)
                         def _(l=l):
                             r = (lane_rowbase(l, R0) + S0 + HB0
-                                 + xfer[l, XC_WB0GS] * PB2_0)
+                                 + b.xfer[l, XC_WB0GS] * PB2_0)
                             pltpu.make_async_copy(
-                                c0hug.at[l], c0r.at[pl.ds(r, PB2_0), :],
-                                sem_wb.at[l, 4],
+                                b.c0hug.at[l],
+                                b.c0r.at[pl.ds(r, PB2_0), :],
+                                b.sem_wb.at[4],
                             ).start()
                     if NR2_1:
-                        @pl.when(xfer[l, XC_WB1G] != 0)
+                        @pl.when(b.xfer[l, XC_WB1G] != 0)
                         def _(l=l):
                             r = (lane_rowbase(l, R1) + S1 + HB1
-                                 + xfer[l, XC_WB1GS] * PB2_1)
+                                 + b.xfer[l, XC_WB1GS] * PB2_1)
                             pltpu.make_async_copy(
-                                c1chug.at[l], c1r.at[pl.ds(r, PB2_1), :],
-                                sem_wb.at[l, 5],
+                                b.c1chug.at[l],
+                                b.c1r.at[pl.ds(r, PB2_1), :],
+                                b.sem_wb.at[5],
                             ).start()
 
+    def ph_wb_wait(b, e):
         for l in range(L):
-            r = lane_rowbase(l, R0) + xfer[l, XC_WB0R]
+            r = lane_rowbase(l, R0) + b.xfer[l, XC_WB0R]
             pltpu.make_async_copy(
-                c0in.at[l], c0r.at[pl.ds(r, 1), :], sem_wb.at[l, 0]
+                b.c0in.at[l], b.c0r.at[pl.ds(r, 1), :], b.sem_wb.at[0]
             ).wait()
-            r1w = lane_rowbase(l, R1) + xfer[l, XC_WB1R]
+            r1w = lane_rowbase(l, R1) + b.xfer[l, XC_WB1R]
             pltpu.make_async_copy(
-                c1cin.at[l], c1r.at[pl.ds(r1w, 1), :], sem_wb.at[l, 2]
+                b.c1cin.at[l], b.c1r.at[pl.ds(r1w, 1), :], b.sem_wb.at[2]
             ).wait()
 
-        @pl.when(any_wbb)
+        @pl.when(e.any_wbb)
         def _():
             for l in range(L):
-                @pl.when(xfer[l, XC_WB0B] != 0)
+                @pl.when(b.xfer[l, XC_WB0B] != 0)
                 def _(l=l):
-                    r = lane_rowbase(l, R0) + S0 + xfer[l, XC_WB0S] * PB
+                    r = lane_rowbase(l, R0) + S0 + b.xfer[l, XC_WB0S] * PB
                     pltpu.make_async_copy(
-                        c0big.at[l], c0r.at[pl.ds(r, PB), :], sem_wb.at[l, 1]
+                        b.c0big.at[l], b.c0r.at[pl.ds(r, PB), :],
+                        b.sem_wb.at[1],
                     ).wait()
 
-                @pl.when(xfer[l, XC_WB1B] != 0)
+                @pl.when(b.xfer[l, XC_WB1B] != 0)
                 def _(l=l):
-                    r = lane_rowbase(l, R1) + S1 + xfer[l, XC_WB1S] * PB
+                    r = lane_rowbase(l, R1) + S1 + b.xfer[l, XC_WB1S] * PB
                     pltpu.make_async_copy(
-                        c1cbig.at[l], c1r.at[pl.ds(r, PB), :], sem_wb.at[l, 3]
+                        b.c1cbig.at[l], b.c1r.at[pl.ds(r, PB), :],
+                        b.sem_wb.at[3],
                     ).wait()
 
         if NR2_0 or NR2_1:
-            @pl.when(any_wbg)
+            @pl.when(e.any_wbg)
             def _():
                 for l in range(L):
                     if NR2_0:
-                        @pl.when(xfer[l, XC_WB0G] != 0)
+                        @pl.when(b.xfer[l, XC_WB0G] != 0)
                         def _(l=l):
                             r = (lane_rowbase(l, R0) + S0 + HB0
-                                 + xfer[l, XC_WB0GS] * PB2_0)
+                                 + b.xfer[l, XC_WB0GS] * PB2_0)
                             pltpu.make_async_copy(
-                                c0hug.at[l], c0r.at[pl.ds(r, PB2_0), :],
-                                sem_wb.at[l, 4],
+                                b.c0hug.at[l],
+                                b.c0r.at[pl.ds(r, PB2_0), :],
+                                b.sem_wb.at[4],
                             ).wait()
                     if NR2_1:
-                        @pl.when(xfer[l, XC_WB1G] != 0)
+                        @pl.when(b.xfer[l, XC_WB1G] != 0)
                         def _(l=l):
                             r = (lane_rowbase(l, R1) + S1 + HB1
-                                 + xfer[l, XC_WB1GS] * PB2_1)
+                                 + b.xfer[l, XC_WB1GS] * PB2_1)
                             pltpu.make_async_copy(
-                                c1chug.at[l], c1r.at[pl.ds(r, PB2_1), :],
-                                sem_wb.at[l, 5],
+                                b.c1chug.at[l],
+                                b.c1r.at[pl.ds(r, PB2_1), :],
+                                b.sem_wb.at[5],
                             ).wait()
 
+    def ph_advance(b, e):
         # prev-row cache swap (next event's prev row = this updated cur)
-        c1pin[:, 0, :] = jnp.where(
-            hit & (c1 >= 1), c1cin[:, 0, :], c1pin[:, 0, :]
+        b.c1pin[:, 0, :] = jnp.where(
+            e.hit & (e.c1 >= 1), b.c1cin[:, 0, :], b.c1pin[:, 0, :]
         )
 
-        @pl.when(jnp.any(wb1b))
+        @pl.when(jnp.any(e.wb1b))
         def _():
             for rr in range(PB):
-                c1pbig[:, rr, :] = jnp.where(
-                    wb1b, c1cbig[:, rr, :], c1pbig[:, rr, :]
+                b.c1pbig[:, rr, :] = jnp.where(
+                    e.wb1b, b.c1cbig[:, rr, :], b.c1pbig[:, rr, :]
                 )
 
         if NR2_1:
-            @pl.when(jnp.any(wb1g))
+            @pl.when(jnp.any(e.wb1g))
             def _():
                 for rr in range(PB2_1):
-                    c1phug[:, rr, :] = jnp.where(
-                        wb1g, c1chug[:, rr, :], c1phug[:, rr, :]
+                    b.c1phug[:, rr, :] = jnp.where(
+                        e.wb1g, b.c1chug[:, rr, :], b.c1phug[:, rr, :]
                     )
 
-        # ================= advance ====================================
-        prev2 = jnp.where(hit, c1, jnp.where(is_new, 0, prev_c1))
-        c1_2 = jnp.where(hit, slot_hit, jnp.where(is_new, 0, c1))
-        done2 = done | eof | of_out
+        prev2 = jnp.where(e.hit, e.c1, jnp.where(e.is_new, 0, e.prev_c1))
+        c1_2 = jnp.where(e.hit, e.slot_hit, jnp.where(e.is_new, 0, e.c1))
+        done2 = e.done | e.eof | e.of_out
 
         of_bits = (
-            jnp.where(of_dict, OF_DICT, 0)
-            | jnp.where(of0, OF_CTX0, 0)
-            | jnp.where(of1, OF_CTX1, 0)
-            | jnp.where(of_pairs, OF_PAIRS, 0)
-            | jnp.where(of_out, OF_OUT, 0)
+            jnp.where(e.of_dict, OF_DICT, 0)
+            | jnp.where(e.of0, OF_CTX0, 0)
+            | jnp.where(e.of1, OF_CTX1, 0)
+            | jnp.where(e.of_pairs, OF_PAIRS, 0)
+            | jnp.where(e.of_out, OF_OUT, 0)
         )
 
-        Rn = R
+        Rn = e.R
         Rn = set_col(Rn, R_PREV_C1, prev2)
         Rn = set_col(Rn, R_C1, c1_2)
-        Rn = set_col(Rn, R_PAIR_N, pair_n2)
-        Rn = set_col(Rn, R_DICT_N, d_n2)
-        Rn = set_col(Rn, R_AC_LOW, st["low"].astype(I32))
-        Rn = set_col(Rn, R_AC_HIGH, st["high"].astype(I32))
-        Rn = set_col(Rn, R_AC_BUF, st["buf"].astype(I32))
-        Rn = set_col(Rn, R_NBITS, st["bitpos"])
-        Rn = set_col(Rn, R_SRC_BASE, src_base2)
-        Rn = set_col(Rn, R_OPOS, opos2)
-        Rn = set_col(Rn, R_OUT_BASE, out_base2)
-        Rn = set_col(Rn, R_HUB0_N, hub0n2)
-        Rn = set_col(Rn, R_HUB1_N, hub1n2)
-        Rn = set_col(Rn, R_PROMO0_N, promo0_2)
-        Rn = set_col(Rn, R_PROMO1_N, promo1_2)
+        Rn = set_col(Rn, R_PAIR_N, e.pair_n2)
+        Rn = set_col(Rn, R_DICT_N, e.d_n2)
+        Rn = set_col(Rn, R_AC_LOW, e.st["low"].astype(I32))
+        Rn = set_col(Rn, R_AC_HIGH, e.st["high"].astype(I32))
+        Rn = set_col(Rn, R_AC_BUF, e.st["buf"].astype(I32))
+        Rn = set_col(Rn, R_NBITS, e.st["bitpos"])
+        Rn = set_col(Rn, R_SRC_BASE, e.src_base2)
+        Rn = set_col(Rn, R_OPOS, e.opos2)
+        Rn = set_col(Rn, R_OUT_BASE, e.out_base2)
+        Rn = set_col(Rn, R_HUB0_N, e.hub0n2)
+        Rn = set_col(Rn, R_HUB1_N, e.hub1n2)
+        Rn = set_col(Rn, R_PROMO0_N, e.promo0_2)
+        Rn = set_col(Rn, R_PROMO1_N, e.promo1_2)
         if NR2_0:
-            Rn = set_col(Rn, R_HUGE0_N, huge0_2)
+            Rn = set_col(Rn, R_HUGE0_N, e.huge0_2)
         if NR2_1:
-            Rn = set_col(Rn, R_HUGE1_N, huge1_2)
+            Rn = set_col(Rn, R_HUGE1_N, e.huge1_2)
         Rn = set_col(Rn, R_DONE, done2.astype(I32))
-        Rn = set_col(Rn, R_OFLOW, get_col(R, R_OFLOW) | of_bits)
-        Rn = Rn + counts_add
-        regsi[:, :] = Rn
+        Rn = set_col(Rn, R_OFLOW, get_col(e.R, R_OFLOW) | of_bits)
+        Rn = Rn + e.counts_add
+        b.regsi[:, :] = Rn
 
-        alive = jnp.sum((~done2).astype(I32)) > 0
+        return jnp.sum((~done2).astype(I32)) > 0
+
+    def event_body(carry):
+        step, _alive = carry
+        E = [SimpleNamespace() for _ in range(SB)]
+        for b, e in zip(B, E):
+            ph_regs(b, e)
+        for b, e in zip(B, E):
+            ph_refill(b, e)
+        for b, e in zip(B, E):
+            ph_cur_start(b, e)
+        for b, e in zip(B, E):
+            ph_evsym(b, e)
+        ph_lit_all(E)
+        for b, e in zip(B, E):
+            ph_lit_tail(b, e)
+        for b, e in zip(B, E):
+            ph_spans_pair(b, e)
+        for b, e in zip(B, E):
+            ph_wait_c0(b, e)
+        for b, e in zip(B, E):
+            ph_payload(b, e)
+        for b, e in zip(B, E):
+            ph_dict(b, e)
+        for b, e in zip(B, E):
+            ph_ctx(b, e)
+        for b, e in zip(B, E):
+            ph_emit(b, e)
+        for b, e in zip(B, E):
+            ph_wb_start(b, e)
+        for b, e in zip(B, E):
+            ph_wb_wait(b, e)
+        alive = jnp.bool_(False)
+        for b, e in zip(B, E):
+            alive = alive | ph_advance(b, e)
         return step + 1, alive
 
     def cond(carry):
@@ -932,15 +1038,19 @@ def decoder_kernel(
 
 
 def build_decoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
-                       srows: int, obrows: int):
-    """Construct the jitted pallas_call for (vc, params, nsteps, G)."""
+                       srows: int, obrows: int, SB: int = 1):
+    """Construct the jitted pallas_call for (vc, params, nsteps, G, SB).
+
+    Call signature: ``call(srcs, *states, interpret=False)`` with ``srcs``
+    a tuple of SB per-sub-batch source arrays and ``states`` the flat
+    concatenation of SB 20-tuples (see kernel.py build_encoder_call)."""
     D = vc.dict_cap
     G8 = G * L
     W2 = 2 * FW
 
     kern = functools.partial(
         decoder_kernel, vc=vc, params=params, nsteps=nsteps,
-        srows=srows, obrows=obrows,
+        srows=srows, obrows=obrows, SB=SB,
     )
 
     def vspec(width):
@@ -952,29 +1062,30 @@ def build_decoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
         8 * D, D, D, D, D, vc.hub0, vc.hub0, vc.hub1, vc.hub1, vc.hub1,
         128, 128, 256, 128, 128, W2, OBW,
     ]
-    in_specs = (
-        [anyspec]
-        + [vspec(w) for w in carried_widths]
-        + [anyspec, anyspec, anyspec]
-    )
-    out_specs = [vspec(w) for w in carried_widths] + [anyspec] * 3
+    state_specs = [vspec(w) for w in carried_widths] + [anyspec] * 3
+    in_specs = [anyspec] * SB + state_specs * SB
+    out_specs = state_specs * SB
 
-    out_shape = []
-    for i, w in enumerate(carried_widths):
-        dt = jnp.float32 if i == 14 else jnp.int32
-        out_shape.append(jax.ShapeDtypeStruct((G8, w), dt))
-    out_shape.append(jax.ShapeDtypeStruct((G8 * obrows, 128), jnp.int32))
-    out_shape.append(jax.ShapeDtypeStruct((G8 * vc.r0, 128), jnp.int32))
-    out_shape.append(jax.ShapeDtypeStruct((G8 * vc.r1, 128), jnp.int32))
+    def sub_shapes():
+        out = []
+        for i, w in enumerate(carried_widths):
+            dt = jnp.float32 if i == 14 else jnp.int32
+            out.append(jax.ShapeDtypeStruct((G8, w), dt))
+        out.append(jax.ShapeDtypeStruct((G8 * obrows, 128), jnp.int32))
+        out.append(jax.ShapeDtypeStruct((G8 * vc.r0, 128), jnp.int32))
+        out.append(jax.ShapeDtypeStruct((G8 * vc.r1, 128), jnp.int32))
+        return out
 
-    scratch = [
+    out_shape = sub_shapes() * SB
+
+    sub_scratch = [
         pltpu.VMEM((L, FWROWS, 128), I32),      # sseg
         pltpu.VMEM((L, 1, 128), I32),           # c0in
         pltpu.VMEM((L, PB, 128), I32),          # c0big
         pltpu.VMEM((L, 1, 128), I32),           # c1pin
         pltpu.VMEM((L, PB, 128), I32),          # c1pbig
         pltpu.VMEM((L, 1, 128), I32),           # c1cin
-        pltpu.VMEM((L, PB, 128), I32),           # c1cbig
+        pltpu.VMEM((L, PB, 128), I32),          # c1cbig
         pltpu.VMEM((L, vc.pb2_0, 128), I32),    # c0hug (1-row dummy if off)
         pltpu.VMEM((L, vc.pb2_1, 128), I32),    # c1phug
         pltpu.VMEM((L, vc.pb2_1, 128), I32),    # c1chug
@@ -983,26 +1094,31 @@ def build_decoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
         pltpu.VMEM((L, 128), I32),              # acw
         pltpu.VMEM((L, 128), jnp.float32),      # acwf
         pltpu.VMEM((L, 128), I32),              # xfer
-        pltpu.SemaphoreType.DMA((L,)),          # sem_src
-        pltpu.SemaphoreType.DMA((L, 9)),        # sem_row
-        pltpu.SemaphoreType.DMA((L, 6)),        # sem_wb
-        pltpu.SemaphoreType.DMA((L,)),          # sem_out
+        # fetch semaphores per lane, write-back/flush shared counters
+        # (see kernel.py's scratch comment for the race analysis)
+        pltpu.SemaphoreType.DMA((L,)),          # sem_src (refill)
+        pltpu.SemaphoreType.DMA((L, 6)),        # sem_row (fetch slots)
+        pltpu.SemaphoreType.DMA((6,)),          # sem_wb (shared counters)
+        pltpu.SemaphoreType.DMA,                # sem_out (shared)
     ]
+    scratch = sub_scratch * SB
 
-    cp = vmem_compiler_params(sum(L * w * 4 for w in carried_widths),
-                              scratch)
+    cp = vmem_compiler_params(
+        SB * sum(L * w * 4 for w in carried_widths), scratch
+    )
 
-    def call(srcflat, *state, interpret=False):
+    def call(srcs, *state, interpret=False):
+        assert len(srcs) == SB and len(state) == N_STATE_DEC * SB
         return pl.pallas_call(
             kern,
             grid=(G,),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
-            input_output_aliases={i + 1: i for i in range(20)},
+            input_output_aliases={SB + i: i for i in range(N_STATE_DEC * SB)},
             scratch_shapes=scratch,
             compiler_params=cp,
             interpret=interpret,
-        )(srcflat, *state)
+        )(*srcs, *state)
 
     return call
