@@ -29,6 +29,7 @@ from pathlib import Path
 import numpy as np
 
 BASELINE_ENCODE_MBS = 0.0508
+BASELINE_DECODE_MBS = 0.0915  # reference binary, same corpus (BENCH_NOTES)
 
 
 def log(msg: str) -> None:
@@ -171,6 +172,59 @@ def main() -> int:
         "unit": "MB/s",
         "vs_baseline": round(mbs / BASELINE_ENCODE_MBS, 2),
     }), flush=True)
+
+    # decode direction (round-2 verdict #5): time the production decode
+    # dispatch on the just-encoded streams, synchronized by a value read
+    # (probe9 rule: block_until_ready does not wait through the tunnel —
+    # np.asarray below is the readback)
+    from x3tpu.parallel.runtime import _decode_one_device
+
+    iw = (int(lens_np.max()) + 3) // 4 + 2
+    words_in = jnp.asarray(words_np[:, :iw].astype(np.uint32))
+    lens_in = jnp.asarray(lens_np)
+    out, opos, *_ = _decode_one_device(words_in, lens_in, params, caps, None)
+    _ = np.asarray(opos)
+    log("decode compile + warmup done")
+    t0 = time.time()
+    out, opos, *_ = _decode_one_device(words_in, lens_in, params, caps, None)
+    opos_np = np.asarray(opos)
+    ddt = time.time() - t0
+    out_np = np.asarray(out)
+    for i, b in enumerate(blocks):
+        assert out_np[i, : opos_np[i]].tobytes() == b, f"decode fail lane {i}"
+    dmbs = len(data) / ddt / 1e6
+    log(f"timed decode: {ddt:.2f}s")
+    print(json.dumps({
+        "metric": "decode_throughput_default_params",
+        "value": round(dmbs, 4),
+        "unit": "MB/s",
+        "vs_baseline": round(dmbs / BASELINE_DECODE_MBS, 2),
+    }), flush=True)
+
+    # lane-scaling rows (round-2 verdict #6): opt-in so the driver's cold
+    # bench stays inside its timeout; each row is a separate compile.
+    # X3TPU_BENCH_SCALING="64,128" encodes the same corpus replicated to N
+    # lanes and prints one JSON line per N — the regression guard for the
+    # sub-batch kernel's lane scaling.
+    scaling = os.environ.get("X3TPU_BENCH_SCALING", "")
+    for n in [int(x) for x in scaling.split(",") if x.strip()]:
+        data_n = build_corpus(n * block)
+        blocks_n = [data_n[i * block : (i + 1) * block] for i in range(n)]
+        text_n, tlen_n = codec.pack_blocks(blocks_n, params, caps)
+        text_j, tlen_j = jnp.asarray(text_n), jnp.asarray(tlen_n)
+        o = _encode_one_device(text_j, tlen_j, params, caps, None)
+        jax.block_until_ready(o[1])
+        t0 = time.time()
+        _, bl, *_ = _encode_one_device(text_j, tlen_j, params, caps, None)
+        _ = np.asarray(bl)
+        sdt = time.time() - t0
+        smbs = len(data_n) / sdt / 1e6
+        print(json.dumps({
+            "metric": f"encode_throughput_lanes_{n}",
+            "value": round(smbs, 4),
+            "unit": "MB/s",
+            "vs_baseline": round(smbs / BASELINE_ENCODE_MBS, 2),
+        }), flush=True)
     return 0
 
 

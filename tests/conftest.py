@@ -34,6 +34,31 @@ if os.environ.get("X3TPU_TEST_TPU") != "1":
 
 import pytest
 
+# ---------------------------------------------------------------------------
+# Quick tier: `pytest -m quick` (< 5 min) for the edit-test loop — the full
+# suite (~20 min with the interpret-mode VM compiles) stays the merge gate
+# (CI runs it).  Membership: the format-critical fast modules plus one VM
+# interpret case covering the kernel end to end.
+# ---------------------------------------------------------------------------
+
+QUICK_MODULES = {"test_spec", "test_ops_ac", "test_host", "test_cli",
+                 "test_codec_jax"}
+QUICK_TESTS = {"test_vm_encoder_matches_spec"}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "quick: fast tier (< 5 min) for the edit-test loop"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (item.module.__name__ in QUICK_MODULES
+                or item.name.split("[")[0] in QUICK_TESTS):
+            item.add_marker(pytest.mark.quick)
+
+
 GOLDEN = pathlib.Path(__file__).parent / "golden"
 REFERENCE_SRC = pathlib.Path("/root/reference")
 REF_BIN = pathlib.Path("/tmp/x3ref-test/x3")
