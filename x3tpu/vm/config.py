@@ -277,17 +277,27 @@ def vm_caps(params: X3Params, caps: CodecCaps) -> VMCaps:
 _SB_BUDGET = 40 << 20
 _SB_MAX = 4
 
+# HARDWARE HOLD (2026-08-19): SB >= 2 miscompiles on real TPUs — the
+# merged cross-sub-batch threshold-sweep while_loop produces wrong match
+# decisions (hw_sb_diff.py ablation bisect: streams identical under
+# ``nosweep``, still corrupt under ``nolit``/``nodma``), while interpret
+# mode is exact.  Until the sweep is restructured and revalidated on
+# hardware, auto-selection stays at 1; X3TPU_VM_SUBS still overrides for
+# probes, and explicit ``subs=`` arguments are honored (tests use them
+# in interpret mode, where SB > 1 is correct).
+_SB_AUTO_MAX = 1
+
 
 def pick_subs(vc: VMCaps, n_lanes: int) -> int:
-    """Sub-batches per grid step: the largest power of two <= _SB_MAX that
-    the lane count can fill and whose resident state fits the budget.
+    """Sub-batches per grid step: the largest power of two <= _SB_AUTO_MAX
+    that the lane count can fill and whose resident state fits the budget.
     ``X3TPU_VM_SUBS`` overrides (hardware scaling probes)."""
     env = os.environ.get("X3TPU_VM_SUBS")
     if env:
         return max(1, int(env))
     groups = max(1, -(-n_lanes // LANES))
     sb = 1
-    while (sb < _SB_MAX and 2 * sb <= groups
+    while (sb < _SB_AUTO_MAX and 2 * sb <= groups
            and 2 * sb * vc.resident_bytes <= _SB_BUDGET):
         sb *= 2
     return sb

@@ -64,7 +64,7 @@ L = LANES
 MML = MAX_MATCH_LEN
 
 N_STATE = 19   # carried state arrays per sub-batch (16 VMEM + 3 HBM)
-N_SCR = 21     # scratch refs per sub-batch (17 VMEM + 4 DMA semaphores)
+N_SCR = 22     # scratch refs per sub-batch (18 VMEM + 4 DMA semaphores)
 
 # xfer scratch columns (vector -> scalar handoffs for DMA addressing)
 XC_NEED, XC_ROW0, XC_RPREV, XC_RCUR, XC_BPREV, XC_BCUR = 0, 1, 2, 3, 4, 5
@@ -178,7 +178,7 @@ STATE_NAMES = (
 SCR_NAMES = (
     "tseg", "seg32", "c0in", "c0big", "c1pin", "c1pbig", "c1cin", "c1cbig",
     "c0hug", "c1phug", "c1chug", "stage", "rem_scr", "res_scr", "xfer",
-    "acw", "acwf", "sem_seg", "sem_row", "sem_wb", "sem_out",
+    "acw", "acwf", "winlo", "sem_seg", "sem_row", "sem_wb", "sem_out",
 )
 
 
@@ -403,7 +403,17 @@ def encoder_kernel(
                 ).start()
 
     def ph_window(b, e):
-        """C: window extraction (segment barrel shift)."""
+        """C: window extraction (segment barrel shift).
+
+        The low 128 bytes are MATERIALIZED into the ``winlo`` scratch and
+        every later phase (sweep vetoes, literal bytes, dict insert)
+        re-reads that ref instead of carrying a value derived from the
+        barrel-shift chain: on hardware at SB >= 2, Mosaic's
+        rematerialization of such values across the phase-major schedule
+        produced windows with single byte columns zeroed (dict entries
+        like 0x54222222 stored as 0x54002222) while the phase-D uses were
+        exact.  A ref store is a hard materialization point; only the
+        scan/probe (phase D, adjacent) consume the live value."""
         off = e.p - e.row0 * 128
         x = b.seg32[:, :]
         for bit_i in range(10):
@@ -411,6 +421,7 @@ def encoder_kernel(
             rolled = pltpu.roll(x, SRB - (1 << bit_i), axis=1)
             x = jnp.where(bit == 1, rolled, x)
         e.win = x[:, :WBUF]
+        b.winlo[:, :] = x[:, :128]
 
     def ph_probe_scan(b, e):
         """D: dictionary probe + window scan."""
@@ -597,10 +608,11 @@ def encoder_kernel(
                 result = jnp.where(unresolved & ~has, 1, result)
                 pending = unresolved & has
                 vetoed = jnp.zeros((L, 1), jnp.bool_)
+                wl = b.winlo[:, :]  # fresh ref read (see ph_window)
                 if f1 > 0:
                     vl = _probe_best_len(
                         e.dictw_v, e.dlens_v, e.d_n,
-                        _pack_words(_select32(e.win, bi)), D,
+                        _pack_words(_select32(wl, bi)), D,
                     )
                     vetoed = vetoed | (
                         pending & (bi >= 2) & (vl > 0)
@@ -611,7 +623,7 @@ def encoder_kernel(
                     for o in range(1, MML):
                         vl_o = _probe_best_len(
                             e.dictw_v, e.dlens_v, e.d_n,
-                            _pack_words(e.win[:, o : o + MML]), D,
+                            _pack_words(wl[:, o : o + MML]), D,
                         )
                         veto2 = veto2 | (
                             (o <= bi) & (vl_o > 0)
@@ -810,7 +822,7 @@ def encoder_kernel(
         e.msspan, e.mstot = msspan, mstot
 
         # literal bytes (x3.c:263-267): AC state bridged through scratch
-        e.frag32 = e.win[:, :MML]
+        e.frag32 = b.winlo[:, :MML]  # fresh ref read (see ph_window)
         b.acw[:, :] = set_col(
             set_col(
                 set_col(
@@ -926,12 +938,14 @@ def encoder_kernel(
         e.of_dict = e.miss & ~e.dup & ~room
         slot_new = jnp.minimum(e.d_n, D - 1)
 
+        tw_ins = _pack_words(b.winlo[:, :])  # fresh ref read (ph_window)
+
         @pl.when(jnp.any(ins))
         def _():
             for w in range(8):
                 cols = slice(w * D, (w + 1) * D)
                 b.dictw[:, cols] = jnp.where(
-                    ins & (iotaD == slot_new), e.tw[w], b.dictw[:, cols]
+                    ins & (iotaD == slot_new), tw_ins[w], b.dictw[:, cols]
                 )
 
         b.dlens[:, :] = jnp.where(ins & (iotaD == slot_new), e.mlen,
@@ -1355,6 +1369,7 @@ def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
         pltpu.VMEM((L, 128), I32),              # xfer
         pltpu.VMEM((L, 128), I32),              # acw
         pltpu.VMEM((L, 128), jnp.float32),      # acwf
+        pltpu.VMEM((L, 128), I32),              # winlo (see ph_window)
         # Fetch semaphores are PER LANE: the fetched scratch is read
         # right after the wait loop, and a shared counting semaphore is
         # racy there (lane 0's wait can be satisfied by lane 3's
