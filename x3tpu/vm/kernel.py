@@ -547,44 +547,61 @@ def encoder_kernel(
                     b.sem_row.at[l, 2],
                 ).start()
 
-    def ph_sweep_all(E):
+    def ph_sweep(b, e):
         """F: threshold sweep + magic-factor vetoes (backend.c:76-97),
-        merged across sub-batches: ONE scalar-carried while_loop whose
-        rounds process every sub-batch (resolved sub-batches no-op), so
-        the per-round vector->scalar sync cost is paid once, not SB
-        times."""
+        ONE sub-batch per while_loop ("sweepsplit").
+
+        The round-3 merged cross-sub-batch loop miscompiled on hardware
+        at SB >= 2 (bisect record, BENCH_NOTES.md): streams were exact
+        under ``nosweep`` and corrupt otherwise.  The merged body closed
+        over per-sub-batch traced vectors (level, dict snapshot); here
+        every loop-body input is routed through a ref instead —
+        res_scr col 0 holds the result, cols [64, 64+MML) park the
+        per-candidate level, rem_scr cols [0, MML) the remaining set,
+        and the dict snapshot / d_n / window bytes are re-read fresh
+        from b.dictw / b.dlens / b.regsi / b.winlo each round (all are
+        phase-I/K-mutated, so still pristine during phase F).  The
+        extra per-round scalar sync paid SB times is ~145 ns x rounds
+        (CLAUDE.md cost model), negligible vs correctness."""
         T = params.max_match_count
         f1, f2 = params.magic_factor1, params.magic_factor2
         if "nosweep" in ablate or T < 1:
-            for e in E:
-                e.fbm = jnp.ones((L, 1), I32)
+            e.fbm = jnp.ones((L, 1), I32)
             return
-        if f1 == 0 and f2 == 0:
-            for e in E:
-                cand0 = e.counts >= 2
-                level = jnp.minimum(e.counts - 1, T)
-                key = jnp.where(cand0, level * MML + iota32c, -1)
-                has = jnp.any(cand0, axis=1, keepdims=True)
-                kmax = jnp.max(key, axis=1, keepdims=True)
-                best_i = jnp.max(
-                    jnp.where(key == kmax, iota32c, -1), axis=1,
-                    keepdims=True,
-                )
-                e.fbm = jnp.where(has, best_i + 1, 1)
+        cand0 = e.counts >= 2
+        level = jnp.minimum(e.counts - 1, T)
+        # sweep-bisect ablates (hardware SB>=2 debugging): "sweepfast"
+        # takes the no-veto argmax path (no while_loop at all); "nof1" /
+        # "nof2" skip one veto family but KEEP the loop scaffolding
+        use_loop = (f1 != 0 or f2 != 0) and "sweepfast" not in ablate
+        if "nof1" in ablate:
+            f1 = 0
+        if "nof2" in ablate:
+            f2 = 0
+        if not use_loop:
+            key = jnp.where(cand0, level * MML + iota32c, -1)
+            has = jnp.any(cand0, axis=1, keepdims=True)
+            kmax = jnp.max(key, axis=1, keepdims=True)
+            best_i = jnp.max(
+                jnp.where(key == kmax, iota32c, -1), axis=1,
+                keepdims=True,
+            )
+            e.fbm = jnp.where(has, best_i + 1, 1)
             return
 
-        unresolved0 = jnp.bool_(False)
-        for b, e in zip(B, E):
-            e.cand0 = e.counts >= 2
-            e.level = jnp.minimum(e.counts - 1, T)
-            # inactive lanes start resolved (fbm 1), as in ops/match.py
-            b.res_scr[:, :] = jnp.where(
-                (iota128 == 0) & ~e.active, 1, jnp.zeros((L, 128), I32)
-            )
-            b.rem_scr[:, :] = jnp.concatenate(
-                [e.cand0.astype(I32), jnp.zeros((L, 128 - MML), I32)], 1
-            )
-            unresolved0 = unresolved0 | (jnp.sum(e.active.astype(I32)) > 0)
+        # inactive lanes start resolved (fbm 1), as in ops/match.py
+        b.res_scr[:, :] = jnp.concatenate(
+            [
+                jnp.where(~e.active, 1, 0).astype(I32),
+                jnp.zeros((L, 63), I32),
+                level,
+                jnp.zeros((L, 128 - 64 - MML), I32),
+            ],
+            axis=1,
+        )
+        b.rem_scr[:, :] = jnp.concatenate(
+            [cand0.astype(I32), jnp.zeros((L, 128 - MML), I32)], 1
+        )
 
         def sweep_cond(c):
             it, unresolved = c
@@ -592,57 +609,58 @@ def encoder_kernel(
 
         def sweep_round(c):
             it, _ = c
-            still = jnp.bool_(False)
-            for b, e in zip(B, E):
-                result = b.res_scr[:, 0:1]
-                remaining = b.rem_scr[:, 0:MML] != 0
-                unresolved = result == 0
-                key = jnp.where(remaining, e.level * MML + iota32c, -1)
-                has = jnp.any(remaining, axis=1, keepdims=True)
-                kmx = jnp.max(key, axis=1, keepdims=True)
-                bi = jnp.maximum(
-                    jnp.max(jnp.where(key == kmx, iota32c, -1),
-                            axis=1, keepdims=True),
-                    0,
+            result = b.res_scr[:, 0:1]
+            level_f = b.res_scr[:, 64 : 64 + MML]
+            remaining = b.rem_scr[:, 0:MML] != 0
+            unresolved = result == 0
+            key = jnp.where(remaining, level_f * MML + iota32c, -1)
+            has = jnp.any(remaining, axis=1, keepdims=True)
+            kmx = jnp.max(key, axis=1, keepdims=True)
+            bi = jnp.maximum(
+                jnp.max(jnp.where(key == kmx, iota32c, -1),
+                        axis=1, keepdims=True),
+                0,
+            )
+            result = jnp.where(unresolved & ~has, 1, result)
+            pending = unresolved & has
+            vetoed = jnp.zeros((L, 1), jnp.bool_)
+            wl = b.winlo[:, :]          # fresh ref reads (see docstring)
+            dictw_f = b.dictw[:, :]
+            dlens_f = b.dlens[:, :]
+            d_n_f = get_col(b.regsi[:, :], R_DICT_N)
+            if f1 > 0:
+                vl = _probe_best_len(
+                    dictw_f, dlens_f, d_n_f,
+                    _pack_words(_select32(wl, bi)), D,
                 )
-                result = jnp.where(unresolved & ~has, 1, result)
-                pending = unresolved & has
-                vetoed = jnp.zeros((L, 1), jnp.bool_)
-                wl = b.winlo[:, :]  # fresh ref read (see ph_window)
-                if f1 > 0:
-                    vl = _probe_best_len(
-                        e.dictw_v, e.dlens_v, e.d_n,
-                        _pack_words(_select32(wl, bi)), D,
+                vetoed = vetoed | (
+                    pending & (bi >= 2) & (vl > 0)
+                    & (vl * f1 > bi + 1)
+                )
+            if f2 > 0:
+                veto2 = jnp.zeros((L, 1), jnp.bool_)
+                for o in range(1, MML):
+                    vl_o = _probe_best_len(
+                        dictw_f, dlens_f, d_n_f,
+                        _pack_words(wl[:, o : o + MML]), D,
                     )
-                    vetoed = vetoed | (
-                        pending & (bi >= 2) & (vl > 0)
-                        & (vl * f1 > bi + 1)
+                    veto2 = veto2 | (
+                        (o <= bi) & (vl_o > 0)
+                        & ((vl_o - o) * f2 > bi + 1)
                     )
-                if f2 > 0:
-                    veto2 = jnp.zeros((L, 1), jnp.bool_)
-                    for o in range(1, MML):
-                        vl_o = _probe_best_len(
-                            e.dictw_v, e.dlens_v, e.d_n,
-                            _pack_words(wl[:, o : o + MML]), D,
-                        )
-                        veto2 = veto2 | (
-                            (o <= bi) & (vl_o > 0)
-                            & ((vl_o - o) * f2 > bi + 1)
-                        )
-                    vetoed = vetoed | (pending & (bi >= 1) & veto2)
-                result = jnp.where(pending & ~vetoed, bi + 1, result)
-                b.res_scr[:, :] = jnp.where(iota128 == 0, result,
-                                            b.res_scr[:, :])
-                clear = vetoed & (iota128 == bi)
-                b.rem_scr[:, :] = jnp.where(clear, 0, b.rem_scr[:, :])
-                still = still | (jnp.sum((result == 0).astype(I32)) > 0)
-            return it + 1, still
+                vetoed = vetoed | (pending & (bi >= 1) & veto2)
+            result = jnp.where(pending & ~vetoed, bi + 1, result)
+            b.res_scr[:, :] = jnp.where(iota128 == 0, result,
+                                        b.res_scr[:, :])
+            clear = vetoed & (iota128 == bi)
+            b.rem_scr[:, :] = jnp.where(clear, 0, b.rem_scr[:, :])
+            return it + 1, jnp.sum((result == 0).astype(I32)) > 0
 
         jax.lax.while_loop(
-            sweep_cond, sweep_round, (jnp.int32(0), unresolved0)
+            sweep_cond, sweep_round,
+            (jnp.int32(0), jnp.sum(e.active.astype(I32)) > 0),
         )
-        for b, e in zip(B, E):
-            e.fbm = b.res_scr[:, 0:1]
+        e.fbm = b.res_scr[:, 0:1]
 
     def ph_wait_c0(b, e):
         """Wait the ctx0 row DMA; fetch its promoted span if any."""
@@ -1275,7 +1293,8 @@ def encoder_kernel(
             ph_probe_scan(b, e)
         for b, e in zip(B, E):
             ph_spans_pair(b, e)
-        ph_sweep_all(E)
+        for b, e in zip(B, E):
+            ph_sweep(b, e)
         for b, e in zip(B, E):
             ph_wait_c0(b, e)
         for b, e in zip(B, E):
