@@ -255,6 +255,18 @@ class Dict {
     tag_of_rank_.insert(tag_of_rank_.begin(), tag);
     for (size_t i = 0; i <= r; ++i) rank_of_tag_[tag_of_rank_[i]] = i;
   }
+  // seed-dictionary append (x3tpu extension, codec.py:_init_shared):
+  // tag i lands at recency rank i (identity permutation) — all seeds
+  // share last_pos 0 and the reference's stable cost sort preserves
+  // insertion order among ties, unlike insert()'s rank-0 placement.
+  void seed_append(const uint8_t* frag, int len) {
+    Entry e;
+    std::memcpy(e.s, frag, len);
+    e.len = len;
+    entries_.push_back(e);
+    tag_of_rank_.push_back(entries_.size() - 1);
+    rank_of_tag_.push_back(entries_.size() - 1);
+  }
   size_t rank_of(size_t tag) const { return rank_of_tag_[tag]; }
   size_t tag_at(size_t rank) const { return tag_of_rank_[rank]; }
   int len_of(size_t tag) const { return entries_[tag].len; }
@@ -309,6 +321,17 @@ class Codec {
   std::vector<uint8_t> encode(const uint8_t* data, size_t size);
   std::vector<uint8_t> decode(const uint8_t* data, size_t size,
                               size_t max_output);
+  // dictionary-seed broadcast (x3tpu extension; mirrors
+  // codec.py:_init_shared): K fragments pre-inserted with identity
+  // recency ranks, one empty ctx1 row and one index-model symbol
+  // (freq 1) per seed.  Encoder and decoder must share the seeds.
+  void seed(const uint8_t* strs, const int32_t* lens, size_t k) {
+    for (size_t i = 0; i < k; ++i) {
+      dict_.seed_append(strs + i * kMaxMatch, lens[i]);
+      ctx1_.emplace_back();
+      index1_.grow();
+    }
+  }
   // dump up to k dictionary entries in insertion order (seed training)
   size_t dump_dict(uint8_t* strs, int32_t* lens, size_t k) const {
     size_t n = dict_.size() < k ? dict_.size() : k;
@@ -569,6 +592,47 @@ int x3h_decode(const uint8_t* data, size_t size, size_t max_output,
                uint8_t** out, size_t* out_size) {
   x3host::Params p;
   x3host::Codec codec(p);
+  try {
+    auto res = codec.decode(data, size, max_output);
+    *out = static_cast<uint8_t*>(std::malloc(res.size() ? res.size() : 1));
+    std::memcpy(*out, res.data(), res.size());
+    *out_size = res.size();
+    return 0;
+  } catch (const std::length_error&) {
+    return 2;
+  } catch (const std::exception&) {
+    return 1;
+  }
+}
+
+// Seeded variants: seeds are k fragments (strs: k x 32 bytes row-major,
+// lens: k entries) pre-inserted into the dictionary before coding —
+// the x3tpu seed-broadcast extension (parallel/blocks.py carries them).
+int x3h_encode_seeded(const uint8_t* data, size_t size, int max_match_count,
+                      long window, long factor1, long factor2, int nl_remap,
+                      const uint8_t* seed_strs, const int32_t* seed_lens,
+                      size_t seed_k, uint8_t** out, size_t* out_size) {
+  x3host::Params p;
+  p.max_match_count = max_match_count;
+  p.window = window;
+  p.factor1 = factor1;
+  p.factor2 = factor2;
+  p.nl_remap = nl_remap;
+  x3host::Codec codec(p);
+  codec.seed(seed_strs, seed_lens, seed_k);
+  auto res = codec.encode(data, size);
+  *out = static_cast<uint8_t*>(std::malloc(res.size() ? res.size() : 1));
+  std::memcpy(*out, res.data(), res.size());
+  *out_size = res.size();
+  return 0;
+}
+
+int x3h_decode_seeded(const uint8_t* data, size_t size, size_t max_output,
+                      const uint8_t* seed_strs, const int32_t* seed_lens,
+                      size_t seed_k, uint8_t** out, size_t* out_size) {
+  x3host::Params p;
+  x3host::Codec codec(p);
+  codec.seed(seed_strs, seed_lens, seed_k);
   try {
     auto res = codec.decode(data, size, max_output);
     *out = static_cast<uint8_t*>(std::malloc(res.size() ? res.size() : 1));

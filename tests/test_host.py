@@ -67,3 +67,35 @@ def test_host_decode_errors_raise():
     stream = host.encode(b"payload " * 400)
     with pytest.raises(RuntimeError):
         host.decode(stream, max_output=8)
+
+
+def test_host_seeded_matches_jax_and_roundtrips():
+    """Seeded host encode/decode (x3h_encode_seeded) is bit-exact vs the
+    seeded JAX codec (codec.py:_init_shared seed broadcast) and improves
+    the ratio over unseeded on a same-domain block."""
+    import jax.numpy as jnp
+
+    from x3tpu import codec
+    from x3tpu.config import CodecCaps
+
+    params = X3Params(max_match_count=8, window=512)
+    text = open("/root/reference/x3.c", "rb").read()[:20000]
+    strs, lens = host.train_seeds(text[:4000], params, 64)
+    blk = text[4000:12000]
+
+    plain = host.encode(blk, params)
+    seeded = host.encode(blk, params, seeds=(strs, lens))
+    assert host.decode(seeded, seeds=(strs, lens)) == blk
+    assert len(seeded) < len(plain)
+
+    caps = CodecCaps(dict_cap=512, pair_cap=2048, ctx_items_cap=128,
+                     ctx0_items_cap=128, block_bytes=8192)
+    t, tl = codec.pack_blocks([blk], params, caps)
+    w, bl, *_ = codec.encode_blocks_chunked(
+        jnp.asarray(t), jnp.asarray(tl), params, caps,
+        seeds=(jnp.asarray(strs), jnp.asarray(lens)),
+    )
+    import numpy as np
+
+    s_jax = np.asarray(w)[0].astype("<u4").tobytes()[: int(np.asarray(bl)[0])]
+    assert s_jax == seeded

@@ -70,6 +70,23 @@ def _load() -> ctypes.CDLL:
             ctypes.c_long, ctypes.c_long, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.x3h_encode_seeded.restype = ctypes.c_int
+        lib.x3h_encode_seeded.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.x3h_decode_seeded.restype = ctypes.c_int
+        lib.x3h_decode_seeded.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
         lib.x3h_train.restype = ctypes.c_size_t
         lib.x3h_train.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_long,
@@ -88,36 +105,70 @@ def _take(lib, out_ptr, out_size) -> bytes:
         lib.x3h_free(out_ptr)
 
 
-def encode(data: bytes, params: X3Params = X3Params()) -> bytes:
-    """Reference-format compress on the host CPU."""
+def _seed_ptrs(seeds):
+    """(strs u8 [K, 32], lens i32 [K]) numpy arrays -> ctypes pointers."""
+    import numpy as np
+
+    strs = np.ascontiguousarray(np.asarray(seeds[0], np.uint8))
+    lens = np.ascontiguousarray(np.asarray(seeds[1], np.int32))
+    return (
+        strs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(lens), strs, lens,  # keep the arrays alive alongside the ptrs
+    )
+
+
+def encode(data: bytes, params: X3Params = X3Params(), seeds=None) -> bytes:
+    """Reference-format compress on the host CPU.  ``seeds`` is an
+    optional (strs u8 [K, 32], lens i32 [K]) seed dictionary — the x3tpu
+    broadcast extension (codec.py:_init_shared); the decoder must be
+    given the same seeds."""
     lib = _load()
     out_ptr = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_size_t()
-    rc = lib.x3h_encode(
-        data, len(data), params.max_match_count, params.window,
-        params.magic_factor1, params.magic_factor2,
-        1 if params.nl_remap else 0,
-        ctypes.byref(out_ptr), ctypes.byref(out_size),
-    )
+    if seeds is None:
+        rc = lib.x3h_encode(
+            data, len(data), params.max_match_count, params.window,
+            params.magic_factor1, params.magic_factor2,
+            1 if params.nl_remap else 0,
+            ctypes.byref(out_ptr), ctypes.byref(out_size),
+        )
+    else:
+        sp, lp, k, _s, _l = _seed_ptrs(seeds)
+        rc = lib.x3h_encode_seeded(
+            data, len(data), params.max_match_count, params.window,
+            params.magic_factor1, params.magic_factor2,
+            1 if params.nl_remap else 0, sp, lp, k,
+            ctypes.byref(out_ptr), ctypes.byref(out_size),
+        )
     if rc != 0:
         raise RuntimeError(f"x3h_encode failed: {rc}")
     return _take(lib, out_ptr, out_size)
 
 
-def decode(data: bytes, max_output: Optional[int] = None) -> bytes:
+def decode(data: bytes, max_output: Optional[int] = None, seeds=None) -> bytes:
     """Reference-format decompress on the host CPU.
 
     The format is headerless, so the output size is unknown up front; with
     no explicit ``max_output`` the cap starts at a 64:1 guess (x3.c:621)
-    and grows on rc=2 (cap exceeded) until 1 GiB."""
+    and grows on rc=2 (cap exceeded) until 1 GiB.  ``seeds`` must match
+    the encoder's seed dictionary (see encode)."""
     lib = _load()
     cap = max_output if max_output is not None else max(64 * len(data), 1 << 20)
     while True:
         out_ptr = ctypes.POINTER(ctypes.c_uint8)()
         out_size = ctypes.c_size_t()
-        rc = lib.x3h_decode(
-            data, len(data), cap, ctypes.byref(out_ptr), ctypes.byref(out_size)
-        )
+        if seeds is None:
+            rc = lib.x3h_decode(
+                data, len(data), cap,
+                ctypes.byref(out_ptr), ctypes.byref(out_size),
+            )
+        else:
+            sp, lp, k, _s, _l = _seed_ptrs(seeds)
+            rc = lib.x3h_decode_seeded(
+                data, len(data), cap, sp, lp, k,
+                ctypes.byref(out_ptr), ctypes.byref(out_size),
+            )
         if rc == 0:
             return _take(lib, out_ptr, out_size)
         if rc == 2 and max_output is None and cap < (1 << 30):
