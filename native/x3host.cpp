@@ -15,6 +15,8 @@
 //
 // Build: g++ -O2 -std=c++17 -shared -fPIC x3host.cpp -o libx3host.so
 
+#include <algorithm>
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -217,31 +219,31 @@ class Dict {
  public:
   size_t size() const { return entries_.size(); }
   // longest entry that prefixes text (dict.c:105-130); -1 if none.
-  // The longest match is unique, so only the best length matters.
+  // The longest match is unique (two same-length prefixes of one text
+  // are byte-identical and exact duplicates never enter, dict.c:148),
+  // so a per-length hash index answers it in <= kMaxMatch lookups
+  // instead of an O(entries) memcmp scan — same result, hot-loop speed.
   long find(const uint8_t* text) const {
-    int best_len = 0;
-    long best_tag = -1;
-    for (size_t t = 0; t < entries_.size(); ++t) {
-      const Entry& e = entries_[t];
-      if (e.len > best_len && std::memcmp(text, e.s, e.len) == 0) {
-        best_len = e.len;
-        best_tag = long(t);
-      }
+    for (int l = kMaxMatch; l >= 1; --l) {
+      const auto& m = by_len_[l];
+      if (m.empty()) continue;
+      auto it = m.find(fnv_(text, l));
+      if (it == m.end()) continue;
+      for (size_t t : it->second)
+        if (std::memcmp(text, entries_[t].s, l) == 0) return long(t);
     }
-    return best_tag;
+    return -1;
   }
   bool has_exact(const uint8_t* frag, int len) const {  // dict.c:148-157
-    for (const Entry& e : entries_)
-      if (e.len == len && std::memcmp(e.s, frag, len) == 0) return true;
+    auto it = by_len_[len].find(fnv_(frag, len));
+    if (it == by_len_[len].end()) return false;
+    for (size_t t : it->second)
+      if (std::memcmp(frag, entries_[t].s, len) == 0) return true;
     return false;
   }
   // insert at recency rank 0 (new entry's last_pos is maximal)
   size_t insert(const uint8_t* frag, int len) {
-    Entry e;
-    std::memcpy(e.s, frag, len);
-    e.len = len;
-    entries_.push_back(e);
-    size_t tag = entries_.size() - 1;
+    size_t tag = append_(frag, len);
     tag_of_rank_.insert(tag_of_rank_.begin(), tag);
     rank_of_tag_.push_back(0);
     for (size_t r = 1; r < tag_of_rank_.size(); ++r)
@@ -254,18 +256,20 @@ class Dict {
     tag_of_rank_.erase(tag_of_rank_.begin() + r);
     tag_of_rank_.insert(tag_of_rank_.begin(), tag);
     for (size_t i = 0; i <= r; ++i) rank_of_tag_[tag_of_rank_[i]] = i;
+    ++uses_[tag];
+  }
+  uint64_t uses(size_t tag) const {
+    auto it = uses_.find(tag);
+    return it == uses_.end() ? 0 : it->second;
   }
   // seed-dictionary append (x3tpu extension, codec.py:_init_shared):
   // tag i lands at recency rank i (identity permutation) — all seeds
   // share last_pos 0 and the reference's stable cost sort preserves
   // insertion order among ties, unlike insert()'s rank-0 placement.
   void seed_append(const uint8_t* frag, int len) {
-    Entry e;
-    std::memcpy(e.s, frag, len);
-    e.len = len;
-    entries_.push_back(e);
-    tag_of_rank_.push_back(entries_.size() - 1);
-    rank_of_tag_.push_back(entries_.size() - 1);
+    size_t tag = append_(frag, len);
+    tag_of_rank_.push_back(tag);
+    rank_of_tag_.push_back(tag);
   }
   size_t rank_of(size_t tag) const { return rank_of_tag_[tag]; }
   size_t tag_at(size_t rank) const { return tag_of_rank_[rank]; }
@@ -273,9 +277,27 @@ class Dict {
   const uint8_t* str_of(size_t tag) const { return entries_[tag].s; }
 
  private:
+  static uint64_t fnv_(const uint8_t* p, int len) {
+    uint64_t h = 1469598103934665603ull;
+    for (int i = 0; i < len; ++i) { h ^= p[i]; h *= 1099511628211ull; }
+    return h;
+  }
+  size_t append_(const uint8_t* frag, int len) {
+    Entry e;
+    std::memcpy(e.s, frag, len);
+    e.len = len;
+    entries_.push_back(e);
+    size_t tag = entries_.size() - 1;
+    by_len_[len][fnv_(frag, len)].push_back(tag);
+    return tag;
+  }
   std::vector<Entry> entries_;        // by tag (insertion id, dict.c:100)
   std::vector<size_t> rank_of_tag_;
   std::vector<size_t> tag_of_rank_;
+  // per-length prefix index: hash64(first len bytes) -> tags of that len
+  std::array<std::unordered_map<uint64_t, std::vector<size_t>>,
+             kMaxMatch + 1> by_len_;
+  std::unordered_map<size_t, uint64_t> uses_;  // touch counts (seed training)
 };
 
 // ---- contexts + pair map (context.c, tag_pair.c) --------------------------
@@ -332,12 +354,23 @@ class Codec {
       index1_.grow();
     }
   }
-  // dump up to k dictionary entries in insertion order (seed training)
-  size_t dump_dict(uint8_t* strs, int32_t* lens, size_t k) const {
+  // dump up to k dictionary entries (seed training).  order 0: insertion;
+  // order 1: by descending use count (hot fragments first, so the seeded
+  // block starts them at low MTF ranks), ties by insertion order.
+  size_t dump_dict(uint8_t* strs, int32_t* lens, size_t k,
+                   int order = 0) const {
     size_t n = dict_.size() < k ? dict_.size() : k;
-    for (size_t t = 0; t < n; ++t) {
-      std::memcpy(strs + t * kMaxMatch, dict_.str_of(t), kMaxMatch);
-      lens[t] = dict_.len_of(t);
+    std::vector<size_t> tags(dict_.size());
+    for (size_t t = 0; t < tags.size(); ++t) tags[t] = t;
+    if (order == 1) {
+      std::stable_sort(tags.begin(), tags.end(),
+                       [this](size_t a, size_t b) {
+                         return dict_.uses(a) > dict_.uses(b);
+                       });
+    }
+    for (size_t i = 0; i < n; ++i) {
+      std::memcpy(strs + i * kMaxMatch, dict_.str_of(tags[i]), kMaxMatch);
+      lens[i] = dict_.len_of(tags[i]);
     }
     return n;
   }
@@ -678,6 +711,23 @@ size_t x3h_train(const uint8_t* data, size_t size, int max_match_count,
   x3host::Codec codec(p);
   codec.encode(data, size);
   return codec.dump_dict(strs, lens, k);
+}
+
+// As x3h_train, but seeds come out ordered by descending use count on the
+// sample (hot fragments land at low MTF ranks in every seeded block).
+size_t x3h_train_ranked(const uint8_t* data, size_t size,
+                        int max_match_count, long window, long factor1,
+                        long factor2, int nl_remap, uint8_t* strs,
+                        int32_t* lens, size_t k) {
+  x3host::Params p;
+  p.max_match_count = max_match_count;
+  p.window = window;
+  p.factor1 = factor1;
+  p.factor2 = factor2;
+  p.nl_remap = nl_remap;
+  x3host::Codec codec(p);
+  codec.encode(data, size);
+  return codec.dump_dict(strs, lens, k, 1);
 }
 
 }  // extern "C"

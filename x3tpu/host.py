@@ -87,13 +87,15 @@ def _load() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.POINTER(ctypes.c_size_t),
         ]
-        lib.x3h_train.restype = ctypes.c_size_t
-        lib.x3h_train.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_long,
-            ctypes.c_long, ctypes.c_long, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_size_t,
-        ]
+        for tr in ("x3h_train", "x3h_train_ranked"):
+            fn = getattr(lib, tr)
+            fn.restype = ctypes.c_size_t
+            fn.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+                ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t,
+            ]
         _lib = lib
         return lib
 
@@ -179,16 +181,19 @@ def decode(data: bytes, max_output: Optional[int] = None, seeds=None) -> bytes:
         raise RuntimeError("x3h_decode: corrupt stream")
 
 
-def train_seeds(data: bytes, params: X3Params = X3Params(), k: int = 256):
-    """Derive a seed dictionary from a sample: the first k fragments the
-    codec would learn on it (insertion order).  Returns (strs u8 [n, 32],
-    lens i32 [n]) numpy arrays."""
+def train_seeds(data: bytes, params: X3Params = X3Params(), k: int = 256,
+                ranked: bool = False):
+    """Derive a seed dictionary from a sample: k fragments the codec
+    learned on it — in insertion order, or (``ranked=True``) by descending
+    use count so hot fragments start at low MTF ranks in every seeded
+    block.  Returns (strs u8 [n, 32], lens i32 [n]) numpy arrays."""
     import numpy as np
 
     lib = _load()
     strs = np.zeros((k, 32), np.uint8)
     lens = np.zeros((k,), np.int32)
-    n = lib.x3h_train(
+    fn = lib.x3h_train_ranked if ranked else lib.x3h_train
+    n = fn(
         data, len(data), params.max_match_count, params.window,
         params.magic_factor1, params.magic_factor2,
         1 if params.nl_remap else 0,

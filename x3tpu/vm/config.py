@@ -185,8 +185,9 @@ class VMCaps:
         dictionary planes + hubs + window segment + row/huge scratch."""
         return 4 * LANES * (
             12 * self.dict_cap + 5 * self.hub0
-            + (self.wbuf // 128 + _round_up(self.wbuf, SEG_ALIGN) // 128
-               + 12) * 128
+            # seg32 + tseg + winlo (full-window materialization) + models
+            + (2 * (self.wbuf // 128)
+               + _round_up(self.wbuf, SEG_ALIGN) // 128 + 12) * 128
             + (self.pb2_0 + 2 * self.pb2_1 + 3 * PB + 16) * 128
         )
 

@@ -405,23 +405,25 @@ def encoder_kernel(
     def ph_window(b, e):
         """C: window extraction (segment barrel shift).
 
-        The low 128 bytes are MATERIALIZED into the ``winlo`` scratch and
-        every later phase (sweep vetoes, literal bytes, dict insert)
-        re-reads that ref instead of carrying a value derived from the
-        barrel-shift chain: on hardware at SB >= 2, Mosaic's
+        The WHOLE window is MATERIALIZED into the ``winlo`` scratch and
+        every consumer — probe words, scan, sweep vetoes, literal bytes,
+        dict insert — reads that ref instead of a value derived from the
+        barrel-shift chain.  On hardware at SB >= 2, Mosaic's
         rematerialization of such values across the phase-major schedule
-        produced windows with single byte columns zeroed (dict entries
-        like 0x54222222 stored as 0x54002222) while the phase-D uses were
-        exact.  A ref store is a hard materialization point; only the
-        scan/probe (phase D, adjacent) consume the live value."""
+        is WRONG: round 2 saw dict entries stored with zeroed byte
+        columns (0x54222222 as 0x54002222); round 3's per-event dump
+        (experiments/hw_sb_inspect.py) caught the packed probe words
+        diverging from the (correct) materialized low bytes at the very
+        first event.  A ref store is a hard materialization point, and
+        re-reads of a within-event-stable ref are safe to replay."""
         off = e.p - e.row0 * 128
         x = b.seg32[:, :]
         for bit_i in range(10):
             bit = (off >> bit_i) & 1
             rolled = pltpu.roll(x, SRB - (1 << bit_i), axis=1)
             x = jnp.where(bit == 1, rolled, x)
-        e.win = x[:, :WBUF]
-        b.winlo[:, :] = x[:, :128]
+        b.winlo[:, :] = x[:, :WBUF]
+        e.win = b.winlo[:, :]
 
     def ph_probe_scan(b, e):
         """D: dictionary probe + window scan."""
@@ -1299,6 +1301,28 @@ def encoder_kernel(
             ph_wait_c0(b, e)
         for b, e in zip(B, E):
             ph_mode(b, e)
+        if "dbgdump" in ablate:
+            # lockstep-inspection dump (hw-vs-interpret bisect ONLY):
+            # clobber the ch model array with this event's phase-D/F/G
+            # internals so the capture harness can diff the first
+            # diverging signal.  Both sides clobber identically; streams
+            # are garbage, which the ablate contract already states.
+            for b, e in zip(B, E):
+                dump = jnp.concatenate(
+                    [
+                        e.counts,                       # 0..MML
+                        e.fbm,                          # MML
+                        e.found.astype(I32), e.slot, e.dlen,
+                        e.hit.astype(I32), e.miss.astype(I32),
+                        e.mode, e.mlen, e.p, e.d_n,     # ..MML+10
+                        *e.tw,                          # MML+10..MML+18
+                        b.winlo[:, :64],
+                    ],
+                    axis=1,
+                )
+                b.ch[:, :] = jnp.concatenate(
+                    [dump, jnp.zeros((L, 256 - dump.shape[1]), I32)], 1
+                )
         for b, e in zip(B, E):
             ph_ac_head(b, e)
         ph_lit_all(E)
@@ -1388,7 +1412,7 @@ def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
         pltpu.VMEM((L, 128), I32),              # xfer
         pltpu.VMEM((L, 128), I32),              # acw
         pltpu.VMEM((L, 128), jnp.float32),      # acwf
-        pltpu.VMEM((L, 128), I32),              # winlo (see ph_window)
+        pltpu.VMEM((L, vc.wbuf), I32),          # winlo (see ph_window)
         # Fetch semaphores are PER LANE: the fetched scratch is read
         # right after the wait loop, and a shared counting semaphore is
         # racy there (lane 0's wait can be satisfied by lane 3's
