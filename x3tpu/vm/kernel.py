@@ -83,17 +83,22 @@ def _seg_rows(vc: VMCaps) -> int:
 
 
 def _pack_words(win):
-    """win[:, :32] i32 bytes -> list of 8 LE-u32 words as [8,1] i32."""
-    out = []
-    for w in range(8):
-        o = 4 * w
-        out.append(
-            win[:, o : o + 1]
-            | (win[:, o + 1 : o + 2] << 8)
-            | (win[:, o + 2 : o + 3] << 16)
-            | (win[:, o + 3 : o + 4] << 24)
-        )
-    return out
+    """win[:, :32] i32 bytes -> list of 8 LE-u32 words as [8,1] i32.
+
+    Wide vector ops ONLY (one shift-by-position + 8 masked reduces): the
+    obvious per-column form (win[:, o:o+1] | win[:, o+1:o+2] << 8 | ...)
+    miscompiles on hardware at SB >= 2 — every produced word had its
+    third byte (the << 16 term) zeroed, i.e. window column 4k+2 read as
+    0 (hw_sb_inspect dump, round 3; the same signature as round 2's
+    corrupted dictionary inserts).  Summing disjoint-bit-range terms is
+    exactly OR."""
+    iota = col_iota(MML)
+    shifted = win[:, :MML] << ((iota & 3) * 8)
+    return [
+        jnp.sum(jnp.where((iota >> 2) == k, shifted, 0),
+                axis=1, keepdims=True)
+        for k in range(8)
+    ]
 
 
 def _byte_refine(xw):
