@@ -52,6 +52,23 @@ def pytest_configure(config):
     )
 
 
+# XLA:CPU's JIT has a bounded LLVM section-memory arena per process
+# (CLAUDE.md): after a few hundred distinct compiles, the NEXT big compile
+# segfaults regardless of free RAM (hit at ~80% of the full suite once the
+# round-3 kernels widened the interpret-mode programs).  Dropping the jit
+# caches releases the arena; do it every N tests.
+_CLEAR_EVERY = 25
+_test_counter = [0]
+
+
+def pytest_runtest_teardown(item, nextitem):
+    _test_counter[0] += 1
+    if _test_counter[0] % _CLEAR_EVERY == 0:
+        import jax
+
+        jax.clear_caches()
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         if (item.module.__name__ in QUICK_MODULES

@@ -185,8 +185,9 @@ class VMCaps:
         dictionary planes + hubs + window segment + row/huge scratch."""
         return 4 * LANES * (
             12 * self.dict_cap + 5 * self.hub0
-            # seg32 + tseg + winlo (full-window materialization) + models
-            + (2 * (self.wbuf // 128)
+            # seg32 + tseg + winlo (full-window materialization) +
+            # scan_scr (~wbuf) + models
+            + (3 * (self.wbuf // 128)
                + _round_up(self.wbuf, SEG_ALIGN) // 128 + 12) * 128
             + (self.pb2_0 + 2 * self.pb2_1 + 3 * PB + 16) * 128
         )
@@ -278,14 +279,14 @@ def vm_caps(params: X3Params, caps: CodecCaps) -> VMCaps:
 _SB_BUDGET = 40 << 20
 _SB_MAX = 4
 
-# HARDWARE HOLD (2026-08-19): SB >= 2 miscompiles on real TPUs — the
-# merged cross-sub-batch threshold-sweep while_loop produces wrong match
-# decisions (hw_sb_diff.py ablation bisect: streams identical under
-# ``nosweep``, still corrupt under ``nolit``/``nodma``), while interpret
-# mode is exact.  Until the sweep is restructured and revalidated on
-# hardware, auto-selection stays at 1; X3TPU_VM_SUBS still overrides for
-# probes, and explicit ``subs=`` arguments are honored (tests use them
-# in interpret mode, where SB > 1 is correct).
+# SB > 1 is hardware-CORRECT since the _pack_words wide-op fix
+# (db35bb1; hw_sb_diff: SB=2 and SB=4 streams identical to SB=1), but
+# measured NOT FASTER: encode is SB-flat (0.60 MB/s at SB in {1,2,4},
+# 32x16 KiB bench config) and decode degrades with SB (1.01 / 0.88 /
+# 0.72 MB/s) — the per-event cost is serialized on the scalar core, so
+# wider grid steps just serialize more sub-batches per step.
+# Auto-selection therefore stays at 1 as the fastest product config;
+# X3TPU_VM_SUBS and explicit ``subs=`` still override for probes/tests.
 _SB_AUTO_MAX = 1
 
 

@@ -182,8 +182,9 @@ STATE_NAMES = (
 )
 SCR_NAMES = (
     "tseg", "seg32", "c0in", "c0big", "c1pin", "c1pbig", "c1cin", "c1cbig",
-    "c0hug", "c1phug", "c1chug", "stage", "rem_scr", "res_scr", "xfer",
-    "acw", "acwf", "winlo", "sem_seg", "sem_row", "sem_wb", "sem_out",
+    "c0hug", "c1phug", "c1chug", "stage", "rem_scr", "xfer",
+    "acw", "acwf", "winlo", "scan_scr",
+    "sem_seg", "sem_row", "sem_wb", "sem_out",
 )
 
 
@@ -447,21 +448,57 @@ def encoder_kernel(
             )
 
         if SCAN > 0 and "noscan" not in ablate:
-            # all 32 rounds unconditionally: pure vector work with NO
-            # vector->scalar syncs.  (The earlier per-round
-            # pl.when(jnp.any(run)) gating cost a pipeline sync per round
-            # — more than the skipped compute was worth.)
+            # The scan is the largest per-event term at the 8 KiB default
+            # window (round-3 ablation: ~14 of ~32 us/event-group).  Two
+            # structural choices against that:
+            #
+            # Rounds in GROUPS of 8: group 0 unconditional, groups 1-3
+            # gated on the run being alive.  Once `run` dies every later
+            # count is exactly 0, so the skip is EXACT.  Round 2 tried
+            # PER-ROUND pl.when gating and reverted it (32 scalar syncs
+            # ate the savings); 3 syncs per event flips the trade.  (An
+            # accumulated-runlen + independent-threshold-sums variant
+            # measured SLOWER — 0.59 vs 0.62 MB/s — the reduction chain
+            # is not the bottleneck; reverted.)  Counts stage through
+            # rem_scr (the sweep reads them before re-initializing it);
+            # the live run bitmap stages through scan_scr.
+            GR = 8
             iota_s = col_iota(SCANP)
             win = e.win
             run = (iota_s < SCAN) & (win[:, 1 : 1 + SCANP] == win[:, 0:1])
             counts_l = [jnp.sum(run.astype(I32), axis=1, keepdims=True)]
-            for i in range(1, MML):
+            for i in range(1, GR):
                 run = run & (
                     win[:, 1 + i : 1 + i + SCANP] == win[:, i : i + 1]
                 )
                 counts_l.append(jnp.sum(run.astype(I32), axis=1,
                                         keepdims=True))
-            e.counts = jnp.concatenate(counts_l, axis=1)
+            b.scan_scr[:, :] = run.astype(I32)
+            b.rem_scr[:, :] = jnp.concatenate(
+                counts_l + [jnp.zeros((L, 128 - GR), I32)], axis=1
+            )
+            for g in range(1, MML // GR):
+                @pl.when(jnp.sum(b.scan_scr[:, :]) > 0)
+                def _(g=g):
+                    wing = b.winlo[:, :]  # fresh ref read (see ph_window)
+                    rung = b.scan_scr[:, :] != 0
+                    cl = []
+                    for i in range(g * GR, (g + 1) * GR):
+                        rung = rung & (
+                            wing[:, 1 + i : 1 + i + SCANP]
+                            == wing[:, i : i + 1]
+                        )
+                        cl.append(jnp.sum(rung.astype(I32), axis=1,
+                                          keepdims=True))
+                    b.scan_scr[:, :] = rung.astype(I32)
+                    seg = jnp.concatenate(
+                        [jnp.zeros((L, g * GR), I32)] + cl
+                        + [jnp.zeros((L, 128 - (g + 1) * GR), I32)],
+                        axis=1,
+                    )
+                    sel = (iota128 >= g * GR) & (iota128 < (g + 1) * GR)
+                    b.rem_scr[:, :] = jnp.where(sel, seg, b.rem_scr[:, :])
+            e.counts = b.rem_scr[:, 0:MML]
         else:
             e.counts = jnp.zeros((L, MML), I32)
 
@@ -556,118 +593,131 @@ def encoder_kernel(
 
     def ph_sweep(b, e):
         """F: threshold sweep + magic-factor vetoes (backend.c:76-97),
-        ONE sub-batch per while_loop ("sweepsplit").
+        LOOP-FREE.
 
-        The round-3 merged cross-sub-batch loop miscompiled on hardware
-        at SB >= 2 (bisect record, BENCH_NOTES.md): streams were exact
-        under ``nosweep`` and corrupt otherwise.  The merged body closed
-        over per-sub-batch traced vectors (level, dict snapshot); here
-        every loop-body input is routed through a ref instead —
-        res_scr col 0 holds the result, cols [64, 64+MML) park the
-        per-candidate level, rem_scr cols [0, MML) the remaining set,
-        and the dict snapshot / d_n / window bytes are re-read fresh
-        from b.dictw / b.dlens / b.regsi / b.winlo each round (all are
-        phase-I/K-mutated, so still pristine during phase F).  The
-        extra per-round scalar sync paid SB times is ~145 ns x rounds
-        (CLAUDE.md cost model), negligible vs correctness."""
+        The reference tries candidates in (threshold desc, i desc) order
+        and codes the first that survives the magic-factor vetoes.  The
+        veto conditions do not depend on the threshold, so a vetoed i is
+        vetoed at every threshold — the result is exactly "argmax of
+        key (level, i) over the NON-VETOED candidates".  The veto
+        probes vl[o] (longest dict entry prefixing the window at offset
+        o) are candidate-invariant, so ONE batch of MML-1 probes covers
+        both factors: f1 vetoes i where vl[i]*f1 > i+1 (i >= 2), and
+        f2's "exists o <= i with (vl[o]-o)*f2 > i+1" folds into a
+        log-step prefix-max of vl[o]-o.  This replaces the round-2/3
+        scalar-carried while_loop (>= one full veto-probe batch PLUS a
+        vector->scalar sync per round) with pure pipelined vector work
+        of the same single-round cost."""
         T = params.max_match_count
         f1, f2 = params.magic_factor1, params.magic_factor2
         if "nosweep" in ablate or T < 1:
             e.fbm = jnp.ones((L, 1), I32)
             return
-        cand0 = e.counts >= 2
-        level = jnp.minimum(e.counts - 1, T)
-        # sweep-bisect ablates (hardware SB>=2 debugging): "sweepfast"
-        # takes the no-veto argmax path (no while_loop at all); "nof1" /
-        # "nof2" skip one veto family but KEEP the loop scaffolding
-        use_loop = (f1 != 0 or f2 != 0) and "sweepfast" not in ablate
         if "nof1" in ablate:
             f1 = 0
         if "nof2" in ablate:
             f2 = 0
-        if not use_loop:
-            key = jnp.where(cand0, level * MML + iota32c, -1)
-            has = jnp.any(cand0, axis=1, keepdims=True)
-            kmax = jnp.max(key, axis=1, keepdims=True)
-            best_i = jnp.max(
-                jnp.where(key == kmax, iota32c, -1), axis=1,
-                keepdims=True,
+        cand0 = e.counts >= 2
+        level = jnp.minimum(e.counts - 1, T)
+        ok = cand0
+        if f2 == 0 and f1 > 0 and "sweepfast" not in ablate:
+            # f1-only (the reference DEFAULT: -n 0): a while_loop paying
+            # ONE probe per visited candidate beats the loop-free batch
+            # of MML-1 probes (measured 0.62 vs 0.55 MB/s on the bench
+            # config).  Loop state lives in rem_scr (counts were already
+            # consumed above): cols [0,MML) remaining set, [64,64+MML)
+            # level, col 127 result; every body input is a fresh ref
+            # read (sweepsplit hardening, hardware-validated post
+            # db35bb1).
+            b.rem_scr[:, :] = (
+                jnp.concatenate(
+                    [cand0.astype(I32), jnp.zeros((L, 64 - MML), I32),
+                     level, jnp.zeros((L, 128 - 64 - MML), I32)],
+                    axis=1,
+                )
+                + jnp.where(
+                    (iota128 == 127) & ~e.active, 1, jnp.zeros((L, 128), I32)
+                )
             )
-            e.fbm = jnp.where(has, best_i + 1, 1)
-            return
 
-        # inactive lanes start resolved (fbm 1), as in ops/match.py
-        b.res_scr[:, :] = jnp.concatenate(
-            [
-                jnp.where(~e.active, 1, 0).astype(I32),
-                jnp.zeros((L, 63), I32),
-                level,
-                jnp.zeros((L, 128 - 64 - MML), I32),
-            ],
-            axis=1,
-        )
-        b.rem_scr[:, :] = jnp.concatenate(
-            [cand0.astype(I32), jnp.zeros((L, 128 - MML), I32)], 1
-        )
+            def sweep_cond(c):
+                it, unresolved = c
+                return (it < MML) & unresolved
 
-        def sweep_cond(c):
-            it, unresolved = c
-            return (it < MML) & unresolved
-
-        def sweep_round(c):
-            it, _ = c
-            result = b.res_scr[:, 0:1]
-            level_f = b.res_scr[:, 64 : 64 + MML]
-            remaining = b.rem_scr[:, 0:MML] != 0
-            unresolved = result == 0
-            key = jnp.where(remaining, level_f * MML + iota32c, -1)
-            has = jnp.any(remaining, axis=1, keepdims=True)
-            kmx = jnp.max(key, axis=1, keepdims=True)
-            bi = jnp.maximum(
-                jnp.max(jnp.where(key == kmx, iota32c, -1),
-                        axis=1, keepdims=True),
-                0,
-            )
-            result = jnp.where(unresolved & ~has, 1, result)
-            pending = unresolved & has
-            vetoed = jnp.zeros((L, 1), jnp.bool_)
-            wl = b.winlo[:, :]          # fresh ref reads (see docstring)
-            dictw_f = b.dictw[:, :]
-            dlens_f = b.dlens[:, :]
-            d_n_f = get_col(b.regsi[:, :], R_DICT_N)
-            if f1 > 0:
+            def sweep_round(c):
+                it, _ = c
+                st = b.rem_scr[:, :]
+                result = st[:, 127:128]
+                level_f = st[:, 64 : 64 + MML]
+                remaining = st[:, 0:MML] != 0
+                unresolved = result == 0
+                key = jnp.where(remaining, level_f * MML + iota32c, -1)
+                has = jnp.any(remaining, axis=1, keepdims=True)
+                kmx = jnp.max(key, axis=1, keepdims=True)
+                bi = jnp.maximum(
+                    jnp.max(jnp.where(key == kmx, iota32c, -1),
+                            axis=1, keepdims=True),
+                    0,
+                )
+                result = jnp.where(unresolved & ~has, 1, result)
+                pending = unresolved & has
+                wl = b.winlo[:, :]      # fresh ref reads
                 vl = _probe_best_len(
-                    dictw_f, dlens_f, d_n_f,
+                    b.dictw[:, :], b.dlens[:, :],
+                    get_col(b.regsi[:, :], R_DICT_N),
                     _pack_words(_select32(wl, bi)), D,
                 )
-                vetoed = vetoed | (
-                    pending & (bi >= 2) & (vl > 0)
-                    & (vl * f1 > bi + 1)
+                vetoed = (
+                    pending & (bi >= 2) & (vl > 0) & (vl * f1 > bi + 1)
+                )
+                result = jnp.where(pending & ~vetoed, bi + 1, result)
+                clear = vetoed & (iota128 == bi)
+                b.rem_scr[:, :] = jnp.where(
+                    iota128 == 127, result, jnp.where(clear, 0, st)
+                )
+                return it + 1, jnp.sum((result == 0).astype(I32)) > 0
+
+            jax.lax.while_loop(
+                sweep_cond, sweep_round,
+                (jnp.int32(0), jnp.sum(e.active.astype(I32)) > 0),
+            )
+            e.fbm = b.rem_scr[:, 127:128]
+            return
+        if (f1 > 0 or f2 > 0) and "sweepfast" not in ablate:
+            wl = b.winlo[:, :]  # fresh ref read (see ph_window)
+            vl_cols = [jnp.zeros((L, 1), I32)]  # o = 0 unused (o >= 1)
+            for o in range(1, MML):
+                vl_cols.append(_probe_best_len(
+                    e.dictw_v, e.dlens_v, e.d_n,
+                    _pack_words(wl[:, o : o + MML]), D,
+                ))
+            VL = jnp.concatenate(vl_cols, axis=1)  # [L, MML]
+            veto = jnp.zeros((L, MML), jnp.bool_)
+            if f1 > 0:
+                veto = veto | (
+                    (iota32c >= 2) & (VL > 0) & (VL * f1 > iota32c + 1)
                 )
             if f2 > 0:
-                veto2 = jnp.zeros((L, 1), jnp.bool_)
-                for o in range(1, MML):
-                    vl_o = _probe_best_len(
-                        dictw_f, dlens_f, d_n_f,
-                        _pack_words(wl[:, o : o + MML]), D,
-                    )
-                    veto2 = veto2 | (
-                        (o <= bi) & (vl_o > 0)
-                        & ((vl_o - o) * f2 > bi + 1)
-                    )
-                vetoed = vetoed | (pending & (bi >= 1) & veto2)
-            result = jnp.where(pending & ~vetoed, bi + 1, result)
-            b.res_scr[:, :] = jnp.where(iota128 == 0, result,
-                                        b.res_scr[:, :])
-            clear = vetoed & (iota128 == bi)
-            b.rem_scr[:, :] = jnp.where(clear, 0, b.rem_scr[:, :])
-            return it + 1, jnp.sum((result == 0).astype(I32)) > 0
-
-        jax.lax.while_loop(
-            sweep_cond, sweep_round,
-            (jnp.int32(0), jnp.sum(e.active.astype(I32)) > 0),
+                # x[o] = vl[o] - o for o >= 1 (vl[o] = 0 gives a
+                # negative value that can never veto, matching the
+                # reference's vl > 0 requirement); pm[i] = max x[1..i]
+                x = jnp.where(iota32c >= 1, VL - iota32c, -(1 << 20))
+                pm = x
+                sh = 1
+                while sh < MML:
+                    pm = jnp.maximum(pm, jnp.concatenate(
+                        [jnp.full((L, sh), -(1 << 20), I32),
+                         pm[:, : MML - sh]], axis=1))
+                    sh *= 2
+                veto = veto | ((iota32c >= 1) & (pm * f2 > iota32c + 1))
+            ok = ok & ~veto
+        key = jnp.where(ok, level * MML + iota32c, -1)
+        has = jnp.any(ok, axis=1, keepdims=True)
+        kmax = jnp.max(key, axis=1, keepdims=True)
+        best_i = jnp.max(
+            jnp.where(key == kmax, iota32c, -1), axis=1, keepdims=True
         )
-        e.fbm = b.res_scr[:, 0:1]
+        e.fbm = jnp.where(has, best_i + 1, 1)
 
     def ph_wait_c0(b, e):
         """Wait the ctx0 row DMA; fetch its promoted span if any."""
@@ -1368,6 +1418,8 @@ def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
     G8 = G * L
     trows = vc.text_bytes // 128
     orows = vc.out_words // 128
+    SCAN_ = params.window - MML - 1
+    SCANP_ = max((SCAN_ + 127) // 128 * 128, 128)  # scan_scr width
 
     kern = functools.partial(
         encoder_kernel, vc=vc, params=params, nsteps=nsteps,
@@ -1413,11 +1465,11 @@ def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
         pltpu.VMEM((L, vc.pb2_1, 128), I32),    # c1chug
         pltpu.VMEM((L, 2, 128), I32),           # stage
         pltpu.VMEM((L, 128), I32),              # rem_scr
-        pltpu.VMEM((L, 128), I32),              # res_scr
         pltpu.VMEM((L, 128), I32),              # xfer
         pltpu.VMEM((L, 128), I32),              # acw
         pltpu.VMEM((L, 128), jnp.float32),      # acwf
         pltpu.VMEM((L, vc.wbuf), I32),          # winlo (see ph_window)
+        pltpu.VMEM((L, SCANP_, ), I32),         # scan_scr (run bitmap)
         # Fetch semaphores are PER LANE: the fetched scratch is read
         # right after the wait loop, and a shared counting semaphore is
         # racy there (lane 0's wait can be satisfied by lane 3's
