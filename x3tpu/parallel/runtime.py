@@ -412,8 +412,16 @@ def compress(
         else:
             from x3tpu import host
 
+            # STRIDED sample (one slice per block region), usage-ranked:
+            # a head-only sample over-fits the input's first file and
+            # measured ratio-NEGATIVE on a 16 MiB diverse corpus, while
+            # strided samples recovered ~half the block-splitting loss
+            # (BENCH_NOTES.md "Ratio at scale")
+            per = max(seed_sample // max(len(parts), 1), 1)
+            sample = b"".join(p[:per] for p in parts)
             strs, lens = host.train_seeds(
-                data[:seed_sample], params, min(seed_k, caps.dict_cap // 2)
+                sample, params, min(seed_k, caps.dict_cap // 2),
+                ranked=True,
             )
             seed_bytes = [bytes(strs[i][: lens[i]]) for i in range(len(lens))]
             if journal is not None:
