@@ -296,3 +296,45 @@ def test_profiling_trace(tmp_path):
     found = any("xplane" in f or "trace" in f.lower()
                 for _, _, fs in os.walk(tmp_path) for f in fs)
     assert found, "no trace artifacts written"
+
+
+def test_vm_compile_infra_failure_falls_back_to_xla(monkeypatch):
+    """A VM launch dying in the compile infrastructure (axon relay
+    remote-compile helper crash / Mosaic scoped-VMEM) must fall back to
+    the XLA chunked driver instead of failing the wave; genuine kernel
+    errors must stay loud."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from x3tpu import codec, vm
+    from x3tpu.parallel import runtime
+
+    data = b"fallback path exercise " * 40
+    caps = dataclasses.replace(CAPS, engine="vm_interpret")
+    text, tlen = codec.pack_blocks([data], PARAMS, caps)
+
+    def boom(*a, **k):
+        raise RuntimeError(
+            "INTERNAL: http://127.0.0.1:8093/remote_compile: HTTP 500: "
+            "tpu_compile_helper subprocess exit code 1")
+
+    monkeypatch.setattr(vm, "encode_blocks_vm_chunked", boom)
+    w, bl, *_ = runtime._encode_one_device(
+        jnp.asarray(text), jnp.asarray(tlen), PARAMS, caps, None)
+    import numpy as np
+
+    got = np.asarray(w)[0].astype("<u4").tobytes()[: int(np.asarray(bl)[0])]
+    from x3tpu import spec
+
+    assert got == spec.encode(data, PARAMS)
+
+    def genuine(*a, **k):
+        raise RuntimeError("some real kernel bug")
+
+    monkeypatch.setattr(vm, "encode_blocks_vm_chunked", genuine)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="real kernel bug"):
+        runtime._encode_one_device(
+            jnp.asarray(text), jnp.asarray(tlen), PARAMS, caps, None)
