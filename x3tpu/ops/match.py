@@ -100,6 +100,32 @@ def best_match_sweep(
         best_i = jnp.argmax(key, axis=1).astype(I32)
         return jnp.where(active & has, best_i + 1, 1)
 
+    if f2 > 0:
+        # LOOP-FREE: the veto probes vl[o] (longest dict entry prefixing
+        # the window at offset o) don't depend on the candidate, and a
+        # vetoed candidate is vetoed at every threshold, so the sweep is
+        # exactly "argmax of (level, i) over non-vetoed candidates".
+        # One batch of MML-1 probes replaces the while_loop's
+        # MML-1-probes-PER-ROUND fori (same restructure as the VM
+        # kernel's phase F); f2's exists-o<=i test is a cummax of
+        # vl[o]-o.
+        vls = [jnp.zeros((lanes,), I32)]
+        for o in range(1, MAX_MATCH_LEN):
+            vls.append(dict_probe_len(
+                d, win[:, o : o + MAX_MATCH_LEN]).astype(I32))
+        vl = jnp.stack(vls, axis=1)  # [L, MML]
+        veto = jnp.zeros((lanes, MAX_MATCH_LEN), jnp.bool_)
+        if f1 > 0:
+            veto = veto | ((iota >= 2) & (vl > 0) & (vl * f1 > iota + 1))
+        x = jnp.where(iota >= 1, vl - iota, -(1 << 20))
+        pm = jax.lax.cummax(x, axis=1)
+        veto = veto | ((iota >= 1) & (pm * f2 > iota + 1))
+        ok = cand0 & ~veto
+        key = jnp.where(ok, level * MAX_MATCH_LEN + iota, -1)
+        has = jnp.any(ok, axis=1)
+        best_i = jnp.argmax(key, axis=1).astype(I32)
+        return jnp.where(active & has, best_i + 1, 1)
+
     result0 = jnp.where(active, 0, 1).astype(I32)  # 0 = unresolved
 
     def cond(carry):
