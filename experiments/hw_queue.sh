@@ -16,9 +16,11 @@ run() { # name timeout cmd...
   local rc=$?
   echo "=== $name rc=$rc ($(date +%H:%M:%S)) ===" | tee -a $LOG/queue.log
   tail -3 "$LOG/$name.log" | tee -a $LOG/queue.log
-  # a killed TPU process holds the device grant ~2 min; let it lapse
-  # before the next stage's init or that process wedges (CLAUDE.md)
-  [ $rc -ne 0 ] && sleep 150
+  # the device grant lingers ~2 min after the previous process exits —
+  # EVEN after a clean rc=0 exit (measured 2026-08-20: a stage started
+  # 2:00 after a clean exit wedged at its first device op, 0 progress
+  # in 12 min).  Always let it lapse before the next stage.
+  sleep 180
   return $rc
 }
 
