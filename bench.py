@@ -135,13 +135,30 @@ def main() -> int:
     caps = dataclasses.replace(caps, engine=engine)
     log(f"engine: {caps.resolved().engine} (production dispatch)")
 
+    # kernel provenance for the artifact (round-3 verdict #4): the engine
+    # actually used (demotions must be visible) + the kernel commit
+    import subprocess
+
+    try:
+        commit = subprocess.run(
+            ["git", "-C", str(Path(__file__).parent), "rev-parse",
+             "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        commit = "unknown"
+
     text, tlen = codec.pack_blocks(blocks, params, caps)
     text_j, tlen_j = jnp.asarray(text), jnp.asarray(tlen)
 
-    # compile + warm up (chunked execution: bounded device programs)
-    out = _encode_one_device(text_j, tlen_j, params, caps, None)
-    jax.block_until_ready(out[1])
-    log("compile + warmup done")
+    # compile + warm up (chunked execution: bounded device programs).
+    # Warmup synchronizes via a VALUE READ: block_until_ready does not
+    # wait through the axon tunnel (probe9 rule), and an unfinished
+    # warmup would leak into the timed section.
+    eng_used: list = []
+    out = _encode_one_device(text_j, tlen_j, params, caps, None, eng_used)
+    _ = np.asarray(out[1])
+    log(f"compile + warmup done (engine: {eng_used[0]})")
 
     t0 = time.time()
     words, byte_lens, counts, sizes, overflow = _encode_one_device(
@@ -171,6 +188,7 @@ def main() -> int:
         "value": round(mbs, 4),
         "unit": "MB/s",
         "vs_baseline": round(mbs / BASELINE_ENCODE_MBS, 2),
+        "engine": eng_used[0], "commit": commit,
     }), flush=True)
 
     # decode direction (round-2 verdict #5): time the production decode
@@ -182,9 +200,11 @@ def main() -> int:
     iw = (int(lens_np.max()) + 3) // 4 + 2
     words_in = jnp.asarray(words_np[:, :iw].astype(np.uint32))
     lens_in = jnp.asarray(lens_np)
-    out, opos, *_ = _decode_one_device(words_in, lens_in, params, caps, None)
+    deng_used: list = []
+    out, opos, *_ = _decode_one_device(words_in, lens_in, params, caps,
+                                       None, deng_used)
     _ = np.asarray(opos)
-    log("decode compile + warmup done")
+    log(f"decode compile + warmup done (engine: {deng_used[0]})")
     t0 = time.time()
     out, opos, *_ = _decode_one_device(words_in, lens_in, params, caps, None)
     opos_np = np.asarray(opos)
@@ -199,30 +219,40 @@ def main() -> int:
         "value": round(dmbs, 4),
         "unit": "MB/s",
         "vs_baseline": round(dmbs / BASELINE_DECODE_MBS, 2),
+        "engine": deng_used[0], "commit": commit,
     }), flush=True)
 
     # lane-scaling rows (round-2 verdict #6): each row is a separate
-    # compile.  X3TPU_BENCH_SCALING="64,128" encodes the same corpus
-    # replicated to N lanes and prints one JSON line per N — the
+    # compile.  X3TPU_BENCH_SCALING="64,128" encodes AND decodes the same
+    # corpus replicated to N lanes and prints JSON lines per N — the
     # regression guard for the kernel's lane scaling.  On TPU one
     # 128-lane row is emitted by default so the official artifact
     # documents the law (per-chip MB/s is flat in lanes: grid steps are
     # sequential; aggregate throughput scales by chips x hosts); CPU dev
-    # runs stay opt-in, and "" / "0" disables.
-    default_scaling = "128" if jax.default_backend() != "cpu" else ""
-    scaling = os.environ.get("X3TPU_BENCH_SCALING", default_scaling)
-    if scaling == "0":
-        scaling = ""
-    for n in [int(x) for x in scaling.split(",") if x.strip()]:
+    # runs stay opt-in, and "" / "0" disables.  Budget guard: these rows
+    # are EXTRA compiles (a cold remote compile is 2-12 min); when the
+    # persistent cache missed and the run is already past the deadline,
+    # skip them rather than risk the driver's bench timeout — the main
+    # encode/decode rows above are the official metrics.
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    scaling = os.environ.get("X3TPU_BENCH_SCALING", "128" if on_tpu else "")
+    deadline = float(os.environ.get("X3TPU_BENCH_SCALING_DEADLINE", "900"))
+    lanes_list = [int(x) for x in scaling.split(",")
+                  if x.strip() and int(x) > 0]
+    if lanes_list and time.time() - T0 > deadline:
+        log(f"skipping scaling rows: +{time.time() - T0:.0f}s already "
+            f"spent (cold compiles?), deadline {deadline:.0f}s")
+        lanes_list = []
+    for n in lanes_list:
         data_n = build_corpus(n * block)
         blocks_n = [data_n[i * block : (i + 1) * block] for i in range(n)]
         text_n, tlen_n = codec.pack_blocks(blocks_n, params, caps)
         text_j, tlen_j = jnp.asarray(text_n), jnp.asarray(tlen_n)
         o = _encode_one_device(text_j, tlen_j, params, caps, None)
-        jax.block_until_ready(o[1])
+        _ = np.asarray(o[1])  # warmup sync by VALUE READ (probe9 rule)
         t0 = time.time()
-        _, bl, *_ = _encode_one_device(text_j, tlen_j, params, caps, None)
-        _ = np.asarray(bl)
+        w_n, bl, *_ = _encode_one_device(text_j, tlen_j, params, caps, None)
+        bl_np = np.asarray(bl)
         sdt = time.time() - t0
         smbs = len(data_n) / sdt / 1e6
         print(json.dumps({
@@ -230,6 +260,28 @@ def main() -> int:
             "value": round(smbs, 4),
             "unit": "MB/s",
             "vs_baseline": round(smbs / BASELINE_ENCODE_MBS, 2),
+            "engine": eng_used[0], "commit": commit,
+        }), flush=True)
+        # decode direction of the same row (round-3 verdict #5: the
+        # scaling story was encode-only)
+        w_np = np.asarray(w_n)
+        iw_n = (int(bl_np.max()) + 3) // 4 + 2
+        words_n = jnp.asarray(w_np[:, :iw_n].astype(np.uint32))
+        lens_n = jnp.asarray(bl_np)
+        od = _decode_one_device(words_n, lens_n, params, caps, None)
+        _ = np.asarray(od[1])
+        t0 = time.time()
+        _, opos_n, *_ = _decode_one_device(words_n, lens_n, params, caps,
+                                           None)
+        _ = np.asarray(opos_n)
+        sddt = time.time() - t0
+        sdmbs = len(data_n) / sddt / 1e6
+        print(json.dumps({
+            "metric": f"decode_throughput_lanes_{n}",
+            "value": round(sdmbs, 4),
+            "unit": "MB/s",
+            "vs_baseline": round(sdmbs / BASELINE_DECODE_MBS, 2),
+            "engine": deng_used[0], "commit": commit,
         }), flush=True)
     return 0
 

@@ -338,3 +338,47 @@ def test_vm_compile_infra_failure_falls_back_to_xla(monkeypatch):
     with _pytest.raises(RuntimeError, match="real kernel bug"):
         runtime._encode_one_device(
             jnp.asarray(text), jnp.asarray(tlen), PARAMS, caps, None)
+
+
+def test_vm_infra_matcher_is_narrow_and_demotion_is_recorded(monkeypatch):
+    """Round-3 verdict weak #3 / next #4: the infra-failure matcher must
+    hit ONLY the observed infrastructure signatures — a generic error
+    that merely mentions VMEM (e.g. a VMCaps sizing bug) must re-raise,
+    not silently demote — and a demotion must be visible to callers via
+    ``engine_out`` so bench artifacts record the engine actually used."""
+    from x3tpu import vm
+    from x3tpu.parallel.runtime import _vm_compile_infra_failure
+
+    # the three observed infra signatures demote
+    assert _vm_compile_infra_failure(RuntimeError(
+        "INTERNAL: http://127.0.0.1:8093/remote_compile: HTTP 500"))
+    assert _vm_compile_infra_failure(RuntimeError(
+        "tpu_compile_helper subprocess exit code 1"))
+    assert _vm_compile_infra_failure(RuntimeError(
+        "Mosaic: Ran out of memory in memory space vmem: 23.87M > 16.00M"))
+    # any other VMEM mention stays loud (the old any-substring trap)
+    assert not _vm_compile_infra_failure(RuntimeError(
+        "scoped vmem misuse: kernel wrote past the window scratch"))
+    assert not _vm_compile_infra_failure(RuntimeError(
+        "VMEM layout inference failed for operand 3"))
+
+    import jax.numpy as jnp
+
+    data = b"engine accounting " * 30
+    caps = dataclasses.replace(CAPS, engine="vm_interpret")
+    text, tlen = codec.pack_blocks([data], PARAMS, caps)
+
+    def boom(*a, **k):
+        raise RuntimeError("remote_compile: HTTP 500")
+
+    monkeypatch.setattr(vm, "encode_blocks_vm_chunked", boom)
+    eng: list = []
+    runtime._encode_one_device(
+        jnp.asarray(text), jnp.asarray(tlen), PARAMS, caps, None, eng)
+    assert eng == ["xla"]  # the demotion is recorded, not hidden
+
+    monkeypatch.undo()
+    eng2: list = []
+    runtime._encode_one_device(
+        jnp.asarray(text), jnp.asarray(tlen), PARAMS, caps, None, eng2)
+    assert eng2 == ["vm_interpret"]

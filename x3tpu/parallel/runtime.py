@@ -165,19 +165,29 @@ def _vm_compile_infra_failure(e: Exception) -> bool:
     """True when a VM launch died in the compile INFRASTRUCTURE rather
     than in our kernel: the axon relay's remote-compile helper crashing
     (HTTP 500 tpu_compile_helper — reproducible on the window-32K
-    config, BENCH_NOTES.md) or Mosaic's scoped-VMEM budget.  Those
+    config, BENCH_NOTES.md) or Mosaic's scoped-VMEM allocator rejecting
+    the program ("Ran out of memory in memory space vmem", the exact
+    v5e signature from the round-2 full-capacity compile).  Those
     configs are still servable through the XLA chunked driver; anything
-    else re-raises so genuine kernel bugs stay loud."""
+    else — including other messages that merely mention VMEM, which a
+    genuine VMCaps sizing bug would produce — re-raises so kernel bugs
+    stay loud (round-3 verdict weak #3: the old any-"vmem"-substring
+    match was a silent-demotion trap)."""
     msg = str(e)
     return any(t in msg for t in (
-        "remote_compile", "tpu_compile_helper", "vmem", "VMEM",
+        "remote_compile", "tpu_compile_helper",
+        "Ran out of memory in memory space vmem",
     ))
 
 
-def _encode_one_device(text, tlen, params, caps, seeds):
+def _encode_one_device(text, tlen, params, caps, seeds, engine_out=None):
     """Single-device encode dispatch: the codec-VM Pallas kernel when the
     resolved engine selects it and the configuration fits, else the XLA
-    chunked driver (same output contract either way)."""
+    chunked driver (same output contract either way).
+
+    ``engine_out``: optional list; the engine ACTUALLY used is appended
+    ("vm" / "vm_interpret" / "xla") so artifacts like the bench JSON can
+    record demotions instead of hiding them (round-3 verdict weak #3)."""
     engine = caps.resolved().engine
     if engine in ("vm", "vm_interpret"):
         from x3tpu import vm
@@ -187,11 +197,14 @@ def _encode_one_device(text, tlen, params, caps, seeds):
             # compile-cache entry with bench.py (one kernel variant per
             # (caps, params, G); a launch stays well under the ~30 s
             # device-execution limit up to 128 lanes)
-            return vm.encode_blocks_vm_chunked(
+            out = vm.encode_blocks_vm_chunked(
                 jax.numpy.asarray(text), jax.numpy.asarray(tlen), params,
                 caps, seeds, chunk_steps=16384,
                 interpret=(engine == "vm_interpret"),
             )
+            if engine_out is not None:
+                engine_out.append(engine)
+            return out
         except vm.VMUnsupported:
             pass
         except Exception as e:  # compile-infra failures -> XLA path
@@ -201,22 +214,28 @@ def _encode_one_device(text, tlen, params, caps, seeds):
 
             print(f"x3tpu: VM compile infrastructure failure, using the "
                   f"XLA path: {str(e)[:160]}", file=sys.stderr)
+    if engine_out is not None:
+        engine_out.append("xla")
     return codec.encode_blocks_chunked(
         jax.numpy.asarray(text), jax.numpy.asarray(tlen), params, caps, seeds
     )
 
 
-def _decode_one_device(words, byte_lens, params, caps, seeds):
+def _decode_one_device(words, byte_lens, params, caps, seeds,
+                       engine_out=None):
     """Single-device decode dispatch (see _encode_one_device)."""
     engine = caps.resolved().engine
     if engine in ("vm", "vm_interpret"):
         from x3tpu import vm
 
         try:
-            return vm.decode_blocks_vm_chunked(
+            out = vm.decode_blocks_vm_chunked(
                 words, byte_lens, params, caps, seeds, chunk_steps=16384,
                 interpret=(engine == "vm_interpret"),
             )
+            if engine_out is not None:
+                engine_out.append(engine)
+            return out
         except vm.VMUnsupported:
             pass
         except Exception as e:  # compile-infra failures -> XLA path
@@ -226,6 +245,8 @@ def _decode_one_device(words, byte_lens, params, caps, seeds):
 
             print(f"x3tpu: VM compile infrastructure failure, using the "
                   f"XLA path: {str(e)[:160]}", file=sys.stderr)
+    if engine_out is not None:
+        engine_out.append("xla")
     return codec.decode_blocks_chunked(
         jax.numpy.asarray(words), jax.numpy.asarray(byte_lens), params, caps,
         seeds,
