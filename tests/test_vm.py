@@ -794,3 +794,63 @@ def test_vm_sub_batched_sharded_mesh():
     out, opos = np.asarray(out), np.asarray(opos)
     for i, b in enumerate(blocks):
         assert bytes(out[i][: opos[i]]) == b, f"dec {i}"
+
+
+def test_vm_gated_probe_bit_exact():
+    """The tiered dictionary probe (vc.probe_gate: words 0-1 dense, words
+    2-7 under the any-long-entry-alive gate; kernel.py ph_probe_scan /
+    ph_sweep, kernel_dec.py dup probe) must be stream-identical to the
+    dense probe.  The corpus drives BOTH gate outcomes: long repeated
+    fragments insert > 8-byte dictionary entries that later 8-byte-match
+    (gate fires), interleaved with short/random text (gate idle).  Run
+    at a small D with probe_gate forced on so the interpret compile
+    stays cheap; the derived threshold (D >= 4096) is covered by the
+    real-capacity tests."""
+    import dataclasses
+
+    from x3tpu.vm import decode_blocks_vm_chunked
+    from x3tpu.vm.config import vm_caps
+
+    params = X3Params(max_match_count=4, window=256)
+    caps = CodecCaps(
+        dict_cap=512, pair_cap=2048, ctx_items_cap=128,
+        ctx0_items_cap=128, ctx_small_cap=16, block_bytes=4096,
+    )
+    vc = dataclasses.replace(vm_caps(params, caps), probe_gate=True)
+    rng = np.random.default_rng(11)
+    long_frag = b"abcdefghijklmnopqrstuvwxyz0123456"  # 33B -> 32B entries
+    blocks = [
+        (long_frag + b"-%04d-" % 7 + long_frag) * 30,      # long matches
+        b"the quick brown fox jumps over the lazy dog. " * 40,
+        rng.integers(0, 256, 1500, np.uint8).tobytes(),    # gate idle
+        (long_frag[:12] + b"##") * 100,                    # 9-12B entries
+    ]
+    text, tlen = codec.pack_blocks(blocks, params, caps)
+    words, byte_lens, counts, sizes, of = encode_blocks_vm_chunked(
+        text, tlen, params, caps, chunk_steps=4096, interpret=True, vc=vc
+    )
+    words = np.asarray(words)
+    byte_lens = np.asarray(byte_lens)
+    for f in of._fields:
+        assert not np.asarray(getattr(of, f)).any(), f"overflow {f}"
+    payloads = []
+    for i, b in enumerate(blocks):
+        got = words[i].astype("<u4").tobytes()[: byte_lens[i]]
+        assert got == spec.encode(b, params), f"block {i} ({len(b)}B)"
+        payloads.append(got)
+
+    # decode direction (gated dup probe) round-trips the same streams
+    iw = max((len(s) + 3) // 4 for s in payloads) + 2
+    wsrc = np.zeros((len(payloads), iw), np.uint32)
+    lens = np.zeros((len(payloads),), np.int32)
+    for i, s in enumerate(payloads):
+        arr = np.frombuffer(s + b"\x00" * ((-len(s)) % 4), "<u4")
+        wsrc[i, : len(arr)] = arr
+        lens[i] = len(s)
+    out, opos, *_ = decode_blocks_vm_chunked(
+        wsrc, lens, params, caps, chunk_steps=4096, interpret=True, vc=vc
+    )
+    out = np.asarray(out)
+    opos = np.asarray(opos)
+    for i, b in enumerate(blocks):
+        assert out[i, : opos[i]].tobytes() == b, f"decode block {i}"

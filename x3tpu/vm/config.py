@@ -120,6 +120,14 @@ class VMCaps:
     nr2_1: int = 0         # rows per section in a ctx1 huge span
     big_trig0: int = BIG0  # big->huge promotion threshold (test hook)
     big_trig1: int = BIG1
+    # Tiered dictionary probe (large-D regimes): words 0-1 of the 8-word
+    # prefix compare run densely, words 2-7 only under a scalar gate
+    # "any entry longer than 8 bytes is still 8-byte-alive" — exact by
+    # construction (see kernel.py ph_probe_scan).  Static so default
+    # configs compile byte-identical kernels; vm_caps enables it at
+    # D >= 4096 where the dense probe dominates the event budget
+    # (measured ~20 us/event at D = 24576, round-3 verdict #3).
+    probe_gate: bool = False
 
     @property
     def s1(self) -> int:
@@ -184,9 +192,9 @@ class VMCaps:
         """Estimated VMEM-resident bytes for ONE 8-lane sub-batch:
         dictionary planes + hubs + window segment + row/huge scratch."""
         return 4 * LANES * (
-            12 * self.dict_cap + 5 * self.hub0
+            (13 if self.probe_gate else 12) * self.dict_cap + 5 * self.hub0
             # seg32 + tseg + winlo (full-window materialization) +
-            # scan_scr (~wbuf) + models
+            # scan_scr (~wbuf) + models (+ mlen_scr when probe_gate)
             + (3 * (self.wbuf // 128)
                + _round_up(self.wbuf, SEG_ALIGN) // 128 + 12) * 128
             + (self.pb2_0 + 2 * self.pb2_1 + 3 * PB + 16) * 128
@@ -258,6 +266,7 @@ def vm_caps(params: X3Params, caps: CodecCaps) -> VMCaps:
         block_bytes=caps.block_bytes,
         out_words=_round_up(caps.out_words, FLUSH_WORDS),
         h2_0=h2_0, h2_1=h2_1, nr2_0=nr2_0, nr2_1=nr2_1,
+        probe_gate=(d >= 4096),
     )
     # VMEM budget for one 8-lane sub-batch.  The per-kernel scoped-VMEM
     # limit can be raised to ~120 MiB (prims.vmem_compiler_params; v5e has

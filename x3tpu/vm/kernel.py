@@ -64,7 +64,7 @@ L = LANES
 MML = MAX_MATCH_LEN
 
 N_STATE = 19   # carried state arrays per sub-batch (16 VMEM + 3 HBM)
-N_SCR = 22     # scratch refs per sub-batch (18 VMEM + 4 DMA semaphores)
+N_SCR = 23     # scratch refs per sub-batch (19 VMEM + 4 DMA semaphores)
 
 # xfer scratch columns (vector -> scalar handoffs for DMA addressing)
 XC_NEED, XC_ROW0, XC_RPREV, XC_RCUR, XC_BPREV, XC_BCUR = 0, 1, 2, 3, 4, 5
@@ -74,6 +74,8 @@ XC_FLUSH, XC_FROW = 14, 15
 # huge-tier columns (only written when the tier is compiled in)
 XC_GPREV, XC_GCUR, XC_GC0 = 16, 17, 18
 XC_WB1G, XC_WB1GS, XC_WB0G, XC_WB0GS = 19, 20, 21, 22
+# gated-probe columns (only written when vc.probe_gate)
+XC_VL, XC_BI = 23, 24
 # acw scratch columns (AC state bridge across the literal while-loop)
 AC_LOW, AC_HIGH, AC_SCALE, AC_NBITS, AC_OFLOW = 0, 1, 2, 3, 4
 
@@ -127,9 +129,36 @@ def _probe_matchlen(dictw, tw, D):
     )
 
 
-def _probe(dictw, dlens, d_n, tw, D):
-    """Longest-prefix probe: (found, slot, dlen, matchlen[8,D])."""
-    mlen = _probe_matchlen(dictw, tw, D)
+def _probe_matchlen_2w(dictw, tw, D):
+    """First tier of the gated probe: words 0-1 only.  Returns
+    (mlen_p [8, D], run2 [8, D] bool) where ``mlen_p`` is the true match
+    length capped at 8 (exact below 8; entries with ``run2`` alive have
+    true mlen >= 8).  Exactness contract of the cap, relied on by every
+    consumer when the gate does not fire (no entry with dlens > 8 is
+    8-byte-alive):
+      * ok = mlen >= dlens: for dlens <= 8 the cap preserves the
+        comparison (alive -> both sides >= 8 >= dlens; dead -> exact);
+        for dlens > 8 the entry is run2-dead, so mlen_p < 8 < dlens is
+        exactly false.
+      * dup = (dlens == m) & (mlen >= m): for m <= 8 as above; for
+        m > 8 only dlens > 8 entries qualify and those are run2-dead."""
+    run = jnp.ones((L, D), jnp.bool_)
+    words = jnp.zeros((L, D), I32)
+    xw_sel = jnp.zeros((L, D), I32)
+    for w in range(2):
+        sw = dictw[:, w * D : (w + 1) * D]
+        eq = sw == tw[w]
+        first_diff = run & ~eq
+        xw_sel = jnp.where(first_diff, sw ^ tw[w], xw_sel)
+        run = run & eq
+        words = words + run.astype(I32)
+    mlen_p = words * 4 + jnp.where(xw_sel != 0, _byte_refine(xw_sel), 0)
+    return mlen_p, run
+
+
+def _probe_select(dlens, d_n, mlen, D):
+    """Selection half of the probe: (found, slot, dlen) from a match-length
+    table (dict.c:105-130's longest-entry-wins, first-slot tie-break)."""
     iota = col_iota(D)
     valid = iota < d_n
     ok = valid & (dlens > 0) & (mlen >= dlens)
@@ -140,7 +169,14 @@ def _probe(dictw, dlens, d_n, tw, D):
         keepdims=True,
     )
     slot = jnp.where(slot == D, 0, slot)
-    return dlen > 0, slot, dlen, mlen
+    return dlen > 0, slot, dlen
+
+
+def _probe(dictw, dlens, d_n, tw, D):
+    """Longest-prefix probe: (found, slot, dlen, matchlen[8,D])."""
+    mlen = _probe_matchlen(dictw, tw, D)
+    found, slot, dlen = _probe_select(dlens, d_n, mlen, D)
+    return found, slot, dlen, mlen
 
 
 def _probe_best_len(dictw, dlens, d_n, tw, D):
@@ -183,7 +219,7 @@ STATE_NAMES = (
 SCR_NAMES = (
     "tseg", "seg32", "c0in", "c0big", "c1pin", "c1pbig", "c1cin", "c1cbig",
     "c0hug", "c1phug", "c1chug", "stage", "rem_scr", "xfer",
-    "acw", "acwf", "winlo", "scan_scr",
+    "acw", "acwf", "winlo", "scan_scr", "mlen_scr",
     "sem_seg", "sem_row", "sem_wb", "sem_out",
 )
 
@@ -442,6 +478,28 @@ def encoder_kernel(
             e.slot = jnp.zeros((L, 1), I32)
             e.dlen = jnp.zeros((L, 1), I32)
             e.probe_mlen = jnp.zeros((L, D), I32)
+        elif vc.probe_gate:
+            # tiered probe (round-3 verdict #3: the O(D) dense probe
+            # dominates MB-block events): words 0-1 dense, words 2-7
+            # only when some entry LONGER than 8 bytes is 8-byte-alive
+            # — exactness argued at _probe_matchlen_2w.  The rare full
+            # recompute stages through mlen_scr (a ref store is a hard
+            # materialization point; the SB >= 2 remat hazard rule).
+            mlen_p, run2 = _probe_matchlen_2w(e.dictw_v, e.tw, D)
+            ext = run2 & (e.dlens_v > 8) & (iotaD < e.d_n)
+            b.mlen_scr[:, :] = mlen_p
+
+            @pl.when(jnp.any(ext))
+            def _():
+                # fresh ref reads only (winlo/dictw are within-event
+                # stable; see ph_window's materialization note)
+                tw2 = _pack_words(b.winlo[:, :])
+                b.mlen_scr[:, :] = _probe_matchlen(b.dictw[:, :], tw2, D)
+
+            e.probe_mlen = b.mlen_scr[:, :]
+            e.found, e.slot, e.dlen = _probe_select(
+                e.dlens_v, e.d_n, e.probe_mlen, D
+            )
         else:
             e.found, e.slot, e.dlen, e.probe_mlen = _probe(
                 e.dictw_v, e.dlens_v, e.d_n, e.tw, D
@@ -662,11 +720,43 @@ def encoder_kernel(
                 result = jnp.where(unresolved & ~has, 1, result)
                 pending = unresolved & has
                 wl = b.winlo[:, :]      # fresh ref reads
-                vl = _probe_best_len(
-                    b.dictw[:, :], b.dlens[:, :],
-                    get_col(b.regsi[:, :], R_DICT_N),
-                    _pack_words(_select32(wl, bi)), D,
-                )
+                if vc.probe_gate:
+                    # tiered veto probe (see ph_probe_scan): dense
+                    # words 0-1 decide dlens <= 8 exactly; longer
+                    # entries need the gated full probe only when
+                    # 8-byte-alive.  Result + candidate offset stage
+                    # through xfer columns across the pl.when.
+                    tw_b = _pack_words(_select32(wl, bi))
+                    dls = b.dlens[:, :]
+                    d_nv = get_col(b.regsi[:, :], R_DICT_N)
+                    mlp, run2 = _probe_matchlen_2w(b.dictw[:, :], tw_b, D)
+                    iota_d = col_iota(D)
+                    ok_p = ((iota_d < d_nv) & (dls > 0) & (dls <= 8)
+                            & (mlp >= dls))
+                    vl_p = jnp.max(jnp.where(ok_p, dls, 0), axis=1,
+                                   keepdims=True)
+                    ext = run2 & (dls > 8) & (iota_d < d_nv)
+                    b.xfer[:, :] = set_col(
+                        set_col(b.xfer[:, :], XC_VL, vl_p), XC_BI, bi
+                    )
+
+                    @pl.when(jnp.any(ext))
+                    def _():
+                        bi2 = get_col(b.xfer[:, :], XC_BI)
+                        tw2 = _pack_words(_select32(b.winlo[:, :], bi2))
+                        vlf = _probe_best_len(
+                            b.dictw[:, :], b.dlens[:, :],
+                            get_col(b.regsi[:, :], R_DICT_N), tw2, D,
+                        )
+                        b.xfer[:, :] = set_col(b.xfer[:, :], XC_VL, vlf)
+
+                    vl = get_col(b.xfer[:, :], XC_VL)
+                else:
+                    vl = _probe_best_len(
+                        b.dictw[:, :], b.dlens[:, :],
+                        get_col(b.regsi[:, :], R_DICT_N),
+                        _pack_words(_select32(wl, bi)), D,
+                    )
                 vetoed = (
                     pending & (bi >= 2) & (vl > 0) & (vl * f1 > bi + 1)
                 )
@@ -1470,6 +1560,9 @@ def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
         pltpu.VMEM((L, 128), jnp.float32),      # acwf
         pltpu.VMEM((L, vc.wbuf), I32),          # winlo (see ph_window)
         pltpu.VMEM((L, SCANP_, ), I32),         # scan_scr (run bitmap)
+        # mlen_scr: gated-probe staging ([L, D] when the tier is on;
+        # 128-wide unused dummy otherwise so the ref count is static)
+        pltpu.VMEM((L, D if vc.probe_gate else 128), I32),
         # Fetch semaphores are PER LANE: the fetched scratch is read
         # right after the wait loop, and a shared counting semaphore is
         # racy there (lane 0's wait can be satisfied by lane 3's

@@ -71,6 +71,8 @@ XC_FLUSH, XC_FROW = 14, 15
 # huge-tier columns (only written when the tier is compiled in)
 XC_GPREV, XC_GCUR, XC_GC0 = 16, 17, 18
 XC_WB1G, XC_WB1GS, XC_WB0G, XC_WB0GS = 19, 20, 21, 22
+# gated dup-probe columns (only written when vc.probe_gate)
+XC_DUP, XC_NLEN = 23, 24
 # acw scratch columns (AC state bridge across the literal while-loop)
 AC_LOW, AC_HIGH, AC_BUF, AC_BITPOS = 0, 1, 2, 3
 
@@ -630,12 +632,42 @@ def decoder_kernel(
         validD = iotaD < e.d_n
 
         # dup lookup of the decoded fragment (pre-insert state)
-        frag_mlen = _probe_matchlen(e.dictw_v, e.tw_frag, D)
-        dup = jnp.any(
-            validD & (e.dlens_v == e.length_new)
-            & (frag_mlen >= e.length_new) & e.is_new,
-            axis=1, keepdims=True,
-        )
+        if vc.probe_gate:
+            # large-D tier (round-3 verdict #3/#5): the dup probe is an
+            # O(D) dense compare needed only for E_NEW events (~3% of
+            # events in the measured 4 MB regime) — gate the WHOLE probe
+            # on any lane decoding one.  The result and the fragment
+            # length stage through xfer columns across the pl.when;
+            # everything read inside is a fresh ref read.
+            b.xfer[:, :] = set_col(
+                set_col(b.xfer[:, :], XC_DUP, jnp.zeros((L, 1), I32)),
+                XC_NLEN, e.length_new,
+            )
+
+            @pl.when(jnp.any(e.is_new))
+            def _():
+                ln2 = get_col(b.xfer[:, :], XC_NLEN)
+                frag = b.frag_scr[:, :MML]
+                twf = _pack_words(jnp.where(iota32c < ln2, frag, 0))
+                fm = _probe_matchlen(b.dictw[:, :], twf, D)
+                dls = b.dlens[:, :]
+                d_nv = get_col(b.regsi[:, :], R_DICT_N)
+                dup_v = jnp.any(
+                    (iotaD < d_nv) & (ln2 > 0) & (dls == ln2)
+                    & (fm >= ln2),
+                    axis=1, keepdims=True,
+                )
+                b.xfer[:, :] = set_col(b.xfer[:, :], XC_DUP,
+                                       dup_v.astype(I32))
+
+            dup = (get_col(b.xfer[:, :], XC_DUP) != 0) & e.is_new
+        else:
+            frag_mlen = _probe_matchlen(e.dictw_v, e.tw_frag, D)
+            dup = jnp.any(
+                validD & (e.dlens_v == e.length_new)
+                & (frag_mlen >= e.length_new) & e.is_new,
+                axis=1, keepdims=True,
+            )
 
         # MTF of the hit slot (rank = recency rank of slot_hit)
         rank_mtf = jnp.sum(jnp.where(iotaD == e.slot_hit, drank_v, 0),
