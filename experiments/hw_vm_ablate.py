@@ -36,9 +36,19 @@ def log(msg):
 
 def corpus(n):
     import os
-    if os.environ.get("X3TPU_ABLATE_CORPUS") == "bench":
+    which = os.environ.get("X3TPU_ABLATE_CORPUS", "")
+    if which == "bench":
         from bench import build_corpus
         return build_corpus(n)
+    if which == "so":
+        # binary-class corpus (config #3 proxy): biggest site-packages .so
+        import pathlib
+        sos = sorted(
+            pathlib.Path("/opt/venv/lib/python3.12/site-packages")
+            .rglob("*.so"), key=lambda p: -p.stat().st_size,
+        )
+        blob = b"".join(p.read_bytes() for p in sos[:16])
+        return (blob * (n // max(len(blob), 1) + 1))[:n]
     rng = np.random.default_rng(42)
     words = [
         b"the", b"compression", b"dictionary", b"context", b"adaptive",
@@ -71,6 +81,15 @@ ABLATIONS = [
     frozenset({"noprobe"}),
     frozenset({"noscan", "nosweep", "noac", "nolit", "noprobe"}),
 ]
+
+# X3TPU_ABLATE_SET="full,noscan,noprobe" picks a subset (giant configs:
+# each ablation is its own multi-minute remote compile)
+_sel = __import__("os").environ.get("X3TPU_ABLATE_SET")
+if _sel:
+    keys = [frozenset() if s.strip() == "full"
+            else frozenset(s.strip().split("+"))
+            for s in _sel.split(",") if s.strip()]
+    ABLATIONS = keys
 
 base_ev = None
 for ab in ABLATIONS:

@@ -44,9 +44,18 @@ def log(msg):
 
 def corpus(n):
     import os
-    if os.environ.get("X3TPU_ABLATE_CORPUS") == "bench":
+    which = os.environ.get("X3TPU_ABLATE_CORPUS", "")
+    if which == "bench":
         from bench import build_corpus
         return build_corpus(n)
+    if which == "so":
+        import pathlib
+        sos = sorted(
+            pathlib.Path("/opt/venv/lib/python3.12/site-packages")
+            .rglob("*.so"), key=lambda p: -p.stat().st_size,
+        )
+        blob = b"".join(p.read_bytes() for p in sos[:16])
+        return (blob * (n // max(len(blob), 1) + 1))[:n]
     rng = np.random.default_rng(42)
     words = [
         b"the", b"compression", b"dictionary", b"context", b"adaptive",
@@ -78,7 +87,8 @@ words_in = np.ascontiguousarray(w_np[:, :iw].astype(np.uint32))
 lens_in = bl_np
 log(f"encoded: max {bl_np.max()} bytes/lane, ev_max={ev_tot}")
 
-# dup2/pay2/... duplicate one phase each (see kernel_dec.py DUP_ABLATES)
+# dup2/pay2/... duplicate one phase each (see kernel_dec.py's
+# duplicated-phase ablation note)
 ABLATIONS = [
     frozenset(),
     frozenset({"dup2"}),      # dictionary dup probe (O(D))
@@ -87,6 +97,12 @@ ABLATIONS = [
     frozenset({"emit2"}),     # output extraction + barrel shift
     frozenset({"row2"}),      # ctx row find/stats (ph_payload side)
 ]
+
+_sel = __import__("os").environ.get("X3TPU_ABLATE_SET")
+if _sel:
+    ABLATIONS = [frozenset() if s.strip() == "full"
+                 else frozenset(s.strip().split("+"))
+                 for s in _sel.split(",") if s.strip()]
 
 base = None
 for ab in ABLATIONS:

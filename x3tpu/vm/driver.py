@@ -94,7 +94,9 @@ def _seed_dict_arrays(seeds, G8: int, D: int):
     iota = jnp.arange(D, dtype=I32)
     drank = jnp.tile(iota[None, :], (G8, 1))
     dtago = jnp.tile(iota[None, :], (G8, 1))
-    ixf = jnp.zeros((G8, D), I32).at[:, :K].set(1)
+    # ixf stores the index model as an INCLUSIVE cumulative-freq row
+    # (kernel.py ph_mode note): K freq-1 entries -> C[j] = min(j+1, K)
+    ixf = jnp.tile(jnp.minimum(iota + 1, K)[None, :], (G8, 1))
     return dictw, dlens, drank, dtago, ixf, K
 
 
@@ -405,8 +407,10 @@ def _finalize_dec(state, vc: VMCaps, obrows: int):
 
 @functools.lru_cache(maxsize=8)
 def _get_step_dec(vc: VMCaps, params: X3Params, nsteps: int, G: int,
-                  srows: int, obrows: int, interpret: bool, SB: int = 1):
-    call = build_decoder_call(vc, params, nsteps, G, srows, obrows, SB=SB)
+                  srows: int, obrows: int, interpret: bool, SB: int = 1,
+                  ablate: frozenset = frozenset()):
+    call = build_decoder_call(vc, params, nsteps, G, srows, obrows, SB=SB,
+                              ablate=ablate)
 
     donate = tuple(range(SB, SB + N_STATE_DEC * SB))
 
@@ -420,7 +424,7 @@ def _get_step_dec(vc: VMCaps, params: X3Params, nsteps: int, G: int,
 def decode_blocks_vm_chunked(
     words, byte_lens, params: X3Params, caps: CodecCaps, seeds=None,
     chunk_steps: int = 4096, interpret: bool = False, vc: VMCaps = None,
-    subs: int = 0,
+    subs: int = 0, ablate: frozenset = frozenset(),
 ):
     """Chunked codec-VM decode; same contract as
     codec.decode_blocks_chunked: returns (out u8 [L, block_bytes],
@@ -444,7 +448,7 @@ def decode_blocks_vm_chunked(
     srcs = _split_rows(srcflat, G, sb, srows)
     flat = _split_state(state, G, sb, vc, hbm_rows, n_vmem=17)
     step = _get_step_dec(vc, params, chunk_steps, G, srows, obrows,
-                         interpret, SB=sb)
+                         interpret, SB=sb, ablate=ablate)
     # decode events each emit >= 1 output byte, so launches are bounded by
     # ceil((block_bytes+1)/chunk_steps) — but the actual output length is
     # unknown up front, so dispatch in async batches of 4 between ~33 ms

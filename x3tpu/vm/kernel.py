@@ -901,13 +901,20 @@ def encoder_kernel(
 
         e.rank = jnp.sum(jnp.where(iotaD == e.slot, b.drank[:, :], 0),
                          axis=1, keepdims=True)
+        # ixf holds the index model as an INCLUSIVE cumulative-frequency
+        # row (C[j] = sum of freqs 0..j; trailing slots past d_n carry
+        # the total).  low/span/total become two masked reads + a static
+        # tail slice instead of three O(D) reductions, and the decoder's
+        # interval search drops its log2(D) cumsum entirely
+        # (prims.model_decode_cum) — the round-3 verdict #5 decode
+        # inversion at D = 24576 was exactly that cumsum.
         ixv = b.ixf[:, :]
-        e.ixlow = jnp.sum(jnp.where(iotaD < e.rank, ixv, 0), axis=1,
+        e.ixlow = jnp.sum(jnp.where(iotaD == e.rank - 1, ixv, 0), axis=1,
                           keepdims=True)
-        e.ixspan = jnp.sum(jnp.where(iotaD == e.rank, ixv, 0), axis=1,
-                           keepdims=True)
-        e.ixtot = jnp.sum(ixv, axis=1, keepdims=True)
-        e.ixv = ixv
+        cr = jnp.sum(jnp.where(iotaD == e.rank, ixv, 0), axis=1,
+                     keepdims=True)
+        e.ixspan = cr - e.ixlow
+        e.ixtot = ixv[:, D - 1 : D]
 
         evv = b.ev[:, :]
         e.evv = evv
@@ -982,7 +989,8 @@ def encoder_kernel(
         ptot = jnp.where(is0, e.tot0, jnp.where(is1, e.tot1,
                 jnp.where(isx, e.ixtot, mstot)))
         acst = ac_step(acst, plow, pspan, ptot, e.active)
-        b.ixf[:, :] = e.ixv + jnp.where((iotaD == e.rank) & isx, 1, 0)
+        # cumulative ixf: freq[rank] += 1 is +1 on every column >= rank
+        b.ixf[:, :] = b.ixf[:, :] + jnp.where((iotaD >= e.rank) & isx, 1, 0)
         b.ms[:, :] = msv + jnp.where((iota128 == e.mlen - 1) & e.miss, 1, 0)
         e.msspan, e.mstot = msspan, mstot
 
@@ -1122,7 +1130,10 @@ def encoder_kernel(
         dtago_v = jnp.where(ins & (iotaD == 0), slot_new, dtago_v)
         b.drank[:, :] = drank_v
         b.dtago[:, :] = dtago_v
-        b.ixf[:, :] = jnp.where(ins & (iotaD == slot_new), 1, b.ixf[:, :])
+        # cumulative ixf: appending a freq-1 entry at slot_new adds 1 to
+        # every column >= slot_new (tail invariant C[j >= d_n] = total)
+        b.ixf[:, :] = b.ixf[:, :] + jnp.where(ins & (iotaD >= slot_new),
+                                              1, 0)
         e.d_n2 = e.d_n + jnp.where(ins, 1, 0)
 
     def ph_ctx(b, e):

@@ -73,6 +73,7 @@ XC_GPREV, XC_GCUR, XC_GC0 = 16, 17, 18
 XC_WB1G, XC_WB1GS, XC_WB0G, XC_WB0GS = 19, 20, 21, 22
 # gated dup-probe columns (only written when vc.probe_gate)
 XC_DUP, XC_NLEN = 23, 24
+XC_DUP2 = 25  # duplicated-phase ablation staging (hw_vm_ablate_dec.py)
 # acw scratch columns (AC state bridge across the literal while-loop)
 AC_LOW, AC_HIGH, AC_BUF, AC_BITPOS = 0, 1, 2, 3
 
@@ -104,7 +105,7 @@ def _st_of(R, srcwin):
 def decoder_kernel(
     *args,
     vc: VMCaps, params: X3Params, nsteps: int, srows: int, obrows: int,
-    SB: int = 1,
+    SB: int = 1, ablate: frozenset = frozenset(),
 ):
     g = pl.program_id(0)
     D = vc.dict_cap
@@ -115,6 +116,23 @@ def decoder_kernel(
     NR2_0, NR2_1 = vc.nr2_0, vc.nr2_1
     PB2_0, PB2_1 = vc.pb2_0, vc.pb2_1
     HB0, HB1 = vc.hug0_base, vc.hug1_base
+
+    # Duplicated-phase perf ablations (experiments/hw_vm_ablate_dec.py):
+    # decode control flow is stream-driven, so phases are MEASURED BY
+    # DUPLICATION instead of removal — the duplicate's inputs are
+    # perturbed by a runtime-never-true predicate (OFLOW register < 0;
+    # the register is a non-negative bitmask) so CSE can't merge it and
+    # DCE can't drop the fold, and its result is folded into an unused
+    # regsf column under the same predicate (+0.0 at runtime).  Streams
+    # and event counts stay EXACT; (t_dup - t_base) is the phase cost.
+    def _dup_pred(b, e):
+        return get_col(e.R, R_OFLOW) < 0
+
+    def _dup_fold(b, e, val):
+        pz = _dup_pred(b, e)
+        b.regsf[:, :] = b.regsf[:, :] + jnp.where(
+            (col_iota(128) == 99) & pz, val.astype(F32), 0.0
+        )
 
     # ---- unpack the per-sub-batch argument groups
     srcs = args[:SB]
@@ -579,8 +597,11 @@ def decoder_kernel(
             rw.FAM1, e.v_cur, jnp.zeros((L, 1), I32), b.c1cin, b.c1cbig,
             b.h1f[:, :], hug_scr=b.c1chug if NR2_1 else None, nr2=NR2_1,
         )
+        # ixf is the index model as INCLUSIVE cumulative freqs (see the
+        # encoder's ph_mode note): total = static tail slice, and the
+        # interval search below needs no cumsum
         ixv = b.ixf[:, :]
-        ixtot = jnp.sum(ixv, axis=1, keepdims=True)
+        ixtot = ixv[:, D - 1 : D]
         ptot = jnp.where(is0, tot0, jnp.where(is1, tot1, ixtot))
         ptot = jnp.maximum(ptot, 1)
         pstep, pvalue = prims.ac_decode_value(e.st, ptot)
@@ -592,7 +613,7 @@ def decoder_kernel(
             rw.FAM1, e.v_cur, pvalue, b.c1cin, b.c1cbig, b.h1f[:, :],
             b.h1t[:, :], hug_scr=b.c1chug if NR2_1 else None, nr2=NR2_1,
         )
-        rankd, ixlowd, ixspand = prims.model_decode(ixv, pvalue, D)
+        rankd, ixlowd, ixspand = prims.model_decode_cum(ixv, pvalue, D)
         e.dtago_v0 = b.dtago[:, :]
         slot_x = jnp.sum(jnp.where(iotaD == rankd, e.dtago_v0, 0), axis=1,
                          keepdims=True)
@@ -601,8 +622,48 @@ def decoder_kernel(
         plow = jnp.where(is0, low0d, jnp.where(is1, low1d, ixlowd))
         pspan = jnp.where(is0, span0d, jnp.where(is1, span1d, ixspand))
         e.st = prims.ac_decode_update(e.st, pstep, plow, pspan, e.hit)
-        b.ixf[:, :] = ixv + jnp.where((iotaD == rankd) & e.isx, 1, 0)
+        # cumulative ixf: freq[rank] += 1 is +1 on every column >= rank
+        b.ixf[:, :] = ixv + jnp.where((iotaD >= rankd) & e.isx, 1, 0)
         e.rankd = rankd
+
+        if "pay2" in ablate:  # duplicate the payload searches (perf probe)
+            pzu = _dup_pred(b, e).astype(I32).astype(jnp.uint32)
+            pv2 = pvalue + pzu
+            r2, l2, s2 = prims.model_decode_cum(ixv, pv2, D)
+            p0b, t0b, l0b, s0b = rw.row_decode_pos(
+                rw.FAM0, e.v0, pv2, b.c0in, b.c0big, b.h0f[:, :],
+                b.h0t[:, :], hug_scr=b.c0hug if NR2_0 else None, nr2=NR2_0,
+            )
+            p1b, t1b, l1b, s1b = rw.row_decode_pos(
+                rw.FAM1, e.v_cur, pv2, b.c1cin, b.c1cbig, b.h1f[:, :],
+                b.h1t[:, :], hug_scr=b.c1chug if NR2_1 else None,
+                nr2=NR2_1,
+            )
+            _dup_fold(b, e, r2 + l2 + s2 + p0b + t0b + l0b + s0b
+                      + p1b + t1b + l1b + s1b)
+
+        if "row2" in ablate:  # duplicate the row find/stats (perf probe)
+            tg2 = e.slot_hit + _dup_pred(b, e).astype(I32)
+            f0x, p0x, _ = rw.row_find(
+                rw.FAM0, e.v0, tg2, b.c0in, b.c0big, b.h0t[:, :],
+                b.h0f[:, :], None,
+                hug_scr=b.c0hug if NR2_0 else None, nr2=NR2_0,
+            )
+            f1x, p1x, _ = rw.row_find(
+                rw.FAM1, e.v_cur, tg2, b.c1cin, b.c1cbig, b.h1t[:, :],
+                b.h1f[:, :], b.h1p[:, :],
+                hug_scr=b.c1chug if NR2_1 else None, nr2=NR2_1,
+            )
+            l0x, s0x, t0x = rw.row_stats(
+                rw.FAM0, e.v0, p0x, b.c0in, b.c0big, b.h0f[:, :],
+                hug_scr=b.c0hug if NR2_0 else None, nr2=NR2_0,
+            )
+            l1x, s1x, t1x = rw.row_stats(
+                rw.FAM1, e.v_cur, p1x, b.c1cin, b.c1cbig, b.h1f[:, :],
+                hug_scr=b.c1chug if NR2_1 else None, nr2=NR2_1,
+            )
+            _dup_fold(b, e, p0x + p1x + l0x + l1x + s0x + s1x + t0x + t1x
+                      + f0x.astype(I32) + f1x.astype(I32))
 
         # stats mirror (x3.c:294, 78-96, 275-281)
         ev_bits = prims.bits_f32(e.espan, e.etot)
@@ -669,9 +730,56 @@ def decoder_kernel(
                 axis=1, keepdims=True,
             )
 
+        if "dup2" in ablate:  # duplicate the dup probe (perf probe)
+            pz = _dup_pred(b, e)
+            lnx = e.length_new + pz.astype(I32)
+            if vc.probe_gate:
+                b.xfer[:, :] = set_col(b.xfer[:, :], XC_DUP2,
+                                       jnp.zeros((L, 1), I32))
+
+                @pl.when(jnp.any(e.is_new))
+                def _():
+                    lnz = get_col(b.xfer[:, :], XC_NLEN) + (
+                        get_col(b.regsi[:, :], R_OFLOW) < 0
+                    ).astype(I32)
+                    twz = _pack_words(
+                        jnp.where(iota32c < lnz, b.frag_scr[:, :MML], 0)
+                    )
+                    fmz = _probe_matchlen(b.dictw[:, :], twz, D)
+                    dz = jnp.any(
+                        (iotaD < get_col(b.regsi[:, :], R_DICT_N))
+                        & (lnz > 0) & (b.dlens[:, :] == lnz) & (fmz >= lnz),
+                        axis=1, keepdims=True,
+                    )
+                    b.xfer[:, :] = set_col(b.xfer[:, :], XC_DUP2,
+                                           dz.astype(I32))
+
+                _dup_fold(b, e, get_col(b.xfer[:, :], XC_DUP2))
+            else:
+                twx = _pack_words(
+                    jnp.where(iota32c < lnx, b.frag_scr[:, :MML], 0)
+                )
+                fmx = _probe_matchlen(e.dictw_v, twx, D)
+                dx = jnp.any(
+                    validD & (e.dlens_v == lnx) & (fmx >= lnx),
+                    axis=1, keepdims=True,
+                )
+                _dup_fold(b, e, dx.astype(I32))
+
         # MTF of the hit slot (rank = recency rank of slot_hit)
         rank_mtf = jnp.sum(jnp.where(iotaD == e.slot_hit, drank_v, 0),
                            axis=1, keepdims=True)
+
+        if "mtf2" in ablate:  # duplicate the hit-MTF chain (perf probe)
+            pz = _dup_pred(b, e)
+            rk2 = rank_mtf + pz.astype(I32)
+            bm2 = validD & e.hit & (drank_v < rk2)
+            dr2 = jnp.where(bm2, drank_v + 1, drank_v)
+            dr2 = jnp.where((iotaD == e.slot_hit) & e.hit, 0, dr2)
+            sh2x = pltpu.roll(dtago_v, 1, axis=1)
+            dt2 = jnp.where(e.hit & (iotaD <= rk2), sh2x, dtago_v)
+            dt2 = jnp.where(e.hit & (iotaD == 0), e.slot_hit, dt2)
+            _dup_fold(b, e, jnp.sum(dr2 + dt2, axis=1, keepdims=True))
         bump = validD & e.hit & (drank_v < rank_mtf)
         drank_v = jnp.where(bump, drank_v + 1, drank_v)
         drank_v = jnp.where((iotaD == e.slot_hit) & e.hit, 0, drank_v)
@@ -703,7 +811,9 @@ def decoder_kernel(
         dtago_v = jnp.where(ins & (iotaD == 0), slot_new, dtago_v)
         b.drank[:, :] = drank_v
         b.dtago[:, :] = dtago_v
-        b.ixf[:, :] = jnp.where(ins & (iotaD == slot_new), 1, b.ixf[:, :])
+        # cumulative ixf: a freq-1 append adds 1 to every column >= slot
+        b.ixf[:, :] = b.ixf[:, :] + jnp.where(ins & (iotaD >= slot_new),
+                                              1, 0)
         e.d_n2 = e.d_n + jnp.where(ins, 1, 0)
 
     def ph_ctx(b, e):
@@ -789,6 +899,29 @@ def decoder_kernel(
             x = jnp.where(bit == 1, rolled, x)
         b.outwin[:, :] = b.outwin[:, :] + x
         e.opos2 = opos + jnp.where(ok_emit, length, 0)
+
+        if "emit2" in ablate:  # duplicate extraction + shift (perf probe)
+            pz = _dup_pred(b, e)
+            sl2 = e.slot_hit + pz.astype(I32)
+            db2 = []
+            for w in range(8):
+                dw2 = jnp.sum(
+                    jnp.where(iotaD == sl2,
+                              e.dictw_v[:, w * D : (w + 1) * D], 0),
+                    axis=1, keepdims=True,
+                )
+                for bb in range(4):
+                    db2.append((dw2 >> (8 * bb)) & 0xFF)
+            x2 = jnp.concatenate(
+                [jnp.concatenate(db2, axis=1),
+                 jnp.zeros((L, OBW - MML), I32)], axis=1,
+            )
+            off2 = off + pz.astype(I32)
+            for bb in range(9):
+                bit2 = (off2 >> bb) & 1
+                rolled2 = pltpu.roll(x2, 1 << bb, axis=1)
+                x2 = jnp.where(bit2 == 1, rolled2, x2)
+            _dup_fold(b, e, jnp.sum(x2, axis=1, keepdims=True))
 
         # flush a full OBF-byte half to HBM
         flush = (e.opos2 - out_base >= OBF) & (
@@ -1070,7 +1203,8 @@ def decoder_kernel(
 
 
 def build_decoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
-                       srows: int, obrows: int, SB: int = 1):
+                       srows: int, obrows: int, SB: int = 1,
+                       ablate: frozenset = frozenset()):
     """Construct the jitted pallas_call for (vc, params, nsteps, G, SB).
 
     Call signature: ``call(srcs, *states, interpret=False)`` with ``srcs``
@@ -1082,7 +1216,7 @@ def build_decoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
 
     kern = functools.partial(
         decoder_kernel, vc=vc, params=params, nsteps=nsteps,
-        srows=srows, obrows=obrows, SB=SB,
+        srows=srows, obrows=obrows, SB=SB, ablate=ablate,
     )
 
     def vspec(width):

@@ -319,6 +319,23 @@ def model_decode(freqs, value, width):
     return sym, low, span
 
 
+def model_decode_cum(cum, value, width):
+    """model_decode for a model stored as INCLUSIVE cumulative freqs
+    (C[j] = sum of freqs 0..j; trailing unused slots carry the total).
+    The interval search needs NO cumsum: live entries are strictly
+    increasing (every freq >= 1), trailing slots equal the total and a
+    valid stream has value < total, so sym = #{j : C[j] <= value}.
+    Returns (sym, low, span); a corrupt stream (value >= total) yields
+    sym = width whose masked reads give 0s — garbage-safe, like the
+    raw-freq variant's clamping."""
+    iota = col_iota(width)
+    le = cum.astype(U32) <= value
+    sym = jnp.sum(le, axis=1, keepdims=True).astype(I32)
+    low = jnp.sum(jnp.where(iota == sym - 1, cum, 0), axis=1, keepdims=True)
+    ci = jnp.sum(jnp.where(iota == sym, cum, 0), axis=1, keepdims=True)
+    return sym, low, ci - low
+
+
 def udiv_u32_fast(a, b):
     """(floor(a / b), a % b) for u32 a <= 2^31, b in [1, 2^31] via two-stage
     f32 division with exact integer correction (~45 ops vs the restoring
