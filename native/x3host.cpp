@@ -374,6 +374,90 @@ class Codec {
     }
     return n;
   }
+  // Model warm-start (x3tpu container-v2 extension): replay the tape of
+  // seed indices through the context/pair update rule of x3.c:195-222
+  // under fixed caps, mirroring x3tpu/warm.py:replay EXACTLY — the rule
+  // is part of the versioned format and every implementation must agree
+  // (ctx1 item append and pair registration stay 1:1 so inline-pair
+  // layouts match this hash map).  Call after seed(), before coding.
+  static constexpr long kWarmReset = -1;     // wire format: 0xFFFF
+  static constexpr size_t kWarmHubCap = 1024;
+  static constexpr size_t kWarmRowCap = 16;
+  static constexpr size_t kWarmPairCap = 4096;
+  void warm_start(const int32_t* tape, size_t tn) {
+    size_t prev = 0, c1 = 0;
+    for (size_t i = 0; i < tn; ++i) {
+      long s = tape[i];
+      if (s == kWarmReset) { prev = 0; c1 = 0; continue; }
+      if (s < 0 || size_t(s) >= ctx1_.size())
+        throw std::runtime_error("warm tape entry out of range");
+      size_t tag = size_t(s);
+      {
+        Ctx& c0 = resolve_ctx0(prev, c1);
+        bool hub0 = &c0 == &ctx0_[0];
+        long i0 = ctx_index_of(c0, tag);
+        size_t cap0 = hub0 ? kWarmHubCap : kWarmRowCap;
+        if (i0 >= 0) ++c0[i0].freq;
+        else if (c0.size() < cap0) c0.push_back({tag, 1});
+      }
+      Ctx& c1t = ctx1_[c1];
+      long i1 = ctx_index_of(c1t, tag);
+      if (i1 >= 0) {
+        ++c1t[i1].freq;
+      } else {
+        size_t cap1 = (c1 == 0) ? kWarmHubCap : kWarmRowCap;
+        if (c1t.size() < cap1 && pairs_.size() < kWarmPairCap) {
+          c1t.push_back({tag, 1});
+          auto key = std::make_pair(c1, tag);
+          if (pairs_.find(key) == pairs_.end()) {
+            size_t id = pairs_.size();
+            pairs_.emplace(key, id);
+            if (id != 0) ctx0_.emplace_back();
+          }
+        }
+      }
+      prev = c1;
+      c1 = tag;
+    }
+  }
+  // Event-tape recording (seed training): when set, encode() appends one
+  // entry per event — the hit tag, or kWarmReset for E_NEW (the real
+  // stream resets the context chain there, x3.c:423-425).
+  void record_tape(std::vector<long>* rec) { tape_rec_ = rec; }
+  // Translate a recorded raw tape to seed indices under a kept-tag order
+  // (dump_dict's `tags` permutation truncated to n): entries whose tag
+  // was not kept become kWarmReset (the chain is broken for the warm
+  // replay exactly as if unseen).
+  static void map_tape(const std::vector<long>& raw,
+                       const std::vector<size_t>& kept_tags,
+                       std::vector<int32_t>* out) {
+    std::unordered_map<size_t, int32_t> idx;
+    for (size_t i = 0; i < kept_tags.size(); ++i)
+      idx.emplace(kept_tags[i], int32_t(i));
+    for (long t : raw) {
+      if (t >= 0) {
+        auto it = idx.find(size_t(t));
+        out->push_back(it == idx.end() ? int32_t(kWarmReset)
+                                       : it->second);
+      } else {
+        out->push_back(int32_t(kWarmReset));
+      }
+    }
+  }
+  // the dump_dict tag permutation (shared by dump_dict and tape mapping)
+  std::vector<size_t> dump_order(size_t k, int order) const {
+    std::vector<size_t> tags(dict_.size());
+    for (size_t t = 0; t < tags.size(); ++t) tags[t] = t;
+    if (order == 1) {
+      std::stable_sort(tags.begin(), tags.end(),
+                       [this](size_t a, size_t b) {
+                         return dict_.uses(a) > dict_.uses(b);
+                       });
+    }
+    if (tags.size() > k) tags.resize(k);
+    return tags;
+  }
+
   // state-growth measurement for static-capacity tuning
   void measure(int64_t* out) const {
     out[0] = int64_t(dict_.size());
@@ -411,6 +495,7 @@ class Codec {
   std::vector<Ctx> ctx0_;  // by pair id; [0] shared with fallback
   std::vector<Ctx> ctx1_;  // by tag
   std::unordered_map<std::pair<size_t, size_t>, size_t, PairHash> pairs_;
+  std::vector<long>* tape_rec_ = nullptr;  // event-tape recorder (training)
 };
 
 // window scan + threshold sweep + magic vetoes (backend.c:56-100)
@@ -510,11 +595,13 @@ std::vector<uint8_t> Codec::encode(const uint8_t* data, size_t size) {
       prev_c1 = c1;
       c1 = tag;
       dict_.touch(tag);
+      if (tape_rec_) tape_rec_->push_back(long(tag));
       p += dlen;
     } else {
       // --- new fragment (x3.c:398-428)
       size_t len = best;
       if (p + len > size) len = size - p;
+      if (tape_rec_) tape_rec_->push_back(kWarmReset);
       enc.encode_sym(events_, E_NEW);
       events_.inc(E_NEW);
       enc.encode_sym(match_size_, len - 1);
@@ -677,6 +764,84 @@ int x3h_decode_seeded(const uint8_t* data, size_t size, size_t max_output,
   } catch (const std::exception&) {
     return 1;
   }
+}
+
+// Warm-started variants (container-v2 model warm-start): seeds plus a
+// tape of seed indices (-1 = reset) replayed through Codec::warm_start
+// before coding.  Same return contract as the seeded variants.
+int x3h_encode_warm(const uint8_t* data, size_t size, int max_match_count,
+                    long window, long factor1, long factor2, int nl_remap,
+                    const uint8_t* seed_strs, const int32_t* seed_lens,
+                    size_t seed_k, const int32_t* tape, size_t tape_len,
+                    uint8_t** out, size_t* out_size) {
+  x3host::Params p;
+  p.max_match_count = max_match_count;
+  p.window = window;
+  p.factor1 = factor1;
+  p.factor2 = factor2;
+  p.nl_remap = nl_remap;
+  x3host::Codec codec(p);
+  codec.seed(seed_strs, seed_lens, seed_k);
+  try {
+    codec.warm_start(tape, tape_len);
+  } catch (const std::exception&) {
+    return 1;
+  }
+  auto res = codec.encode(data, size);
+  *out = static_cast<uint8_t*>(std::malloc(res.size() ? res.size() : 1));
+  std::memcpy(*out, res.data(), res.size());
+  *out_size = res.size();
+  return 0;
+}
+
+int x3h_decode_warm(const uint8_t* data, size_t size, size_t max_output,
+                    const uint8_t* seed_strs, const int32_t* seed_lens,
+                    size_t seed_k, const int32_t* tape, size_t tape_len,
+                    uint8_t** out, size_t* out_size) {
+  x3host::Params p;
+  x3host::Codec codec(p);
+  codec.seed(seed_strs, seed_lens, seed_k);
+  try {
+    codec.warm_start(tape, tape_len);
+    auto res = codec.decode(data, size, max_output);
+    *out = static_cast<uint8_t*>(std::malloc(res.size() ? res.size() : 1));
+    std::memcpy(*out, res.data(), res.size());
+    *out_size = res.size();
+    return 0;
+  } catch (const std::length_error&) {
+    return 2;
+  } catch (const std::exception&) {
+    return 1;
+  }
+}
+
+// As x3h_train_ranked, but also emits the warm-up tape: one i32 per
+// training event — the kept-seed index of the hit tag, or -1 for E_NEW /
+// unkept tags.  Writes at most tape_cap entries (the head of the
+// sequence); *tape_len gets the count written.  Returns seed count.
+size_t x3h_train_tape(const uint8_t* data, size_t size,
+                      int max_match_count, long window, long factor1,
+                      long factor2, int nl_remap, uint8_t* strs,
+                      int32_t* lens, size_t k, int32_t* tape,
+                      size_t tape_cap, size_t* tape_len) {
+  x3host::Params p;
+  p.max_match_count = max_match_count;
+  p.window = window;
+  p.factor1 = factor1;
+  p.factor2 = factor2;
+  p.nl_remap = nl_remap;
+  x3host::Codec codec(p);
+  std::vector<long> raw;
+  codec.record_tape(&raw);
+  codec.encode(data, size);
+  size_t n = codec.dump_dict(strs, lens, k, 1);
+  auto kept = codec.dump_order(n, 1);
+  std::vector<int32_t> mapped;
+  x3host::Codec::map_tape(raw, kept, &mapped);
+  size_t tn = mapped.size() < tape_cap ? mapped.size() : tape_cap;
+  for (size_t i = 0; i < tn; ++i) tape[i] = mapped[i];
+  *tape_len = tn;
+  return n;
 }
 
 void x3h_free(uint8_t* ptr) { std::free(ptr); }

@@ -33,11 +33,11 @@ def test_container_roundtrip():
     lens = [10, 0, 22]
     c = blk.pack_container(payloads, lens, 4096)
     assert blk.is_container(c)
-    p2, l2, bs, seeds = blk.unpack_container(c)
+    p2, l2, bs, seeds, _wt = blk.unpack_container(c)
     assert p2 == payloads and l2 == lens and bs == 4096 and seeds == []
 
     c2 = blk.pack_container(payloads, lens, 4096, seeds=[b"abc", b"x" * 32])
-    p3, l3, _, seeds2 = blk.unpack_container(c2)
+    p3, l3, _, seeds2, _wt2 = blk.unpack_container(c2)
     assert p3 == payloads and seeds2 == [b"abc", b"x" * 32]
 
 

@@ -86,7 +86,7 @@ class EncCarry(NamedTuple):
     pair_of: jax.Array  # bool [L]
 
 
-def _init_shared(lanes: int, caps: CodecCaps, seeds=None):
+def _init_shared(lanes: int, caps: CodecCaps, seeds=None, warm=None):
     d = dm.dict_init(lanes, caps.dict_cap)
     if seeds is not None:
         # dictionary-seed broadcast (x3tpu extension, no reference
@@ -122,6 +122,35 @@ def _init_shared(lanes: int, caps: CodecCaps, seeds=None):
     if seeds is not None:
         K = seeds[0].shape[0]
         ix = ix.at[:, :K].set(1)
+    if warm is not None:
+        # model warm-start (x3tpu container-v2 extension, warm.py): both
+        # sides rebuild identical warm context state from the header's
+        # (seeds, tape), exactly like the dictionary-seed lockstep rule
+        H0 = warm["h0t"].shape[0]
+        H1 = warm["h1t"].shape[0]
+        ctx0 = ctx0._replace(
+            hub_tags=ctx0.hub_tags.at[:, :H0].set(warm["h0t"][None]),
+            hub_freqs=ctx0.hub_freqs.at[:, :H0].set(warm["h0f"][None]),
+            hub_n=jnp.full((lanes,), 1, I32) * warm["h0n"],
+            tags=ctx0.tags.at[:, warm["c0"]["rows"], :].set(
+                warm["c0"]["t"][None]),
+            freqs=ctx0.freqs.at[:, warm["c0"]["rows"], :].set(
+                warm["c0"]["f"][None]),
+            n=ctx0.n.at[:, warm["c0"]["rows"]].set(warm["c0"]["n"][None]),
+        )
+        ctx1 = ctx1._replace(
+            hub_tags=ctx1.hub_tags.at[:, :H1].set(warm["h1t"][None]),
+            hub_freqs=ctx1.hub_freqs.at[:, :H1].set(warm["h1f"][None]),
+            hub_pair=ctx1.hub_pair.at[:, :H1].set(warm["h1p"][None]),
+            hub_n=jnp.full((lanes,), 1, I32) * warm["h1n"],
+            tags=ctx1.tags.at[:, warm["c1"]["rows"], :].set(
+                warm["c1"]["t"][None]),
+            freqs=ctx1.freqs.at[:, warm["c1"]["rows"], :].set(
+                warm["c1"]["f"][None]),
+            pair=ctx1.pair.at[:, warm["c1"]["rows"], :].set(
+                warm["c1"]["p"][None]),
+            n=ctx1.n.at[:, warm["c1"]["rows"]].set(warm["c1"]["n"][None]),
+        )
     return d, ctx0, ctx1, ev, ms, ch, ix
 
 
@@ -369,13 +398,16 @@ def _enc_body(carry: EncCarry, params: X3Params) -> EncCarry:
 
 def enc_init_carry(
     text: jax.Array, tlen: jax.Array, params: X3Params, caps: CodecCaps,
-    seeds=None,
+    seeds=None, warm=None,
 ) -> EncCarry:
     """Initial encoder carry for L blocks.  ``text`` u8 [L, TB] must be
     zero-padded with at least max(window, 32) bytes past each block's
     length (x3.c:579/590)."""
     lanes = text.shape[0]
-    d, ctx0, ctx1, ev, ms, ch, ix = _init_shared(lanes, caps, seeds)
+    d, ctx0, ctx1, ev, ms, ch, ix = _init_shared(lanes, caps, seeds, warm)
+    pair_n0 = jnp.zeros((lanes,), I32)
+    if warm is not None:
+        pair_n0 = pair_n0 + warm["pair_n"]
     return EncCarry(
         text=text,
         tlen=tlen.astype(I32),
@@ -383,7 +415,7 @@ def enc_init_carry(
         prev_c1=jnp.zeros((lanes,), I32),
         c1=jnp.zeros((lanes,), I32),
         d=d, ctx0=ctx0, ctx1=ctx1,
-        pair_n=jnp.zeros((lanes,), I32),
+        pair_n=pair_n0,
         ev=ev, ms=ms, ch=ch, ix=ix,
         enc=acm.enc_init(lanes),
         sink=bitio.sink_init(lanes, caps.out_words),
@@ -461,12 +493,12 @@ _enc_finalize_jit = jax.jit(enc_finalize)
 
 def encode_blocks_chunked(
     text, tlen, params: X3Params, caps: CodecCaps, seeds=None,
-    chunk_steps: int = 8192,
+    chunk_steps: int = 8192, warm=None,
 ):
     """Host-driven chunked encode: repeated bounded device programs with a
     donated carry (keeps each execution well under RPC/watchdog limits and
     provides natural progress/interruption points)."""
-    carry = _enc_init_jit(text, tlen, params, caps, seeds)
+    carry = _enc_init_jit(text, tlen, params, caps, seeds, warm)
     while bool(_enc_active_jit(carry)):
         carry = _enc_chunk_jit(carry, params, chunk_steps)
     return _enc_finalize_jit(carry)
@@ -670,12 +702,15 @@ def _dec_body(carry: DecCarry, params: X3Params) -> DecCarry:
 
 def dec_init_carry(
     words: jax.Array, byte_lens: jax.Array, params: X3Params, caps: CodecCaps,
-    seeds=None,
+    seeds=None, warm=None,
 ) -> DecCarry:
     lanes = words.shape[0]
-    d, ctx0, ctx1, ev, ms, ch, ix = _init_shared(lanes, caps, seeds)
+    d, ctx0, ctx1, ev, ms, ch, ix = _init_shared(lanes, caps, seeds, warm)
     src = bitio.source_init(words, byte_lens)
     dec, src = acm.dec_init(src, lanes)
+    pair_n0 = jnp.zeros((lanes,), I32)
+    if warm is not None:
+        pair_n0 = pair_n0 + warm["pair_n"]
     return DecCarry(
         out=jnp.zeros((lanes, caps.block_bytes), U8),
         opos=jnp.zeros((lanes,), I32),
@@ -683,7 +718,7 @@ def dec_init_carry(
         prev_c1=jnp.zeros((lanes,), I32),
         c1=jnp.zeros((lanes,), I32),
         d=d, ctx0=ctx0, ctx1=ctx1,
-        pair_n=jnp.zeros((lanes,), I32),
+        pair_n=pair_n0,
         ev=ev, ms=ms, ch=ch, ix=ix,
         dec=dec, src=src,
         counts=jnp.zeros((lanes, E_LAST), I32),
@@ -748,10 +783,10 @@ _dec_finalize_jit = jax.jit(dec_finalize)
 
 def decode_blocks_chunked(
     words, byte_lens, params: X3Params, caps: CodecCaps, seeds=None,
-    chunk_steps: int = 8192,
+    chunk_steps: int = 8192, warm=None,
 ):
     """Host-driven chunked decode (see encode_blocks_chunked)."""
-    carry = _dec_init_jit(words, byte_lens, params, caps, seeds)
+    carry = _dec_init_jit(words, byte_lens, params, caps, seeds, warm)
     while bool(_dec_active_jit(carry)):
         carry = _dec_chunk_jit(carry, params, chunk_steps)
     return _dec_finalize_jit(carry)

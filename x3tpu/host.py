@@ -96,8 +96,49 @@ def _load() -> ctypes.CDLL:
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t,
             ]
+        lib.x3h_train_tape.restype = ctypes.c_size_t
+        lib.x3h_train_tape.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.x3h_encode_warm.restype = ctypes.c_int
+        lib.x3h_encode_warm.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.x3h_decode_warm.restype = ctypes.c_int
+        lib.x3h_decode_warm.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
         _lib = lib
         return lib
+
+
+def _tape_ptr(tape):
+    """Tape list (seed indices; warm.RESET -> -1) -> ctypes i32 pointer."""
+    import numpy as np
+
+    from x3tpu import warm as warm_mod
+
+    arr = np.asarray(
+        [-1 if s == warm_mod.RESET else s for s in tape], np.int32
+    )
+    arr = np.ascontiguousarray(arr)
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(arr), arr
 
 
 def _take(lib, out_ptr, out_size) -> bytes:
@@ -120,19 +161,31 @@ def _seed_ptrs(seeds):
     )
 
 
-def encode(data: bytes, params: X3Params = X3Params(), seeds=None) -> bytes:
+def encode(data: bytes, params: X3Params = X3Params(), seeds=None,
+           warm_tape=None) -> bytes:
     """Reference-format compress on the host CPU.  ``seeds`` is an
     optional (strs u8 [K, 32], lens i32 [K]) seed dictionary — the x3tpu
     broadcast extension (codec.py:_init_shared); the decoder must be
-    given the same seeds."""
+    given the same seeds.  ``warm_tape`` (requires seeds) additionally
+    warm-starts the context models from the tape (x3tpu/warm.py)."""
     lib = _load()
     out_ptr = ctypes.POINTER(ctypes.c_uint8)()
     out_size = ctypes.c_size_t()
     if seeds is None:
+        assert warm_tape is None, "warm_tape requires seeds"
         rc = lib.x3h_encode(
             data, len(data), params.max_match_count, params.window,
             params.magic_factor1, params.magic_factor2,
             1 if params.nl_remap else 0,
+            ctypes.byref(out_ptr), ctypes.byref(out_size),
+        )
+    elif warm_tape is not None:
+        sp, lp, k, _s, _l = _seed_ptrs(seeds)
+        tp, tn, _t = _tape_ptr(warm_tape)
+        rc = lib.x3h_encode_warm(
+            data, len(data), params.max_match_count, params.window,
+            params.magic_factor1, params.magic_factor2,
+            1 if params.nl_remap else 0, sp, lp, k, tp, tn,
             ctypes.byref(out_ptr), ctypes.byref(out_size),
         )
     else:
@@ -148,21 +201,30 @@ def encode(data: bytes, params: X3Params = X3Params(), seeds=None) -> bytes:
     return _take(lib, out_ptr, out_size)
 
 
-def decode(data: bytes, max_output: Optional[int] = None, seeds=None) -> bytes:
+def decode(data: bytes, max_output: Optional[int] = None, seeds=None,
+           warm_tape=None) -> bytes:
     """Reference-format decompress on the host CPU.
 
     The format is headerless, so the output size is unknown up front; with
     no explicit ``max_output`` the cap starts at a 64:1 guess (x3.c:621)
-    and grows on rc=2 (cap exceeded) until 1 GiB.  ``seeds`` must match
-    the encoder's seed dictionary (see encode)."""
+    and grows on rc=2 (cap exceeded) until 1 GiB.  ``seeds`` (and
+    ``warm_tape``) must match the encoder's (see encode)."""
     lib = _load()
     cap = max_output if max_output is not None else max(64 * len(data), 1 << 20)
     while True:
         out_ptr = ctypes.POINTER(ctypes.c_uint8)()
         out_size = ctypes.c_size_t()
         if seeds is None:
+            assert warm_tape is None, "warm_tape requires seeds"
             rc = lib.x3h_decode(
                 data, len(data), cap,
+                ctypes.byref(out_ptr), ctypes.byref(out_size),
+            )
+        elif warm_tape is not None:
+            sp, lp, k, _s, _l = _seed_ptrs(seeds)
+            tp, tn, _t = _tape_ptr(warm_tape)
+            rc = lib.x3h_decode_warm(
+                data, len(data), cap, sp, lp, k, tp, tn,
                 ctypes.byref(out_ptr), ctypes.byref(out_size),
             )
         else:
@@ -202,6 +264,37 @@ def train_seeds(data: bytes, params: X3Params = X3Params(), k: int = 256,
         k,
     )
     return strs[:n], lens[:n]
+
+
+def train_tape(data: bytes, params: X3Params = X3Params(), k: int = 256,
+               tape_cap: int = 0):
+    """Derive a seed dictionary AND the warm-up tape from a sample
+    (x3h_train_tape): usage-ranked seeds plus one tape entry per training
+    event — the kept-seed index of the hit tag, or warm.RESET for E_NEW /
+    unkept tags.  Returns (strs u8 [n, 32], lens i32 [n], tape list)."""
+    import numpy as np
+
+    from x3tpu import warm as warm_mod
+
+    lib = _load()
+    strs = np.zeros((k, 32), np.uint8)
+    lens = np.zeros((k,), np.int32)
+    cap = tape_cap or warm_mod.TAPE_MAX
+    tape_arr = np.zeros((cap,), np.int32)
+    tape_len = ctypes.c_size_t()
+    n = lib.x3h_train_tape(
+        data, len(data), params.max_match_count, params.window,
+        params.magic_factor1, params.magic_factor2,
+        1 if params.nl_remap else 0,
+        strs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        k,
+        tape_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cap, ctypes.byref(tape_len),
+    )
+    tape = [warm_mod.RESET if v < 0 else int(v)
+            for v in tape_arr[: tape_len.value]]
+    return strs[:n], lens[:n], tape
 
 
 def measure_state(data: bytes, params: X3Params = X3Params()):

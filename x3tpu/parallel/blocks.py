@@ -12,6 +12,10 @@ decoder knows block boundaries and exact decoded sizes:
     count  u32                   — number of blocks
     block  u32                   — nominal uncompressed block size
     [seeds] if flag bit 0: count u16, then per seed: len u8 + bytes
+    [tape]  if flag bit 1: u32 count, then count x u16 seed indices
+            (0xFFFF = reset) — the model warm-start tape (x3tpu/warm.py);
+            requires the seed flag; container version stays 1 (readers
+            without the flag never see it)
     table  count x (orig_len u32, comp_len u32)
     payloads, concatenated in block order (each a raw x3 stream)
 
@@ -31,6 +35,7 @@ from typing import List, Sequence, Tuple
 MAGIC = b"X3TC"
 VERSION = 1
 FLAG_SEEDS = 1
+FLAG_WARM = 2
 _HEADER = struct.Struct("<4sBBHII")
 _ENTRY = struct.Struct("<II")
 
@@ -46,13 +51,15 @@ def split_blocks(data: bytes, block_bytes: int) -> List[bytes]:
 
 def pack_container(
     payloads: Sequence[bytes], orig_lens: Sequence[int], block_bytes: int,
-    seeds: Sequence[bytes] = (),
+    seeds: Sequence[bytes] = (), warm_tape: Sequence[int] = (),
 ) -> bytes:
     if len(payloads) != len(orig_lens):
         raise ValueError(
             f"{len(payloads)} payloads but {len(orig_lens)} orig_lens"
         )
-    flags = FLAG_SEEDS if seeds else 0
+    if warm_tape and not seeds:
+        raise ValueError("warm tape requires seeds")
+    flags = (FLAG_SEEDS if seeds else 0) | (FLAG_WARM if warm_tape else 0)
     parts = [
         _HEADER.pack(MAGIC, VERSION, flags, 0, len(payloads), block_bytes)
     ]
@@ -61,6 +68,10 @@ def pack_container(
         for sfrag in seeds:
             assert 1 <= len(sfrag) <= 32
             parts.append(struct.pack("<B", len(sfrag)) + sfrag)
+    if warm_tape:
+        from x3tpu import warm as warm_mod
+
+        parts.append(warm_mod.encode_tape(list(warm_tape)))
     for o, p in zip(orig_lens, payloads):
         parts.append(_ENTRY.pack(o, len(p)))
     parts.extend(payloads)
@@ -72,8 +83,8 @@ def is_container(data: bytes) -> bool:
 
 
 def unpack_container(data: bytes):
-    """Returns (payloads, orig_lens, block_bytes, seeds).  Raises
-    ValueError on any malformed/truncated container."""
+    """Returns (payloads, orig_lens, block_bytes, seeds, warm_tape).
+    Raises ValueError on any malformed/truncated container."""
     try:
         return _unpack_container(data)
     except struct.error as e:  # truncated header/table
@@ -96,6 +107,13 @@ def _unpack_container(data: bytes):
             off += 1
             seeds.append(data[off : off + ln])
             off += ln
+    warm_tape: List[int] = []
+    if flags & FLAG_WARM:
+        if not (flags & FLAG_SEEDS):
+            raise ValueError("warm tape without seeds")
+        from x3tpu import warm as warm_mod
+
+        warm_tape, off = warm_mod.decode_tape(data, off)
     table = []
     for _ in range(count):
         table.append(_ENTRY.unpack_from(data, off))
@@ -107,4 +125,4 @@ def _unpack_container(data: bytes):
         off += comp
     if off != len(data):
         raise ValueError("container length mismatch")
-    return payloads, orig_lens, block_bytes, seeds
+    return payloads, orig_lens, block_bytes, seeds, warm_tape

@@ -180,7 +180,19 @@ def _vm_compile_infra_failure(e: Exception) -> bool:
     ))
 
 
-def _encode_one_device(text, tlen, params, caps, seeds, engine_out=None):
+def _warm_for(warm_arrays, kind, caps):
+    """WarmArrays -> the per-layout warm dict (None passes through)."""
+    if warm_arrays is None:
+        return None
+    from x3tpu import warm as warm_mod
+
+    if kind == "vm":
+        return warm_mod.for_vm(warm_arrays)
+    return warm_mod.for_xla(warm_arrays, caps.ctx_small_cap)
+
+
+def _encode_one_device(text, tlen, params, caps, seeds, engine_out=None,
+                       warm=None):
     """Single-device encode dispatch: the codec-VM Pallas kernel when the
     resolved engine selects it and the configuration fits, else the XLA
     chunked driver (same output contract either way).
@@ -201,6 +213,7 @@ def _encode_one_device(text, tlen, params, caps, seeds, engine_out=None):
                 jax.numpy.asarray(text), jax.numpy.asarray(tlen), params,
                 caps, seeds, chunk_steps=16384,
                 interpret=(engine == "vm_interpret"),
+                warm=_warm_for(warm, "vm", caps),
             )
             if engine_out is not None:
                 engine_out.append(engine)
@@ -217,12 +230,13 @@ def _encode_one_device(text, tlen, params, caps, seeds, engine_out=None):
     if engine_out is not None:
         engine_out.append("xla")
     return codec.encode_blocks_chunked(
-        jax.numpy.asarray(text), jax.numpy.asarray(tlen), params, caps, seeds
+        jax.numpy.asarray(text), jax.numpy.asarray(tlen), params, caps,
+        seeds, warm=_warm_for(warm, "xla", caps),
     )
 
 
 def _decode_one_device(words, byte_lens, params, caps, seeds,
-                       engine_out=None):
+                       engine_out=None, warm=None):
     """Single-device decode dispatch (see _encode_one_device)."""
     engine = caps.resolved().engine
     if engine in ("vm", "vm_interpret"):
@@ -232,6 +246,7 @@ def _decode_one_device(words, byte_lens, params, caps, seeds,
             out = vm.decode_blocks_vm_chunked(
                 words, byte_lens, params, caps, seeds, chunk_steps=16384,
                 interpret=(engine == "vm_interpret"),
+                warm=_warm_for(warm, "vm", caps),
             )
             if engine_out is not None:
                 engine_out.append(engine)
@@ -249,11 +264,11 @@ def _decode_one_device(words, byte_lens, params, caps, seeds,
         engine_out.append("xla")
     return codec.decode_blocks_chunked(
         jax.numpy.asarray(words), jax.numpy.asarray(byte_lens), params, caps,
-        seeds,
+        seeds, warm=_warm_for(warm, "xla", caps),
     )
 
 
-def _encode_sharded(text, tlen, params, caps, mesh, seeds):
+def _encode_sharded(text, tlen, params, caps, mesh, seeds, warm=None):
     """Mesh-sharded encode dispatch: the codec-VM Pallas kernel per device
     when the resolved engine selects it and the configuration fits, else
     the sharded XLA chunked driver (same output contract)."""
@@ -266,6 +281,7 @@ def _encode_sharded(text, tlen, params, caps, mesh, seeds):
                 jax.numpy.asarray(text), jax.numpy.asarray(tlen), params,
                 caps, mesh, seeds, chunk_steps=16384,
                 interpret=(engine == "vm_interpret"),
+                warm=_warm_for(warm, "vm", caps),
             )
         except vm.VMUnsupported:
             pass
@@ -276,10 +292,16 @@ def _encode_sharded(text, tlen, params, caps, mesh, seeds):
 
             print(f"x3tpu: VM compile infrastructure failure, using the "
                   f"XLA path: {str(e)[:160]}", file=sys.stderr)
+    if warm is not None:
+        # dropping the warm state silently would emit streams the decoder
+        # cannot reproduce — refuse instead (XLA-sharded warm is unbuilt)
+        raise RuntimeError("warm start is not supported on the sharded "
+                           "XLA fallback path")
     return meshmod.encode_sharded(text, tlen, params, caps, mesh, seeds=seeds)
 
 
-def _decode_sharded(words, byte_lens, params, caps, mesh, seeds):
+def _decode_sharded(words, byte_lens, params, caps, mesh, seeds,
+                    warm=None):
     """Mesh-sharded decode dispatch (see _encode_sharded)."""
     engine = caps.resolved().engine
     if engine in ("vm", "vm_interpret"):
@@ -290,6 +312,7 @@ def _decode_sharded(words, byte_lens, params, caps, mesh, seeds):
                 jax.numpy.asarray(words), jax.numpy.asarray(byte_lens),
                 params, caps, mesh, seeds, chunk_steps=16384,
                 interpret=(engine == "vm_interpret"),
+                warm=_warm_for(warm, "vm", caps),
             )
         except vm.VMUnsupported:
             pass
@@ -300,6 +323,9 @@ def _decode_sharded(words, byte_lens, params, caps, mesh, seeds):
 
             print(f"x3tpu: VM compile infrastructure failure, using the "
                   f"XLA path: {str(e)[:160]}", file=sys.stderr)
+    if warm is not None:
+        raise RuntimeError("warm start is not supported on the sharded "
+                           "XLA fallback path")
     return meshmod.decode_sharded(
         words, byte_lens, params, caps, mesh, seeds=seeds
     )
@@ -312,6 +338,7 @@ def encode_wave(
     mesh=None,
     max_retries: int = 3,
     seeds=None,
+    warm=None,
 ) -> RunResult:
     """Encode one wave of blocks (padded to the mesh), with capacity
     auto-retry: any lane overflow re-runs the wave at doubled capacities
@@ -324,11 +351,11 @@ def encode_wave(
         try:
             if mesh is not None:
                 words, byte_lens, counts, sizes, overflow = _encode_sharded(
-                    text, tlen, params, caps, mesh, seeds
+                    text, tlen, params, caps, mesh, seeds, warm=warm
                 )
             else:
                 words, byte_lens, counts, sizes, overflow = _encode_one_device(
-                    text, tlen, params, caps, seeds
+                    text, tlen, params, caps, seeds, warm=warm
                 )
             codec._check_overflow(overflow)
             break
@@ -362,6 +389,7 @@ def decode_wave(
     mesh=None,
     max_retries: int = 3,
     seeds=None,
+    warm=None,
 ) -> RunResult:
     nblocks = len(payloads)
     lanes = _wave_lanes(nblocks, mesh)
@@ -392,11 +420,11 @@ def decode_wave(
         try:
             if mesh is not None:
                 out, out_lens, counts, sizes, overflow = _decode_sharded(
-                    words, byte_lens, params, caps, mesh, seeds
+                    words, byte_lens, params, caps, mesh, seeds, warm=warm
                 )
             else:
                 out, out_lens, counts, sizes, overflow = _decode_one_device(
-                    words, byte_lens, params, caps, seeds
+                    words, byte_lens, params, caps, seeds, warm=warm
                 )
             codec._check_overflow(overflow)
             break
@@ -435,6 +463,7 @@ def compress(
     seed_sample: int = 64 * 1024,
     journal_path: Optional[str] = None,
     lanes_per_device: int = 32,
+    warm_start: bool = False,
 ) -> bytes:
     """Compress ``data``.  Single block -> raw reference-format stream
     (interoperable with the reference binary); multiple blocks -> container
@@ -443,7 +472,12 @@ def compress(
     ``dict_seed`` trains a shared seed dictionary on a sample of the input
     (native host codec) and broadcasts it to every block — an x3tpu
     extension that recovers ratio lost to per-block state resets (the
-    seeds travel in the container header)."""
+    seeds travel in the container header).  ``warm_start`` (implies
+    dict_seed) additionally warm-starts the context/pair models from the
+    training event tape (x3tpu/warm.py; the tape travels in the
+    container too — container flag bit 1)."""
+    if warm_start:
+        dict_seed = True
     if block_bytes is None:
         block_bytes = max(len(data), 1)
     parts = blk.split_blocks(data, block_bytes)
@@ -461,7 +495,7 @@ def compress(
         # recorded at another width (block<->wave mapping would shift)
         fp = hashlib.sha256(
             repr((params, block_bytes, dict_seed, seed_k, len(data),
-                  wave)).encode()
+                  wave, warm_start)).encode()
             + data[:4096]
             + data[-4096:]
         ).digest()
@@ -469,8 +503,11 @@ def compress(
 
     seed_bytes: List[bytes] = []
     seeds = None
+    warm_tape: List[int] = []
+    warm_arrays = None
     if dict_seed and len(parts) > 1:
-        if journal is not None and journal.seed_bytes is not None:
+        if (journal is not None and journal.seed_bytes is not None
+                and not warm_start):
             seed_bytes = journal.seed_bytes
         else:
             from x3tpu import host
@@ -482,15 +519,32 @@ def compress(
             # (BENCH_NOTES.md "Ratio at scale")
             per = max(seed_sample // max(len(parts), 1), 1)
             sample = b"".join(p[:per] for p in parts)
-            strs, lens = host.train_seeds(
-                sample, params, min(seed_k, caps.dict_cap // 2),
-                ranked=True,
-            )
+            if warm_start:
+                strs, lens, warm_tape = host.train_tape(
+                    sample, params, min(seed_k, caps.dict_cap // 2),
+                )
+            else:
+                strs, lens = host.train_seeds(
+                    sample, params, min(seed_k, caps.dict_cap // 2),
+                    ranked=True,
+                )
             seed_bytes = [bytes(strs[i][: lens[i]]) for i in range(len(lens))]
             if journal is not None:
                 journal.record_seeds(seed_bytes)
         if seed_bytes:
             seeds = seeds_to_arrays(seed_bytes)
+        if warm_start and seed_bytes and warm_tape:
+            from x3tpu import warm as warm_mod
+
+            # canonicalize through the wire format (collapse/trim) so the
+            # encoder replays EXACTLY what the decoder will read back
+            warm_tape, _ = warm_mod.decode_tape(
+                warm_mod.encode_tape(warm_tape))
+            warm_arrays = warm_mod.pack(
+                warm_mod.replay(warm_tape, len(seed_bytes)))
+            warm_mod.check_fits(
+                warm_arrays, caps.dict_cap, caps.pair_cap,
+                caps.ctx_small_cap, min(caps.dict_cap, 8192))
     all_payloads: List[bytes] = []
     all_stats = CodecStats.zero()
     for i in range(0, len(parts), wave):
@@ -501,7 +555,8 @@ def compress(
             if done_stats is not None:
                 all_stats = all_stats.merge(done_stats)
             continue
-        res = encode_wave(parts[i : i + wave], params, caps, mesh, seeds=seeds)
+        res = encode_wave(parts[i : i + wave], params, caps, mesh,
+                          seeds=seeds, warm=warm_arrays)
         if journal is not None:
             journal.record(widx, res.payloads, res.stats)
         all_payloads.extend(res.payloads)
@@ -517,7 +572,8 @@ def compress(
             and not blk.is_container(all_payloads[0])):
         return all_payloads[0]
     return blk.pack_container(
-        all_payloads, [len(p) for p in parts], block_bytes, seeds=seed_bytes
+        all_payloads, [len(p) for p in parts], block_bytes,
+        seeds=seed_bytes, warm_tape=warm_tape,
     )
 
 
@@ -532,8 +588,15 @@ def decompress(
 ) -> bytes:
     """Decompress raw reference-format streams or x3tpu containers."""
     if blk.is_container(data):
-        payloads, orig_lens, block_bytes, seed_bytes = blk.unpack_container(data)
+        (payloads, orig_lens, block_bytes, seed_bytes,
+         warm_tape) = blk.unpack_container(data)
         seeds = seeds_to_arrays(seed_bytes) if seed_bytes else None
+        warm_arrays = None
+        if warm_tape:
+            from x3tpu import warm as warm_mod
+
+            warm_arrays = warm_mod.pack(
+                warm_mod.replay(warm_tape, len(seed_bytes)))
         caps = caps or caps_for_block(max(block_bytes, 1024))
         if caps.block_bytes < block_bytes:
             caps = dataclasses.replace(caps, block_bytes=block_bytes)
@@ -543,7 +606,7 @@ def decompress(
         for i in range(0, len(payloads), wave):
             res = decode_wave(
                 payloads[i : i + wave], orig_lens[i : i + wave], params, caps,
-                mesh, seeds=seeds,
+                mesh, seeds=seeds, warm=warm_arrays,
             )
             out_parts.extend(res.payloads)
             all_stats = all_stats.merge(res.stats)

@@ -21,8 +21,9 @@ from x3tpu.ops import ac as acm
 from x3tpu.ops import bitio
 from x3tpu.vm.config import (
     LANES, OF_CTX0, OF_CTX1, OF_DICT, OF_OUT, OF_PAIRS,
-    R_AC_HIGH, R_AC_LOW, R_AC_SCALE, R_COUNTS, R_DICT_N, R_NBITS, R_OFLOW,
-    R_P, R_TLEN, R_WIN_BASE, VMCaps, VMUnsupported, pick_subs, vm_caps,
+    R_AC_HIGH, R_AC_LOW, R_AC_SCALE, R_COUNTS, R_DICT_N, R_HUB0_N,
+    R_HUB1_N, R_NBITS, R_OFLOW, R_P, R_PAIR_N, R_TLEN, R_WIN_BASE,
+    VMCaps, VMUnsupported, pick_subs, vm_caps,
 )
 from x3tpu.vm.kernel import N_STATE, build_encoder_call
 
@@ -100,8 +101,44 @@ def _seed_dict_arrays(seeds, G8: int, D: int):
     return dictw, dlens, drank, dtago, ixf, K
 
 
+def _warm_hubs_regs(warm, regs, h0t, h0f, h1t, h1f, h1p, G8):
+    """Apply the model warm-start (container v2, x3tpu/warm.py) to the
+    hub planes + registers; returns the updated arrays.  Same lockstep
+    rule as dictionary seeds: both sides rebuild identical state from
+    the container's (seeds, tape)."""
+    H0 = warm["h0t"].shape[0]
+    H1 = warm["h1t"].shape[0]
+    h0t = h0t.at[:, :H0].set(warm["h0t"][None])
+    h0f = h0f.at[:, :H0].set(warm["h0f"][None])
+    h1t = h1t.at[:, :H1].set(warm["h1t"][None])
+    h1f = h1f.at[:, :H1].set(warm["h1f"][None])
+    h1p = h1p.at[:, :H1].set(warm["h1p"][None])
+    regs = regs.at[:, R_PAIR_N].set(
+        jnp.full((G8,), 1, I32) * warm["pair_n"])
+    regs = regs.at[:, R_HUB0_N].set(jnp.full((G8,), 1, I32) * warm["h0n"])
+    regs = regs.at[:, R_HUB1_N].set(jnp.full((G8,), 1, I32) * warm["h1n"])
+    return regs, h0t, h0f, h1t, h1f, h1p
+
+
+def _warm_hbm_rows(warm, c0r, c1r, G8, r0, r1):
+    """Scatter the warm inline context rows into the per-lane HBM row
+    arrays (vm/rows.py inline layout)."""
+    lanes = jnp.arange(G8, dtype=I32)
+    i0 = warm["c0_idx"]
+    if i0.shape[0]:
+        flat0 = (lanes[:, None] * r0 + i0[None, :]).reshape(-1)
+        c0r = c0r.at[flat0].set(
+            jnp.tile(warm["c0_rows"], (G8, 1)))
+    i1 = warm["c1_idx"]
+    if i1.shape[0]:
+        flat1 = (lanes[:, None] * r1 + i1[None, :]).reshape(-1)
+        c1r = c1r.at[flat1].set(
+            jnp.tile(warm["c1_rows"], (G8, 1)))
+    return c0r, c1r
+
+
 @functools.partial(jax.jit, static_argnames=("vc", "G"))
-def _init_state(text_flat, tlen, vc: VMCaps, G: int, seeds=None):
+def _init_state(text_flat, tlen, vc: VMCaps, G: int, seeds=None, warm=None):
     """Initial VM state tuple (kernel inputs 1..19).  ``text_flat`` is the
     byte-per-i32 text [G8*trows, 128]; ``tlen`` i32 [G8]."""
     G8 = G * LANES
@@ -124,13 +161,20 @@ def _init_state(text_flat, tlen, vc: VMCaps, G: int, seeds=None):
     ms = z(128).at[:, :32].set(1)
     ch = jnp.ones((G8, 256), I32)
     orows = vc.out_words // 128
+    h0t, h0f = z(vc.hub0), z(vc.hub0)
+    h1t, h1f, h1p = z(vc.hub1), z(vc.hub1), z(vc.hub1)
+    c0r = jnp.zeros((G8 * vc.r0, 128), I32)
+    c1r = jnp.zeros((G8 * vc.r1, 128), I32)
+    if warm is not None:
+        regs, h0t, h0f, h1t, h1f, h1p = _warm_hubs_regs(
+            warm, regs, h0t, h0f, h1t, h1f, h1p, G8)
+        c0r, c1r = _warm_hbm_rows(warm, c0r, c1r, G8, vc.r0, vc.r1)
     return (
         dictw, dlens, drank, dtago, ixf,
-        z(vc.hub0), z(vc.hub0), z(vc.hub1), z(vc.hub1), z(vc.hub1),
+        h0t, h0f, h1t, h1f, h1p,
         ev, ms, ch, regs, z(128, jnp.float32), z(512),
         jnp.zeros((G8 * orows, 128), I32),
-        jnp.zeros((G8 * vc.r0, 128), I32),
-        jnp.zeros((G8 * vc.r1, 128), I32),
+        c0r, c1r,
     )
 
 
@@ -228,6 +272,7 @@ def encode_blocks_vm_chunked(
     text, tlen, params: X3Params, caps: CodecCaps, seeds=None,
     chunk_steps: int = 4096, interpret: bool = False,
     ablate: frozenset = frozenset(), vc: VMCaps = None, subs: int = 0,
+    warm=None,
 ):
     """Chunked codec-VM encode; same contract as
     codec.encode_blocks_chunked.  Raises VMUnsupported for configurations
@@ -251,7 +296,8 @@ def encode_blocks_vm_chunked(
     text_flat = _prep_text(jnp.asarray(text, jnp.uint8), vc, Gt, tb_in)
     tlen_np = np.asarray(tlen)
     tlen_p = jnp.pad(jnp.asarray(tlen, I32), (0, G8 - L_in))
-    state = _init_state(text_flat, tlen_p, vc, Gt, seeds=seeds)
+    state = _init_state(text_flat, tlen_p, vc, Gt, seeds=seeds,
+                        warm=warm)
     texts = _split_rows(text_flat, G, sb, trows)
     flat = _split_state(state, G, sb, vc, hbm_rows)
     step = _get_step(vc, params, chunk_steps, G, interpret, ablate, SB=sb)
@@ -306,7 +352,7 @@ def _dec_obrows(vc: VMCaps) -> int:
 
 @functools.partial(jax.jit, static_argnames=("vc", "G", "srows", "obrows"))
 def _init_state_dec(words, byte_lens, vc: VMCaps, G: int, srows: int,
-                    obrows: int, seeds=None):
+                    obrows: int, seeds=None, warm=None):
     """Initial decoder VM state (kernel inputs 1..20).  ``words`` is the
     compressed stream u32 [L, IW]; ``byte_lens`` its per-lane sizes."""
     G8 = G * LANES
@@ -351,14 +397,21 @@ def _init_state_dec(words, byte_lens, vc: VMCaps, G: int, srows: int,
     )
     ms = z(128).at[:, :32].set(1)
     ch = jnp.ones((G8, 256), I32)
+    h0t, h0f = z(vc.hub0), z(vc.hub0)
+    h1t, h1f, h1p = z(vc.hub1), z(vc.hub1), z(vc.hub1)
+    c0r = jnp.zeros((G8 * vc.r0, 128), I32)
+    c1r = jnp.zeros((G8 * vc.r1, 128), I32)
+    if warm is not None:
+        regs, h0t, h0f, h1t, h1f, h1p = _warm_hubs_regs(
+            warm, regs, h0t, h0f, h1t, h1f, h1p, G8)
+        c0r, c1r = _warm_hbm_rows(warm, c0r, c1r, G8, vc.r0, vc.r1)
     return srcflat, (
         dictw, dlens, drank, dtago, ixf,
-        z(vc.hub0), z(vc.hub0), z(vc.hub1), z(vc.hub1), z(vc.hub1),
+        h0t, h0f, h1t, h1f, h1p,
         ev, ms, ch, regs, z(128, jnp.float32),
         srcwin, z(OBW),
         jnp.zeros((G8 * obrows, 128), I32),
-        jnp.zeros((G8 * vc.r0, 128), I32),
-        jnp.zeros((G8 * vc.r1, 128), I32),
+        c0r, c1r,
     )
 
 
@@ -424,7 +477,7 @@ def _get_step_dec(vc: VMCaps, params: X3Params, nsteps: int, G: int,
 def decode_blocks_vm_chunked(
     words, byte_lens, params: X3Params, caps: CodecCaps, seeds=None,
     chunk_steps: int = 4096, interpret: bool = False, vc: VMCaps = None,
-    subs: int = 0, ablate: frozenset = frozenset(),
+    subs: int = 0, ablate: frozenset = frozenset(), warm=None,
 ):
     """Chunked codec-VM decode; same contract as
     codec.decode_blocks_chunked: returns (out u8 [L, block_bytes],
@@ -443,7 +496,7 @@ def decode_blocks_vm_chunked(
 
     srcflat, state = _init_state_dec(
         jnp.asarray(words, U32), jnp.asarray(byte_lens, I32), vc, Gt,
-        srows, obrows, seeds=seeds,
+        srows, obrows, seeds=seeds, warm=warm,
     )
     srcs = _split_rows(srcflat, G, sb, srows)
     flat = _split_state(state, G, sb, vc, hbm_rows, n_vmem=17)
@@ -518,7 +571,7 @@ def _get_step_sharded(vc: VMCaps, params: X3Params, nsteps: int, Gd: int,
 def encode_blocks_vm_sharded(
     text, tlen, params: X3Params, caps: CodecCaps, mesh, seeds=None,
     chunk_steps: int = 16384, interpret: bool = False, vc: VMCaps = None,
-    subs: int = 0,
+    subs: int = 0, warm=None,
 ):
     """Mesh-sharded codec-VM encode; same contract as
     mesh.encode_sharded / encode_blocks_vm_chunked."""
@@ -543,7 +596,8 @@ def encode_blocks_vm_sharded(
     text_flat = _prep_text(jnp.asarray(text, jnp.uint8), vc, Gt, tb_in)
     tlen_np = np.asarray(tlen)
     tlen_p = jnp.pad(jnp.asarray(tlen, I32), (0, G8 - L_in))
-    state = _init_state(text_flat, tlen_p, vc, Gt, seeds=seeds)
+    state = _init_state(text_flat, tlen_p, vc, Gt, seeds=seeds,
+                        warm=warm)
     texts = _split_rows(text_flat, G, sb, trows)
     flat = _split_state(state, G, sb, vc, hbm_rows)
     sharding = NamedSharding(mesh, _P(_AXIS))
@@ -596,7 +650,7 @@ def _get_step_dec_sharded(vc: VMCaps, params: X3Params, nsteps: int, Gd: int,
 def decode_blocks_vm_sharded(
     words, byte_lens, params: X3Params, caps: CodecCaps, mesh, seeds=None,
     chunk_steps: int = 16384, interpret: bool = False, vc: VMCaps = None,
-    subs: int = 0,
+    subs: int = 0, warm=None,
 ):
     """Mesh-sharded codec-VM decode (see encode_blocks_vm_sharded)."""
     from x3tpu.parallel.mesh import MeshHolder
@@ -618,7 +672,7 @@ def decode_blocks_vm_sharded(
 
     srcflat, state = _init_state_dec(
         jnp.asarray(words, U32), jnp.asarray(byte_lens, I32), vc, Gt,
-        srows, obrows, seeds=seeds,
+        srows, obrows, seeds=seeds, warm=warm,
     )
     srcs = _split_rows(srcflat, G, sb, srows)
     flat = _split_state(state, G, sb, vc, hbm_rows, n_vmem=17)
