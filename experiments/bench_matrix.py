@@ -137,24 +137,27 @@ def run_ours(data, params, block_bytes, caps=None):
     blocks = [data[i : i + block_bytes]
               for i in range(0, len(data), block_bytes)]
     # warmup/compile on first block set
+    eng: list = []
     t0 = time.time()
-    res = runtime.encode_wave(blocks, params, caps)
+    res = runtime.encode_wave(blocks, params, caps, engine_out=eng)
     tc = time.time() - t0
     t0 = time.time()
-    res = runtime.encode_wave(blocks, params, caps)
+    res = runtime.encode_wave(blocks, params, caps, engine_out=eng)
     te = time.time() - t0
     t0 = time.time()
     dec = runtime.decode_wave(res.payloads, [len(b) for b in blocks],
-                              params, caps)
+                              params, caps, engine_out=eng)
     td0 = time.time() - t0
     t0 = time.time()
     dec = runtime.decode_wave(res.payloads, [len(b) for b in blocks],
-                              params, caps)
+                              params, caps, engine_out=eng)
     td = time.time() - t0
     assert b"".join(dec.payloads) == data, "our round-trip failed"
     comp = sum(len(p) for p in res.payloads)
     mb = len(data) / 1e6
-    return len(data) / comp, mb / te, mb / td, res.payloads, tc
+    # engines per phase: [enc warm, enc timed, dec warm, dec timed]
+    return (len(data) / comp, mb / te, mb / td, res.payloads, tc,
+            ",".join(eng))
 
 
 def cross_decode(binp, payloads, blocks):
@@ -230,12 +233,13 @@ def main():
             continue
         log(f"config {name}: {len(data)} bytes, block {bb >> 10} KiB ...")
         try:
-            ratio, enc, dec, payloads, tc = run_ours(data, params, bb, ccaps)
+            (ratio, enc, dec, payloads, tc,
+             engines) = run_ours(data, params, bb, ccaps)
         except Exception as e:
             log(f"{name}: OURS FAILED {type(e).__name__}: {str(e)[:200]}")
             continue
         log(f"  ours: ratio {ratio:.4f} enc {enc:.4f} MB/s dec {dec:.4f} "
-            f"MB/s (compile {tc:.0f}s)")
+            f"MB/s (compile {tc:.0f}s, engines {engines})")
         if name == "binary-4mb":
             # measured offline on these exact bytes (instrumented build,
             # /tmp/ref4mb.log 2026-08-17): encode 1450.9 s for 4 MiB,
@@ -255,7 +259,8 @@ def main():
         rows.append(dict(
             config=name, bytes=len(data), block_kib=bb >> 10,
             ours_ratio=round(ratio, 4), ours_enc_mbs=round(enc, 4),
-            ours_dec_mbs=round(dec, 4), ref_ratio=round(rratio, 4),
+            ours_dec_mbs=round(dec, 4), engines=engines,
+            ref_ratio=round(rratio, 4),
             ref_enc_mbs=round(renc, 4), ref_dec_mbs=round(rdec, 4),
             cross_decode_ok=xok,
         ))

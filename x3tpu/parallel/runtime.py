@@ -339,6 +339,7 @@ def encode_wave(
     max_retries: int = 3,
     seeds=None,
     warm=None,
+    engine_out=None,
 ) -> RunResult:
     """Encode one wave of blocks (padded to the mesh), with capacity
     auto-retry: any lane overflow re-runs the wave at doubled capacities
@@ -355,7 +356,8 @@ def encode_wave(
                 )
             else:
                 words, byte_lens, counts, sizes, overflow = _encode_one_device(
-                    text, tlen, params, caps, seeds, warm=warm
+                    text, tlen, params, caps, seeds, engine_out=engine_out,
+                    warm=warm,
                 )
             codec._check_overflow(overflow)
             break
@@ -390,6 +392,7 @@ def decode_wave(
     max_retries: int = 3,
     seeds=None,
     warm=None,
+    engine_out=None,
 ) -> RunResult:
     nblocks = len(payloads)
     lanes = _wave_lanes(nblocks, mesh)
@@ -424,7 +427,8 @@ def decode_wave(
                 )
             else:
                 out, out_lens, counts, sizes, overflow = _decode_one_device(
-                    words, byte_lens, params, caps, seeds, warm=warm
+                    words, byte_lens, params, caps, seeds,
+                    engine_out=engine_out, warm=warm,
                 )
             codec._check_overflow(overflow)
             break
