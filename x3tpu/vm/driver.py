@@ -113,6 +113,12 @@ def _warm_hubs_regs(warm, regs, h0t, h0f, h1t, h1f, h1p, G8):
     h1t = h1t.at[:, :H1].set(warm["h1t"][None])
     h1f = h1f.at[:, :H1].set(warm["h1f"][None])
     h1p = h1p.at[:, :H1].set(warm["h1p"][None])
+    # cumulative freq planes carry the total past the item count
+    # (rows.py tail-total invariant)
+    i0 = jnp.arange(h0f.shape[1], dtype=I32)[None, :]
+    h0f = jnp.where(i0 >= H0, warm["h0tot"], h0f)
+    i1 = jnp.arange(h1f.shape[1], dtype=I32)[None, :]
+    h1f = jnp.where(i1 >= H1, warm["h1tot"], h1f)
     regs = regs.at[:, R_PAIR_N].set(
         jnp.full((G8,), 1, I32) * warm["pair_n"])
     regs = regs.at[:, R_HUB0_N].set(jnp.full((G8,), 1, I32) * warm["h0n"])

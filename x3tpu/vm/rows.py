@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from x3tpu.vm.config import IN0, IN1, LANES, PB
-from x3tpu.vm.prims import col_iota, cumsum_excl
+from x3tpu.vm.prims import col_iota
 
 I32 = jnp.int32
 
@@ -211,50 +211,58 @@ def row_find(fam: Family, v: RowView, tag, in_scr, big_scr,
 def row_stats(fam: Family, v: RowView, pos, in_scr, big_scr, hub_f,
               hug_scr=None, nr2=0):
     """(low, span, total) of coding insertion index ``pos`` through the
-    context's throwaway model (context.c:95-133)."""
+    context's throwaway model (context.c:95-133).
+
+    FREQ REPRESENTATION (round 4): every freq section stores the
+    INCLUSIVE cumulative sum of item freqs, with every element past the
+    item count carrying the row total (the ixf trick, kernel.py
+    ph_mode).  low/span/total become masked point reads + a static
+    tail read instead of per-row sums, and row_decode_pos drops its
+    per-row cumsum chains entirely — the measured decode bottleneck
+    (+9.6 of 15.7 us/event-group, hw_vm_ablate_dec round 4).  All
+    update paths in row_update maintain the tail-total invariant."""
     IN = fam.inline_cap
     it = col_iota(IN)
     fr_in = in_scr[:, 0, fam.freqs_col : fam.freqs_col + IN]
-    fr_in = jnp.where(it < v.n, fr_in, 0)
-    low_in = jnp.sum(jnp.where(it < pos, fr_in, 0), axis=1, keepdims=True)
-    span_in = jnp.sum(jnp.where(it == pos, fr_in, 0), axis=1, keepdims=True)
-    tot_in = jnp.sum(fr_in, axis=1, keepdims=True)
+    low_in = jnp.sum(jnp.where(it == pos - 1, fr_in, 0), axis=1,
+                     keepdims=True)
+    ci_in = jnp.sum(jnp.where(it == pos, fr_in, 0), axis=1, keepdims=True)
+    span_in = ci_in - low_in
+    tot_in = in_scr[:, 0, fam.freqs_col + IN - 1 : fam.freqs_col + IN]
 
     low_b = jnp.zeros((LANES, 1), I32)
-    span_b = jnp.zeros((LANES, 1), I32)
-    tot_b = jnp.zeros((LANES, 1), I32)
+    ci_b = jnp.zeros((LANES, 1), I32)
     i128 = col_iota(128)
     for r in range(fam.big_nrows):
         idx = i128 + r * 128
-        bf_r = jnp.where(
-            idx < v.n, big_scr[:, fam.big_freqs_row + r, :], 0
-        )
-        low_b = low_b + jnp.sum(jnp.where(idx < pos, bf_r, 0), axis=1,
-                                keepdims=True)
-        span_b = span_b + jnp.sum(jnp.where(idx == pos, bf_r, 0), axis=1,
-                                  keepdims=True)
-        tot_b = tot_b + jnp.sum(bf_r, axis=1, keepdims=True)
+        bf_r = big_scr[:, fam.big_freqs_row + r, :]
+        low_b = low_b + jnp.sum(jnp.where(idx == pos - 1, bf_r, 0),
+                                axis=1, keepdims=True)
+        ci_b = ci_b + jnp.sum(jnp.where(idx == pos, bf_r, 0), axis=1,
+                              keepdims=True)
+    span_b = ci_b - low_b
+    tot_b = big_scr[:, fam.big_freqs_row + fam.big_nrows - 1, 127:128]
 
     if nr2:
         low_g = jnp.zeros((LANES, 1), I32)
-        span_g = jnp.zeros((LANES, 1), I32)
-        tot_g = jnp.zeros((LANES, 1), I32)
+        ci_g = jnp.zeros((LANES, 1), I32)
         for r in range(nr2):
             idx = i128 + r * 128
-            gf_r = jnp.where(idx < v.n, hug_scr[:, 1 + nr2 + r, :], 0)
-            low_g = low_g + jnp.sum(jnp.where(idx < pos, gf_r, 0), axis=1,
-                                    keepdims=True)
-            span_g = span_g + jnp.sum(jnp.where(idx == pos, gf_r, 0),
-                                      axis=1, keepdims=True)
-            tot_g = tot_g + jnp.sum(gf_r, axis=1, keepdims=True)
+            gf_r = hug_scr[:, 1 + nr2 + r, :]
+            low_g = low_g + jnp.sum(jnp.where(idx == pos - 1, gf_r, 0),
+                                    axis=1, keepdims=True)
+            ci_g = ci_g + jnp.sum(jnp.where(idx == pos, gf_r, 0),
+                                  axis=1, keepdims=True)
+        span_g = ci_g - low_g
+        tot_g = hug_scr[:, 2 * nr2, 127:128]
 
     H = hub_f.shape[1]
     ih = col_iota(H)
-    hn = jnp.where(v.is_hub, v.n, 0)
-    fh = jnp.where(ih < hn, hub_f, 0)
-    low_h = jnp.sum(jnp.where(ih < pos, fh, 0), axis=1, keepdims=True)
-    span_h = jnp.sum(jnp.where(ih == pos, fh, 0), axis=1, keepdims=True)
-    tot_h = jnp.sum(fh, axis=1, keepdims=True)
+    low_h = jnp.sum(jnp.where(ih == pos - 1, hub_f, 0), axis=1,
+                    keepdims=True)
+    ci_h = jnp.sum(jnp.where(ih == pos, hub_f, 0), axis=1, keepdims=True)
+    span_h = ci_h - low_h
+    tot_h = hub_f[:, H - 1 : H]
 
     if nr2:
         low = jnp.where(v.is_hub, low_h,
@@ -278,96 +286,86 @@ def row_decode_pos(fam: Family, v: RowView, value, in_scr, big_scr, hub_f,
                    hub_t, hug_scr=None, nr2=0):
     """Find the item whose cumulative interval contains ``value`` (u32
     [8,1]); returns (pos, tag, low, span) — the decode-side search
-    (ac.c:167-179 over the throwaway model)."""
+    (ac.c:167-179 over the throwaway model).
+
+    With cumulative freq sections (see row_stats) the search needs NO
+    per-row cumsum: live entries are strictly increasing, the tail
+    carries the total, and a valid stream has value < total, so
+    pos = #{j : C[j] <= value}; low/span are point reads at pos-1/pos.
+    A corrupt stream (value >= total) counts every element and the
+    masked reads yield 0s — garbage-safe like the old clamping."""
     IN = fam.inline_cap
     it = col_iota(IN)
     fr_in = in_scr[:, 0, fam.freqs_col : fam.freqs_col + IN]
-    fr_in = jnp.where(it < v.n, fr_in, 0)
-    cum_in = cumsum_excl(fr_in)
-    le_in = (it < v.n) & (cum_in.astype(jnp.uint32) <= value)
-    pos_in = jnp.maximum(
-        jnp.sum(le_in, axis=1, keepdims=True).astype(I32) - 1, 0
-    )
+    le_in = fr_in.astype(jnp.uint32) <= value
+    pos_in = jnp.sum(le_in, axis=1, keepdims=True).astype(I32)
     tg_in = in_scr[:, 0, fam.tags_col : fam.tags_col + IN]
     tag_in = jnp.sum(jnp.where(it == pos_in, tg_in, 0), axis=1,
                      keepdims=True)
-    low_in = jnp.sum(jnp.where(it == pos_in, cum_in, 0), axis=1,
+    low_in = jnp.sum(jnp.where(it == pos_in - 1, fr_in, 0), axis=1,
                      keepdims=True)
-    span_in = jnp.sum(jnp.where(it == pos_in, fr_in, 0), axis=1,
-                      keepdims=True)
+    ci_in = jnp.sum(jnp.where(it == pos_in, fr_in, 0), axis=1,
+                    keepdims=True)
+    span_in = ci_in - low_in
 
-    # big: cumulative within-row (2-D cumsum) + carry of previous rows
     NR = fam.big_nrows
     i128 = col_iota(128)
-    carry = jnp.zeros((LANES, 1), I32)
     cnt = jnp.zeros((LANES, 1), I32)
-    cums = []
     for r in range(NR):
-        idx = i128 + r * 128
-        bf_r = jnp.where(
-            idx < v.n, big_scr[:, fam.big_freqs_row + r, :], 0
+        bf_r = big_scr[:, fam.big_freqs_row + r, :]
+        cnt = cnt + jnp.sum(
+            (bf_r.astype(jnp.uint32) <= value).astype(I32), axis=1,
+            keepdims=True,
         )
-        cum_r = cumsum_excl(bf_r) + carry
-        cums.append((bf_r, cum_r))
-        le_r = (idx < v.n) & (cum_r.astype(jnp.uint32) <= value)
-        cnt = cnt + jnp.sum(le_r, axis=1, keepdims=True).astype(I32)
-        carry = carry + jnp.sum(bf_r, axis=1, keepdims=True)
-    pos_b = jnp.maximum(cnt - 1, 0)
+    pos_b = cnt
     tag_b = jnp.zeros((LANES, 1), I32)
     low_b = jnp.zeros((LANES, 1), I32)
-    span_b = jnp.zeros((LANES, 1), I32)
+    ci_b = jnp.zeros((LANES, 1), I32)
     for r in range(NR):
         idx = i128 + r * 128
-        sel_r = idx == pos_b
-        bf_r, cum_r = cums[r]
+        bf_r = big_scr[:, fam.big_freqs_row + r, :]
         bt_r = big_scr[:, fam.big_tags_row + r, :]
-        tag_b = tag_b + jnp.sum(jnp.where(sel_r, bt_r, 0), axis=1,
+        tag_b = tag_b + jnp.sum(jnp.where(idx == pos_b, bt_r, 0), axis=1,
                                 keepdims=True)
-        low_b = low_b + jnp.sum(jnp.where(sel_r, cum_r, 0), axis=1,
-                                keepdims=True)
-        span_b = span_b + jnp.sum(jnp.where(sel_r, bf_r, 0), axis=1,
-                                  keepdims=True)
+        low_b = low_b + jnp.sum(jnp.where(idx == pos_b - 1, bf_r, 0),
+                                axis=1, keepdims=True)
+        ci_b = ci_b + jnp.sum(jnp.where(idx == pos_b, bf_r, 0), axis=1,
+                              keepdims=True)
+    span_b = ci_b - low_b
 
     if nr2:
-        carry_g = jnp.zeros((LANES, 1), I32)
         cnt_g = jnp.zeros((LANES, 1), I32)
-        cums_g = []
         for r in range(nr2):
-            idx = i128 + r * 128
-            gf_r = jnp.where(idx < v.n, hug_scr[:, 1 + nr2 + r, :], 0)
-            cum_r = cumsum_excl(gf_r) + carry_g
-            cums_g.append((gf_r, cum_r))
-            le_r = (idx < v.n) & (cum_r.astype(jnp.uint32) <= value)
-            cnt_g = cnt_g + jnp.sum(le_r, axis=1, keepdims=True).astype(I32)
-            carry_g = carry_g + jnp.sum(gf_r, axis=1, keepdims=True)
-        pos_g = jnp.maximum(cnt_g - 1, 0)
+            gf_r = hug_scr[:, 1 + nr2 + r, :]
+            cnt_g = cnt_g + jnp.sum(
+                (gf_r.astype(jnp.uint32) <= value).astype(I32), axis=1,
+                keepdims=True,
+            )
+        pos_g = cnt_g
         tag_g = jnp.zeros((LANES, 1), I32)
         low_g = jnp.zeros((LANES, 1), I32)
-        span_g = jnp.zeros((LANES, 1), I32)
+        ci_g = jnp.zeros((LANES, 1), I32)
         for r in range(nr2):
             idx = i128 + r * 128
-            sel_r = idx == pos_g
-            gf_r, cum_r = cums_g[r]
+            gf_r = hug_scr[:, 1 + nr2 + r, :]
             gt_r = hug_scr[:, 1 + r, :]
-            tag_g = tag_g + jnp.sum(jnp.where(sel_r, gt_r, 0), axis=1,
-                                    keepdims=True)
-            low_g = low_g + jnp.sum(jnp.where(sel_r, cum_r, 0), axis=1,
-                                    keepdims=True)
-            span_g = span_g + jnp.sum(jnp.where(sel_r, gf_r, 0), axis=1,
-                                      keepdims=True)
+            tag_g = tag_g + jnp.sum(jnp.where(idx == pos_g, gt_r, 0),
+                                    axis=1, keepdims=True)
+            low_g = low_g + jnp.sum(jnp.where(idx == pos_g - 1, gf_r, 0),
+                                    axis=1, keepdims=True)
+            ci_g = ci_g + jnp.sum(jnp.where(idx == pos_g, gf_r, 0),
+                                  axis=1, keepdims=True)
+        span_g = ci_g - low_g
 
     H = hub_f.shape[1]
     ih = col_iota(H)
-    hn = jnp.where(v.is_hub, v.n, 0)
-    fh = jnp.where(ih < hn, hub_f, 0)
-    cum_h = cumsum_excl(fh)
-    le_h = (ih < hn) & (cum_h.astype(jnp.uint32) <= value)
-    pos_h = jnp.maximum(
-        jnp.sum(le_h, axis=1, keepdims=True).astype(I32) - 1, 0
-    )
+    le_h = hub_f.astype(jnp.uint32) <= value
+    pos_h = jnp.sum(le_h, axis=1, keepdims=True).astype(I32)
     tag_h = jnp.sum(jnp.where(ih == pos_h, hub_t, 0), axis=1, keepdims=True)
-    low_h = jnp.sum(jnp.where(ih == pos_h, cum_h, 0), axis=1, keepdims=True)
-    span_h = jnp.sum(jnp.where(ih == pos_h, fh, 0), axis=1, keepdims=True)
+    low_h = jnp.sum(jnp.where(ih == pos_h - 1, hub_f, 0), axis=1,
+                    keepdims=True)
+    ci_h = jnp.sum(jnp.where(ih == pos_h, hub_f, 0), axis=1, keepdims=True)
+    span_h = ci_h - low_h
 
     if nr2:
         pos = jnp.where(v.is_hub, pos_h,
@@ -410,18 +408,23 @@ def row_update(fam: Family, v: RowView, tag, found, pos, active,
     # valid for every lane that was big at view time
     idx_entry = -in_scr[:, 0, 0:1] - 1
 
-    # ---- hub path (dense VMEM planes)
+    # ---- hub path (dense VMEM planes).  Freq planes are cumulative
+    # with the tail-total invariant (row_stats): inc = suffix add from
+    # pos; append = suffix add from hub_n (the tail already holds
+    # C[n-1], so +1 lands the new item's C and the new total at once)
     H = hub_t_ref.shape[1]
     ih = col_iota(H)
     h_inc = v.is_hub & inc
     hub_f_ref[:, :] = hub_f_ref[:, :] + jnp.where(
-        h_inc & (ih == pos), 1, 0
+        h_inc & (ih >= pos), 1, 0
     )
     hub_room = hub_n < hub_cap
     h_app = v.is_hub & app & hub_room
     at_end = ih == hub_n
     hub_t_ref[:, :] = jnp.where(h_app & at_end, tag, hub_t_ref[:, :])
-    hub_f_ref[:, :] = jnp.where(h_app & at_end, 1, hub_f_ref[:, :])
+    hub_f_ref[:, :] = hub_f_ref[:, :] + jnp.where(
+        h_app & (ih >= hub_n), 1, 0
+    )
     if new_pair_id is not None:
         hub_p_ref[:, :] = jnp.where(h_app & at_end, new_pair_id,
                                     hub_p_ref[:, :])
@@ -449,12 +452,15 @@ def row_update(fam: Family, v: RowView, tag, found, pos, active,
         do_promo & c0, v.n, big_scr[:, 0, :]
     )
     # first content row of each section gets the inline items; the rest
-    # of the section is zeroed for promoting lanes
+    # of the section is zeroed for promoting lanes — EXCEPT the
+    # cumulative freq section, whose pad columns and tail rows must
+    # carry the row TOTAL (= the full inline row's last cum value) to
+    # keep the tail-total invariant (row_stats)
     for base_row, col_base in (
-        (fam.big_tags_row, fam.tags_col),
-        (fam.big_freqs_row, fam.freqs_col),
-    ) + (((fam.big_pairs_row, fam.pairs_col),)
-         if fam.pairs_col is not None else ()):
+        ((fam.big_tags_row, fam.tags_col),)
+        + (((fam.big_pairs_row, fam.pairs_col),)
+           if fam.pairs_col is not None else ())
+    ):
         big_scr[:, base_row, :] = jnp.where(
             do_promo, padded(col_base), big_scr[:, base_row, :]
         )
@@ -462,6 +468,17 @@ def row_update(fam: Family, v: RowView, tag, found, pos, active,
             big_scr[:, base_row + r, :] = jnp.where(
                 do_promo, 0, big_scr[:, base_row + r, :]
             )
+    tot_promo = in_scr[:, 0, fam.freqs_col + IN - 1 : fam.freqs_col + IN]
+    fr0 = jnp.where(
+        col_iota(128) < IN, padded(fam.freqs_col), tot_promo
+    )
+    big_scr[:, fam.big_freqs_row, :] = jnp.where(
+        do_promo, fr0, big_scr[:, fam.big_freqs_row, :]
+    )
+    for r in range(1, fam.big_nrows):
+        big_scr[:, fam.big_freqs_row + r, :] = jnp.where(
+            do_promo, tot_promo, big_scr[:, fam.big_freqs_row + r, :]
+        )
     # inline header now redirects to the span
     in_scr[:, 0, :] = jnp.where(
         do_promo & c0, -(span_idx_new + 1), in_scr[:, 0, :]
@@ -482,7 +499,7 @@ def row_update(fam: Family, v: RowView, tag, found, pos, active,
         gidx_new = huge_n
         c0g = col_iota(128) == 0
         hug_scr[:, 0, :] = jnp.where(do_promo2 & c0g, v.n, hug_scr[:, 0, :])
-        sections = [(fam.big_tags_row, 1), (fam.big_freqs_row, 1 + nr2)]
+        sections = [(fam.big_tags_row, 1)]
         if fam.pairs_col is not None:
             sections.append((fam.big_pairs_row, 1 + 2 * nr2))
         for b_base, g_base in sections:
@@ -495,6 +512,18 @@ def row_update(fam: Family, v: RowView, tag, found, pos, active,
                 hug_scr[:, g_base + r, :] = jnp.where(
                     do_promo2, 0, hug_scr[:, g_base + r, :]
                 )
+        # cumulative freq section: rows copy verbatim; tail rows carry
+        # the span total (big's last freq element), not zeros
+        tot2 = big_scr[:, fam.big_freqs_row + fam.big_nrows - 1, 127:128]
+        for r in range(fam.big_nrows):
+            hug_scr[:, 1 + nr2 + r, :] = jnp.where(
+                do_promo2, big_scr[:, fam.big_freqs_row + r, :],
+                hug_scr[:, 1 + nr2 + r, :],
+            )
+        for r in range(fam.big_nrows, nr2):
+            hug_scr[:, 1 + nr2 + r, :] = jnp.where(
+                do_promo2, tot2, hug_scr[:, 1 + nr2 + r, :]
+            )
         in_scr[:, 0, :] = jnp.where(
             do_promo2 & c0g, -(m + gidx_new + 1), in_scr[:, 0, :]
         )
@@ -510,16 +539,17 @@ def row_update(fam: Family, v: RowView, tag, found, pos, active,
     if nr2:
         ido = ido & ~v.is_huge
     fc = col_iota(128)
-    i_inc_col = fam.freqs_col + pos
+    # cumulative freqs: suffix adds bounded to the freq section
+    in_f = (fc >= fam.freqs_col) & (fc < fam.freqs_col + IN)
     in_scr[:, 0, :] = in_scr[:, 0, :] + jnp.where(
-        (ido & inc) & (fc == i_inc_col), 1, 0
+        (ido & inc) & in_f & (fc >= fam.freqs_col + pos), 1, 0
     )
     i_app = ido & app  # v.n < IN guaranteed (promotion above)
     in_scr[:, 0, :] = jnp.where(
         i_app & (fc == fam.tags_col + v.n), tag, in_scr[:, 0, :]
     )
-    in_scr[:, 0, :] = jnp.where(
-        i_app & (fc == fam.freqs_col + v.n), 1, in_scr[:, 0, :]
+    in_scr[:, 0, :] = in_scr[:, 0, :] + jnp.where(
+        i_app & in_f & (fc >= fam.freqs_col + v.n), 1, 0
     )
     if new_pair_id is not None:
         in_scr[:, 0, :] = jnp.where(
@@ -546,12 +576,14 @@ def row_update(fam: Family, v: RowView, tag, found, pos, active,
         idx = i128 + r * 128
         fr_row = fam.big_freqs_row + r
         big_scr[:, fr_row, :] = big_scr[:, fr_row, :] + jnp.where(
-            b_inc & (idx == pos), 1, 0
+            b_inc & (idx >= pos), 1, 0
         )
         at_r = b_app & (idx == v.n)
         bt_row = fam.big_tags_row + r
         big_scr[:, bt_row, :] = jnp.where(at_r, tag, big_scr[:, bt_row, :])
-        big_scr[:, fr_row, :] = jnp.where(at_r, 1, big_scr[:, fr_row, :])
+        big_scr[:, fr_row, :] = big_scr[:, fr_row, :] + jnp.where(
+            b_app & (idx >= v.n), 1, 0
+        )
         if new_pair_id is not None:
             bp_row = fam.big_pairs_row + r
             big_scr[:, bp_row, :] = jnp.where(
@@ -576,11 +608,13 @@ def row_update(fam: Family, v: RowView, tag, found, pos, active,
         idx = i128 + r * 128
         fr_row = 1 + nr2 + r
         hug_scr[:, fr_row, :] = hug_scr[:, fr_row, :] + jnp.where(
-            g_inc & (idx == pos), 1, 0
+            g_inc & (idx >= pos), 1, 0
         )
         at_r = g_app & (idx == v.n)
         hug_scr[:, 1 + r, :] = jnp.where(at_r, tag, hug_scr[:, 1 + r, :])
-        hug_scr[:, fr_row, :] = jnp.where(at_r, 1, hug_scr[:, fr_row, :])
+        hug_scr[:, fr_row, :] = hug_scr[:, fr_row, :] + jnp.where(
+            g_app & (idx >= v.n), 1, 0
+        )
         if new_pair_id is not None:
             gp_row = 1 + 2 * nr2 + r
             hug_scr[:, gp_row, :] = jnp.where(

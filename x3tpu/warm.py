@@ -332,10 +332,32 @@ def for_xla(wa: WarmArrays, small_cap: int):
 
 
 def for_vm(wa: WarmArrays):
-    """Warm dict for vm.driver._init_state (VM inline-row layout)."""
+    """Warm dict for vm.driver._init_state (VM inline-row layout).
+
+    The VM stores every freq section as an INCLUSIVE cumulative row
+    with the tail-total invariant (vm/rows.py row_stats), so the raw
+    item freqs are converted here: cum within the items, total in every
+    column after them (inline rows to the section cap; hub planes get
+    scalar ``h0tot/h1tot`` for the driver's tail fill)."""
     from x3tpu.vm import rows as rw
+    from x3tpu.vm.config import IN0, IN1
 
     d = to_vm_rows(wa, rw.C0_TAGS, rw.C0_FREQS, rw.C1_TAGS, rw.C1_FREQS,
                    rw.C1_PAIRS)
+
+    def cum_rows(idx, items, rows, fc, cap):
+        for k, it in enumerate(items):
+            m = len(it)
+            c = np.cumsum(it[:, 1]).astype(np.int32)
+            rows[k, fc : fc + m] = c
+            tot = c[-1] if m else 0
+            rows[k, fc + m : fc + cap] = tot
+
+    cum_rows(wa.ctx0_idx, wa.ctx0_items, d["c0_rows"], rw.C0_FREQS, IN0)
+    cum_rows(wa.ctx1_idx, wa.ctx1_items, d["c1_rows"], rw.C1_FREQS, IN1)
     d.update(_hub_dict(wa))
+    d["h0f"] = np.cumsum(wa.hub0_freqs).astype(np.int32)
+    d["h1f"] = np.cumsum(wa.hub1_freqs).astype(np.int32)
+    d["h0tot"] = np.int32(d["h0f"][-1] if len(d["h0f"]) else 0)
+    d["h1tot"] = np.int32(d["h1f"][-1] if len(d["h1f"]) else 0)
     return d
