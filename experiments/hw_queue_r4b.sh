@@ -8,7 +8,7 @@ set -u
 cd /root/repo
 LOG=/tmp/hw_queue_r4b
 mkdir -p $LOG
-want="${*:-bench matrix3 ablate_dec retry_w32 benchfinal}"
+want="${*:-bench matrix3 ablate_dec lanes16id lanes16bench retry_w32 benchfinal}"
 
 run() { # name timeout cmd...
   local name=$1 to=$2; shift 2
@@ -33,6 +33,17 @@ case " $want " in *" ablate_dec "*)
   run ablate_dec 4800 env X3TPU_ABLATE_CORPUS=bench \
       X3TPU_ABLATE_SET="full,pay2,dup2" \
       python experiments/hw_vm_ablate_dec.py 32 16 8192 ;;
+esac
+case " $want " in *" lanes16id "*)
+  # pass-1 surprise: vm_tpu_smoke at LANES=16 round-tripped (rc=0) after
+  # failing every round — verify with the STRONG check (streams vs host)
+  run lanes16id 3600 env X3TPU_VM_LANES=16 \
+      python experiments/hw_lanes16_identity.py ;;
+esac
+case " $want " in *" lanes16bench "*)
+  # if identity holds, the 16-lane group A/B at the bench config
+  run lanes16bench 3600 env X3TPU_VM_LANES=16 X3TPU_BENCH_SCALING=0 \
+      python bench.py ;;
 esac
 case " $want " in *" retry_w32 "*)
   # pass-1 helper crashes (xml/tabular -w32 encode, sweep) — intermittent
