@@ -40,17 +40,22 @@ def _enc(args):
     return host.encode(data, X3Params(), seeds=seeds)
 
 
+def _enc_warm(args):
+    data, seeds, tape = args
+    return host.encode(data, X3Params(), seeds=seeds, warm_tape=tape)
+
+
 def main():
     total_mib = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    block_mib = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    block_mib = float(sys.argv[2]) if len(sys.argv) > 2 else 4
     seed_k = int(sys.argv[3]) if len(sys.argv) > 3 else 256
 
     params = X3Params()
     total = total_mib << 20
-    bb = block_mib << 20
+    bb = int(block_mib * (1 << 20))
     data = build_corpus(total)
     parts = [data[i : i + bb] for i in range(0, total, bb)]
-    log(f"corpus {total_mib} MiB as {len(parts)} x {block_mib} MiB blocks")
+    log(f"corpus {total_mib} MiB as {len(parts)} x {bb >> 10} KiB blocks")
 
     def strided_sample(n):
         """n bytes sampled evenly across the corpus (one chunk per block
@@ -99,6 +104,33 @@ def main():
             log(f"{name} k={len(lens)}: {time.time()-t0:.1f}s")
             print(f"| split + seeds {name} (k={len(lens)}) | {cont} "
                   f"| {total/cont:.4f} "
+                  f"| {100*(cont-size_single)/size_single:+.2f}% |",
+                  flush=True)
+
+        # model warm-start rows (round-3 verdict #6): seeds + warm tape
+        # from the same training pass, replayed on both sides
+        from x3tpu import warm as warm_mod
+
+        for name, sample, k in [
+            ("warm-strided4M", strided_sample(4 << 20), 12288),
+            ("warm-strided8M", strided_sample(8 << 20), 12288),
+        ]:
+            t0 = time.time()
+            strs, lens, tape = host.train_tape(sample, params, k)
+            tape, _ = warm_mod.decode_tape(warm_mod.encode_tape(tape))
+            seeds = (strs, lens)
+            seed_bytes = [bytes(strs[i][: lens[i]])
+                          for i in range(len(lens))]
+            warmed = list(ex.map(_enc_warm,
+                                 [(p, seeds, tape) for p in parts]))
+            assert host.decode(warmed[0], max_output=bb + 64, seeds=seeds,
+                               warm_tape=tape) == parts[0]
+            cont = len(blk.pack_container(
+                warmed, [len(p) for p in parts], bb, seeds=seed_bytes,
+                warm_tape=tape))
+            log(f"{name} k={len(lens)} T={len(tape)}: {time.time()-t0:.1f}s")
+            print(f"| split + {name} (k={len(lens)}, T={len(tape)}) | "
+                  f"{cont} | {total/cont:.4f} "
                   f"| {100*(cont-size_single)/size_single:+.2f}% |",
                   flush=True)
     return 0
