@@ -484,6 +484,7 @@ def decode_blocks_vm_chunked(
     words, byte_lens, params: X3Params, caps: CodecCaps, seeds=None,
     chunk_steps: int = 4096, interpret: bool = False, vc: VMCaps = None,
     subs: int = 0, ablate: frozenset = frozenset(), warm=None,
+    max_launches: int = 0,
 ):
     """Chunked codec-VM decode; same contract as
     codec.decode_blocks_chunked: returns (out u8 [L, block_bytes],
@@ -516,6 +517,8 @@ def decode_blocks_vm_chunked(
     bound = max(1, -(-(vc.block_bytes + 1) // chunk_steps))
     done_launches = 0
     while bool(_any_active_dec_subs(flat, sb)):
+        if max_launches and done_launches >= max_launches:
+            break  # bisect harnesses: partial decode by construction
         # a valid stream finishes within `bound` launches (every decode
         # event except the final EOF emits >= 1 output byte); a lane still
         # active past that is decoding a malformed/corrupt stream whose
@@ -690,6 +693,8 @@ def decode_blocks_vm_sharded(
     bound = max(1, -(-(vc.block_bytes + 1) // chunk_steps))
     done_launches = 0
     while bool(_any_active_dec_subs(flat, sb)):
+        if max_launches and done_launches >= max_launches:
+            break  # bisect harnesses: partial decode by construction
         if done_launches > bound + 2:  # see the single-device driver
             raise ValueError(
                 "VM decode did not terminate: malformed stream "

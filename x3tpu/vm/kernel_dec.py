@@ -1180,6 +1180,26 @@ def decoder_kernel(
             ph_wait_c0(b, e)
         for b, e in zip(B, E):
             ph_payload(b, e)
+        if "dbgdump" in ablate:
+            # lockstep-inspection dump (hw-vs-interpret bisect ONLY, see
+            # kernel.py's dbgdump): clobber the ch model with this
+            # event's decode internals; streams/outputs become garbage.
+            for b, e in zip(B, E):
+                dump = jnp.concatenate(
+                    [
+                        e.esym, e.length_new, e.slot_hit, e.rankd,
+                        e.cid0, e.hit.astype(I32), e.is_new.astype(I32),
+                        e.eof.astype(I32), get_col(e.R, R_OPOS),
+                        get_col(e.R, R_NBITS),
+                        e.st["low"].astype(I32), e.st["high"].astype(I32),
+                        e.st["buf"].astype(I32),
+                        e.frag32[:, :32],
+                    ],
+                    axis=1,
+                )
+                b.ch[:, :] = jnp.concatenate(
+                    [dump, jnp.zeros((L, 256 - dump.shape[1]), I32)], 1
+                )
         for b, e in zip(B, E):
             ph_dict(b, e)
         for b, e in zip(B, E):
