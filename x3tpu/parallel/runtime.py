@@ -204,29 +204,48 @@ def _encode_one_device(text, tlen, params, caps, seeds, engine_out=None,
     if engine in ("vm", "vm_interpret"):
         from x3tpu import vm
 
-        try:
+        def _retry():
             # chunk_steps pinned to 16384 to share the persistent
             # compile-cache entry with bench.py (one kernel variant per
             # (caps, params, G); a launch stays well under the ~30 s
             # device-execution limit up to 128 lanes)
-            out = vm.encode_blocks_vm_chunked(
+            return vm.encode_blocks_vm_chunked(
                 jax.numpy.asarray(text), jax.numpy.asarray(tlen), params,
                 caps, seeds, chunk_steps=16384,
                 interpret=(engine == "vm_interpret"),
                 warm=_warm_for(warm, "vm", caps),
             )
+
+        try:
+            out = _retry()
             if engine_out is not None:
                 engine_out.append(engine)
             return out
         except vm.VMUnsupported:
             pass
-        except Exception as e:  # compile-infra failures -> XLA path
+        except Exception as e:  # compile-infra failures -> retry, then XLA
             if not _vm_compile_infra_failure(e):
                 raise
             import sys
+            import time as _time
 
-            print(f"x3tpu: VM compile infrastructure failure, using the "
-                  f"XLA path: {str(e)[:160]}", file=sys.stderr)
+            # the relay-side compile helper crashes intermittently on
+            # large programs (HTTP 500; BENCH_NOTES rounds 3-4) and the
+            # same config often compiles on a second attempt — retry
+            # ONCE after a short pause before demoting
+            print(f"x3tpu: VM compile infrastructure failure, retrying "
+                  f"once: {str(e)[:120]}", file=sys.stderr)
+            _time.sleep(20)
+            try:
+                out = _retry()
+                if engine_out is not None:
+                    engine_out.append(engine)
+                return out
+            except Exception as e2:
+                if not _vm_compile_infra_failure(e2):
+                    raise
+                print(f"x3tpu: VM compile retry failed, using the XLA "
+                      f"path: {str(e2)[:160]}", file=sys.stderr)
     if engine_out is not None:
         engine_out.append("xla")
     return codec.encode_blocks_chunked(
@@ -242,24 +261,43 @@ def _decode_one_device(words, byte_lens, params, caps, seeds,
     if engine in ("vm", "vm_interpret"):
         from x3tpu import vm
 
-        try:
-            out = vm.decode_blocks_vm_chunked(
+        def _retry():
+            return vm.decode_blocks_vm_chunked(
                 words, byte_lens, params, caps, seeds, chunk_steps=16384,
                 interpret=(engine == "vm_interpret"),
                 warm=_warm_for(warm, "vm", caps),
             )
+
+        try:
+            out = _retry()
             if engine_out is not None:
                 engine_out.append(engine)
             return out
         except vm.VMUnsupported:
             pass
-        except Exception as e:  # compile-infra failures -> XLA path
+        except Exception as e:  # compile-infra failures -> retry, then XLA
             if not _vm_compile_infra_failure(e):
                 raise
             import sys
+            import time as _time
 
-            print(f"x3tpu: VM compile infrastructure failure, using the "
-                  f"XLA path: {str(e)[:160]}", file=sys.stderr)
+            # the relay-side compile helper crashes intermittently on
+            # large programs (HTTP 500; BENCH_NOTES rounds 3-4) and the
+            # same config often compiles on a second attempt — retry
+            # ONCE after a short pause before demoting
+            print(f"x3tpu: VM compile infrastructure failure, retrying "
+                  f"once: {str(e)[:120]}", file=sys.stderr)
+            _time.sleep(20)
+            try:
+                out = _retry()
+                if engine_out is not None:
+                    engine_out.append(engine)
+                return out
+            except Exception as e2:
+                if not _vm_compile_infra_failure(e2):
+                    raise
+                print(f"x3tpu: VM compile retry failed, using the XLA "
+                      f"path: {str(e2)[:160]}", file=sys.stderr)
     if engine_out is not None:
         engine_out.append("xla")
     return codec.decode_blocks_chunked(

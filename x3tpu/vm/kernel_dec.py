@@ -365,9 +365,20 @@ def decoder_kernel(
             AC_BITPOS, st["bitpos"],
         )
         b.acwf[:, :] = jnp.zeros((L, 128), F32)
-        b.frag_scr[:, :] = jnp.zeros((L, 128), I32)
-        e.st_base = st  # src_base/nwords carried; low/high/buf via acw
+        # frag_scr doubles as the event-scalar materialization point
+        # (cols 126/127; fragment bytes use cols 0..31): esym and
+        # length_new are long-lived values consumed by every later
+        # phase, and Mosaic's rematerialization of such chains across
+        # the phase schedule is exactly the round-3 `_pack_words` /
+        # winlo failure class (observed again at LANES=16: the FIRST
+        # decode event's length arrived corrupted downstream).  A ref
+        # store is a hard materialization point; later phases re-read.
         e.kmax = jnp.max(jnp.where(e.is_new, e.length_new, 0))
+        b.frag_scr[:, :] = (
+            set_col(set_col(jnp.zeros((L, 128), I32), 126, e.esym),
+                    127, e.length_new)
+        )
+        e.st_base = st  # src_base/nwords carried; low/high/buf via acw
 
     def ph_lit_all(E):
         """Merged early-exit literal loop across sub-batches (see
@@ -388,7 +399,11 @@ def decoder_kernel(
                     nwords=e.st_base["nwords"],
                     win=b.srcwin[:, :],
                 )
-                act = e.is_new & (k < e.length_new)
+                # fresh ref reads of the staged event scalars (see
+                # ph_evsym's materialization note)
+                esr = b.frag_scr[:, 126:127]
+                lnr = b.frag_scr[:, 127:128]
+                act = e.active & (esr == E_NEW) & (k < lnr)
                 chv = b.ch[:, :]
                 btot = jnp.sum(chv, axis=1, keepdims=True)
                 bstep, bvalue = prims.ac_decode_value(st2, btot)
@@ -428,6 +443,13 @@ def decoder_kernel(
             win=b.srcwin[:, :],
         )
         e.lit_bits = b.acwf[:, 0:1]
+        # rebind the event scalars to their staged ref values so every
+        # later phase consumes the materialized copies (ph_evsym note)
+        e.esym = b.frag_scr[:, 126:127]
+        e.length_new = b.frag_scr[:, 127:128]
+        e.eof = e.active & (e.esym == E_EOF)
+        e.is_new = e.active & (e.esym == E_NEW)
+        e.hit = e.active & ~e.eof & ~e.is_new
         e.frag32 = b.frag_scr[:, :MML]
         e.tw_frag = _pack_words(
             jnp.where(iota32c < e.length_new, e.frag32, 0)
