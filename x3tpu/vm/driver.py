@@ -693,8 +693,6 @@ def decode_blocks_vm_sharded(
     bound = max(1, -(-(vc.block_bytes + 1) // chunk_steps))
     done_launches = 0
     while bool(_any_active_dec_subs(flat, sb)):
-        if max_launches and done_launches >= max_launches:
-            break  # bisect harnesses: partial decode by construction
         if done_launches > bound + 2:  # see the single-device driver
             raise ValueError(
                 "VM decode did not terminate: malformed stream "
