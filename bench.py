@@ -129,6 +129,12 @@ def main() -> int:
     # X3TPU_BENCH_VM: auto (VM on TPU) | 1 (force) | interpret | 0 (off)
     from x3tpu.parallel.runtime import _encode_one_device
 
+    def _active_lanes():
+        # the VM lane width the direction just ran at (per-direction
+        # widths since round 4: L=16 encoder, L=8 decoder on TPU)
+        from x3tpu.vm import config as vmc
+        return vmc.LANES
+
     vm_mode = os.environ.get("X3TPU_BENCH_VM", "auto")
     engine = {"auto": "auto", "1": "vm", "interpret": "vm_interpret",
               "0": "xla"}.get(vm_mode, "auto")
@@ -188,7 +194,7 @@ def main() -> int:
         "value": round(mbs, 4),
         "unit": "MB/s",
         "vs_baseline": round(mbs / BASELINE_ENCODE_MBS, 2),
-        "engine": eng_used[0], "commit": commit,
+        "engine": eng_used[0], "commit": commit, "lanes": _active_lanes(),
     }), flush=True)
 
     # decode direction (round-2 verdict #5): time the production decode
@@ -219,7 +225,7 @@ def main() -> int:
         "value": round(dmbs, 4),
         "unit": "MB/s",
         "vs_baseline": round(dmbs / BASELINE_DECODE_MBS, 2),
-        "engine": deng_used[0], "commit": commit,
+        "engine": deng_used[0], "commit": commit, "lanes": _active_lanes(),
     }), flush=True)
 
     # lane-scaling rows (round-2 verdict #6): each row is a separate

@@ -25,7 +25,7 @@ from x3tpu import codec, host
 from x3tpu.config import X3Params
 from x3tpu.parallel.runtime import caps_for_block
 from x3tpu.vm import encode_blocks_vm_chunked
-from x3tpu.vm.config import LANES
+from x3tpu.vm import config as vmc
 
 T0 = time.time()
 
@@ -35,7 +35,7 @@ def log(m):
 
 
 def main():
-    log(f"kernel group width LANES={LANES}")
+    log(f"kernel group widths enc={vmc.enc_lanes()} dec={vmc.LANES_DEC}")
     from bench import build_corpus
 
     params = X3Params(max_match_count=4, window=1024)
@@ -64,8 +64,8 @@ def main():
     if bad:
         log(f"FAIL: {bad}/{len(blocks)} lanes differ from the host codec")
         return 1
-    log(f"OK: all {len(blocks)} LANES={LANES} streams byte-identical to "
-        "the host codec")
+    log(f"OK: all {len(blocks)} enc-lanes={vmc.LANES} streams "
+        "byte-identical to the host codec")
     return 0
 
 

@@ -36,12 +36,60 @@ import os
 
 from x3tpu.config import CodecCaps, MAX_MATCH_LEN, X3Params
 
-LANES = int(os.environ.get("X3TPU_VM_LANES", "8"))  # lanes per group
-# DO NOT raise the default: isolated broadcast probes (probe7) pass at
-# L=16/32 on hardware, but the FULL encoder kernel still produces wrong
-# results on most lanes at L=32 (hw_vm_bench 2026-08-17) — the round-1
-# L>8 miscompile persists in kernel-scale programs.  Interpret mode is
-# exact at any L; the knob exists for future-toolchain revalidation.
+_LANES_DEFAULT = int(os.environ.get("X3TPU_VM_LANES", "8"))
+# Per-DIRECTION lane widths (round 4): the L>8 Mosaic miscompile healed
+# for the ENCODER at L=16 (hw_lanes16_identity: byte-identical streams
+# on 24 diverse blocks, +19.5% bench encode) but the DECODER still
+# corrupts at L=16 (first event, lane 1; probe10_l16 shows every
+# primitive exact in isolation — a kernel-scale scheduling bug).  The
+# two directions never share a kernel, so the lane width is switched
+# per direction at driver entry (set_active_lanes).  DO NOT raise the
+# decode default until hw_l16_dec_bisect comes back clean; L=32 still
+# miscompiles in BOTH directions (hw_vm_bench 2026-08-17).  Interpret
+# mode is exact at any L.
+LANES_DEC = int(os.environ.get("X3TPU_VM_LANES_DEC", str(_LANES_DEFAULT)))
+LANES = _LANES_DEFAULT  # ACTIVE lane width (see set_active_lanes)
+
+_enc_lanes_cached: int | None = None
+
+
+def enc_lanes() -> int:
+    """Encoder lane width, resolved lazily on first encode entry:
+    X3TPU_VM_LANES_ENC > X3TPU_VM_LANES > backend default (16 on TPU —
+    the L=16 encoder is hardware-validated, hw_lanes16_identity — 8 on
+    CPU, where interpret-mode suite parity stays at the narrow width
+    unless a test opts in)."""
+    global _enc_lanes_cached
+    if _enc_lanes_cached is None:
+        env = os.environ.get("X3TPU_VM_LANES_ENC")
+        if env is not None:
+            _enc_lanes_cached = int(env)
+        elif "X3TPU_VM_LANES" in os.environ:
+            _enc_lanes_cached = _LANES_DEFAULT
+        else:
+            import jax
+
+            _enc_lanes_cached = 16 if jax.default_backend() != "cpu" else 8
+    return _enc_lanes_cached
+
+
+def set_active_lanes(n: int) -> None:
+    """Switch the active VM lane width.  Called by the four driver entry
+    points before any shape computation or kernel build; every VM module
+    reads the lane width at call/trace time (Python late binding), so
+    poking the module aliases is sufficient.  Within one direction the
+    width is process-constant (env-derived), so jit/lru caches keyed
+    without it stay consistent."""
+    global LANES
+    if LANES == n:
+        return
+    LANES = n
+    from x3tpu.vm import driver, kernel, kernel_dec, prims, rows
+    driver.LANES = n
+    rows.LANES = n
+    prims.LANES = n
+    kernel.L = n
+    kernel_dec.L = n
 PB = 16            # HBM rows per promoted context span
 IN0 = 63           # inline items, ctx0 family (1 + 2*63 = 127 lanes used)
 IN1 = 42           # inline items, ctx1 family (1 + 3*42 = 127)

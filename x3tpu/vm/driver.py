@@ -20,10 +20,11 @@ from x3tpu.models import adaptive as am
 from x3tpu.ops import ac as acm
 from x3tpu.ops import bitio
 from x3tpu.vm.config import (
-    LANES, OF_CTX0, OF_CTX1, OF_DICT, OF_OUT, OF_PAIRS,
-    R_AC_HIGH, R_AC_LOW, R_AC_SCALE, R_COUNTS, R_DICT_N, R_HUB0_N,
-    R_HUB1_N, R_NBITS, R_OFLOW, R_P, R_PAIR_N, R_TLEN, R_WIN_BASE,
-    VMCaps, VMUnsupported, pick_subs, vm_caps,
+    LANES, LANES_DEC, OF_CTX0, OF_CTX1, OF_DICT, OF_OUT,
+    OF_PAIRS, R_AC_HIGH, R_AC_LOW, R_AC_SCALE, R_COUNTS, R_DICT_N,
+    R_HUB0_N, R_HUB1_N, R_NBITS, R_OFLOW, R_P, R_PAIR_N, R_TLEN,
+    R_WIN_BASE, VMCaps, VMUnsupported, enc_lanes, pick_subs,
+    set_active_lanes, vm_caps,
 )
 from x3tpu.vm.kernel import N_STATE, build_encoder_call
 
@@ -250,10 +251,27 @@ def _prep_text(text_u8, vc: VMCaps, G: int, tb_in: int):
     return t.reshape(G8 * (tb // 128), 128)
 
 
+def _enc_caps_adaptive(params: X3Params, caps: CodecCaps) -> VMCaps:
+    """Derive VM capacities at the encoder lane width, falling back to
+    8 lanes when the wide width alone blows the VMEM-resident budget
+    (large-D configs double their resident planes at L=16; the narrow
+    kernel is correct everywhere, so prefer it over an XLA demotion)."""
+    set_active_lanes(enc_lanes())
+    try:
+        return vm_caps(params, caps)
+    except VMUnsupported:
+        if enc_lanes() == 8:
+            raise
+        set_active_lanes(8)
+        return vm_caps(params, caps)
+
+
 @functools.lru_cache(maxsize=8)
 def _get_step(vc: VMCaps, params: X3Params, nsteps: int, G: int,
               interpret: bool, ablate: frozenset = frozenset(),
-              SB: int = 1):
+              SB: int = 1, lanes: int = 8):
+    # ``lanes`` exists only to key the cache on the active lane width
+    # (the kernel builder reads it from the module globals at build time)
     call = build_encoder_call(vc, params, nsteps, G, ablate, SB=SB)
 
     donate = tuple(range(SB, SB + N_STATE * SB))
@@ -287,7 +305,9 @@ def encode_blocks_vm_chunked(
     big->huge promotion trigger); ``subs`` overrides the sub-batch count
     (0 = auto via pick_subs)."""
     if vc is None:
-        vc = vm_caps(params, caps)
+        vc = _enc_caps_adaptive(params, caps)
+    else:
+        set_active_lanes(enc_lanes())
     if seeds is not None and seeds[0].shape[0] > vc.dict_cap:
         raise VMUnsupported("more dictionary seeds than dict_cap")
     L_in, tb_in = text.shape
@@ -306,7 +326,8 @@ def encode_blocks_vm_chunked(
                         warm=warm)
     texts = _split_rows(text_flat, G, sb, trows)
     flat = _split_state(state, G, sb, vc, hbm_rows)
-    step = _get_step(vc, params, chunk_steps, G, interpret, ablate, SB=sb)
+    step = _get_step(vc, params, chunk_steps, G, interpret, ablate,
+                     SB=sb, lanes=LANES)
     # every event consumes >= 1 input byte (hit: dlen >= 1; miss: mlen is
     # clipped to >= 1), so ceil(max tlen / chunk_steps) launches always
     # finish the block — dispatch them ASYNC (a finished launch exits its
@@ -467,7 +488,7 @@ def _finalize_dec(state, vc: VMCaps, obrows: int):
 @functools.lru_cache(maxsize=8)
 def _get_step_dec(vc: VMCaps, params: X3Params, nsteps: int, G: int,
                   srows: int, obrows: int, interpret: bool, SB: int = 1,
-                  ablate: frozenset = frozenset()):
+                  ablate: frozenset = frozenset(), lanes: int = 8):
     call = build_decoder_call(vc, params, nsteps, G, srows, obrows, SB=SB,
                               ablate=ablate)
 
@@ -489,6 +510,7 @@ def decode_blocks_vm_chunked(
     """Chunked codec-VM decode; same contract as
     codec.decode_blocks_chunked: returns (out u8 [L, block_bytes],
     out_lens, counts, sizes, Overflow)."""
+    set_active_lanes(LANES_DEC)
     if vc is None:
         vc = vm_caps(params, caps)
     if seeds is not None and seeds[0].shape[0] > vc.dict_cap:
@@ -508,7 +530,7 @@ def decode_blocks_vm_chunked(
     srcs = _split_rows(srcflat, G, sb, srows)
     flat = _split_state(state, G, sb, vc, hbm_rows, n_vmem=17)
     step = _get_step_dec(vc, params, chunk_steps, G, srows, obrows,
-                         interpret, SB=sb, ablate=ablate)
+                         interpret, SB=sb, ablate=ablate, lanes=LANES)
     # decode events each emit >= 1 output byte, so launches are bounded by
     # ceil((block_bytes+1)/chunk_steps) — but the actual output length is
     # unknown up front, so dispatch in async batches of 4 between ~33 ms
@@ -560,7 +582,7 @@ _AXIS = "blocks"
 
 @functools.lru_cache(maxsize=8)
 def _get_step_sharded(vc: VMCaps, params: X3Params, nsteps: int, Gd: int,
-                      interpret: bool, mh, SB: int = 1):
+                      interpret: bool, mh, SB: int = 1, lanes: int = 8):
     """Per-device VM encode launch, shard_mapped over the block mesh.
     ``Gd`` is the per-device grid (SB*8-lane steps)."""
     call = build_encoder_call(vc, params, nsteps, Gd, SB=SB)
@@ -587,7 +609,9 @@ def encode_blocks_vm_sharded(
     from x3tpu.parallel.mesh import MeshHolder
 
     if vc is None:
-        vc = vm_caps(params, caps)
+        vc = _enc_caps_adaptive(params, caps)
+    else:
+        set_active_lanes(enc_lanes())
     if seeds is not None and seeds[0].shape[0] > vc.dict_cap:
         raise VMUnsupported("more dictionary seeds than dict_cap")
     nd = mesh.devices.size
@@ -613,7 +637,7 @@ def encode_blocks_vm_sharded(
     texts = tuple(jax.device_put(t, sharding) for t in texts)
     flat = tuple(jax.device_put(s, sharding) for s in flat)
     step = _get_step_sharded(vc, params, chunk_steps, Gd, interpret,
-                             MeshHolder(mesh), SB=sb)
+                             MeshHolder(mesh), SB=sb, lanes=LANES)
     bound = max(1, -(-int(tlen_np.max(initial=0)) // chunk_steps))
     for _ in range(bound):
         flat = step(*texts, *flat)
@@ -641,7 +665,7 @@ def encode_blocks_vm_sharded(
 @functools.lru_cache(maxsize=8)
 def _get_step_dec_sharded(vc: VMCaps, params: X3Params, nsteps: int, Gd: int,
                           srows: int, obrows: int, interpret: bool, mh,
-                          SB: int = 1):
+                          SB: int = 1, lanes: int = 8):
     call = build_decoder_call(vc, params, nsteps, Gd, srows, obrows, SB=SB)
 
     def local(*args):
@@ -664,6 +688,7 @@ def decode_blocks_vm_sharded(
     """Mesh-sharded codec-VM decode (see encode_blocks_vm_sharded)."""
     from x3tpu.parallel.mesh import MeshHolder
 
+    set_active_lanes(LANES_DEC)
     if vc is None:
         vc = vm_caps(params, caps)
     if seeds is not None and seeds[0].shape[0] > vc.dict_cap:
@@ -689,7 +714,8 @@ def decode_blocks_vm_sharded(
     srcs = tuple(jax.device_put(t, sharding) for t in srcs)
     flat = tuple(jax.device_put(s, sharding) for s in flat)
     step = _get_step_dec_sharded(vc, params, chunk_steps, Gd, srows, obrows,
-                                 interpret, MeshHolder(mesh), SB=sb)
+                                 interpret, MeshHolder(mesh), SB=sb,
+                                 lanes=LANES)
     bound = max(1, -(-(vc.block_bytes + 1) // chunk_steps))
     done_launches = 0
     while bool(_any_active_dec_subs(flat, sb)):
