@@ -267,6 +267,7 @@ def main() -> int:
             "unit": "MB/s",
             "vs_baseline": round(smbs / BASELINE_ENCODE_MBS, 2),
             "engine": eng_used[0], "commit": commit,
+            "lanes": _active_lanes(),
         }), flush=True)
         # decode direction of the same row (round-3 verdict #5: the
         # scaling story was encode-only)
@@ -288,6 +289,7 @@ def main() -> int:
             "unit": "MB/s",
             "vs_baseline": round(sdmbs / BASELINE_DECODE_MBS, 2),
             "engine": deng_used[0], "commit": commit,
+            "lanes": _active_lanes(),
         }), flush=True)
     return 0
 

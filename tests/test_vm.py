@@ -123,6 +123,45 @@ def test_vm_overflow_parity_with_xla():
         assert (np.asarray(vc)[i] == np.asarray(xc)[i]).all()
 
 
+@_subprocess_isolated
+def test_vm_lanes_asymmetric_roundtrip():
+    """Per-direction lane widths (round 4): encode at L=16, decode at
+    L=8 in ONE process.  Encoder streams must be lane-width-invariant
+    (byte-identical to the spec oracle) and the narrow decoder must
+    round-trip them — the interpret-mode twin of the hardware default
+    (enc_lanes()=16 on TPU while the L=16 decoder still miscompiles)."""
+    from x3tpu.vm import config as vmc, decode_blocks_vm_chunked
+
+    caps = CodecCaps(
+        dict_cap=1024, pair_cap=2048, ctx_items_cap=128,
+        ctx0_items_cap=128, ctx_small_cap=16, block_bytes=2048,
+    )
+    base = _blocks()
+    blocks = (base * 3)[:18]  # 2 groups at L=16, 3 at L=8
+    old = vmc._enc_lanes_cached
+    vmc._enc_lanes_cached = 16
+    try:
+        words, byte_lens, _, _, of = _encode_vm(blocks, PARAMS, caps)
+        assert vmc.LANES == 16  # the encode ran at the wide width
+        words, byte_lens = np.asarray(words), np.asarray(byte_lens)
+        for f in of._fields:
+            assert not np.asarray(getattr(of, f)).any(), f"overflow {f}"
+        for i, b in enumerate(blocks):
+            got = words[i].astype("<u4").tobytes()[: byte_lens[i]]
+            assert got == spec.encode(b, PARAMS), f"block {i} ({len(b)}B)"
+        out, opos, _, _, dof = decode_blocks_vm_chunked(
+            words, byte_lens, PARAMS, caps, chunk_steps=977, interpret=True
+        )
+        assert vmc.LANES == 8  # the decode switched back to the narrow width
+        out, opos = np.asarray(out), np.asarray(opos)
+        for f in dof._fields:
+            assert not np.asarray(getattr(dof, f)).any(), f"overflow {f}"
+        for i, b in enumerate(blocks):
+            assert out[i, : opos[i]].tobytes() == b, f"block {i}"
+    finally:
+        vmc._enc_lanes_cached = old
+
+
 def test_vm_engine_dispatch_roundtrip():
     """caps.engine='vm_interpret' routes encode_wave through the VM kernel
     (runtime._encode_one_device) and the result decodes on the XLA path."""
