@@ -538,6 +538,7 @@ def decode_blocks_vm_chunked(
     # launches exit their while-loop immediately
     bound = max(1, -(-(vc.block_bytes + 1) // chunk_steps))
     done_launches = 0
+    batch = 4
     while bool(_any_active_dec_subs(flat, sb)):
         if max_launches and done_launches >= max_launches:
             break  # bisect harnesses: partial decode by construction
@@ -550,9 +551,17 @@ def decode_blocks_vm_chunked(
                 "VM decode did not terminate: malformed stream "
                 f"(active lanes after {done_launches} launches)"
             )
-        for _ in range(max(1, min(4, bound - done_launches))):
+        # async batches between ~33 ms tunnel syncs, DOUBLING each round:
+        # the output length is unknown up front, but a finished launch
+        # exits its while-loop immediately, so over-dispatch is nearly
+        # free while every sync stalls the device for a full tunnel
+        # round trip.  Fixed batches of 4 cost bound/4 syncs (~64 at a
+        # 4 MiB block — the measured 2.3x wave-vs-kernel decode gap at
+        # 1-lane MB configs); exponential growth costs O(log bound).
+        for _ in range(max(1, min(batch, bound - done_launches))):
             flat = step(*srcs, *flat)
             done_launches += 1
+        batch = min(2 * batch, 256)
     state = _merge_state(flat, G, sb, vc, hbm_rows, n=N_STATE_DEC,
                          n_vmem=17)
     out, opos, counts, sizes, overflow = _finalize_dec(state, vc, obrows)
@@ -718,15 +727,19 @@ def decode_blocks_vm_sharded(
                                  lanes=LANES)
     bound = max(1, -(-(vc.block_bytes + 1) // chunk_steps))
     done_launches = 0
+    batch = 4
     while bool(_any_active_dec_subs(flat, sb)):
         if done_launches > bound + 2:  # see the single-device driver
             raise ValueError(
                 "VM decode did not terminate: malformed stream "
                 f"(active lanes after {done_launches} launches)"
             )
-        for _ in range(max(1, min(4, bound - done_launches))):
+        # doubling async batches (see the single-device driver): syncs
+        # cost a tunnel round trip each, over-dispatch is nearly free
+        for _ in range(max(1, min(batch, bound - done_launches))):
             flat = step(*srcs, *flat)
             done_launches += 1
+        batch = min(2 * batch, 256)
     state = _merge_state(flat, G, sb, vc, hbm_rows, n=N_STATE_DEC,
                          n_vmem=17)
     out, opos, counts, sizes, overflow = _finalize_dec(state, vc, obrows)
