@@ -129,9 +129,14 @@ def main() -> int:
     # X3TPU_BENCH_VM: auto (VM on TPU) | 1 (force) | interpret | 0 (off)
     from x3tpu.parallel.runtime import _encode_one_device
 
-    def _active_lanes():
+    def _active_lanes(engine_used: str):
         # the VM lane width the direction just ran at (per-direction
-        # widths since round 4: L=16 encoder, L=8 decoder on TPU)
+        # widths since round 4: L=16 encoder, L=8 decoder on TPU).
+        # Only meaningful when the row actually ran on the VM — a
+        # demoted (xla) row would otherwise report whatever width the
+        # previous VM call left active (round-4 advisor finding).
+        if engine_used not in ("vm", "vm_interpret"):
+            return None
         from x3tpu.vm import config as vmc
         return vmc.LANES
 
@@ -194,7 +199,8 @@ def main() -> int:
         "value": round(mbs, 4),
         "unit": "MB/s",
         "vs_baseline": round(mbs / BASELINE_ENCODE_MBS, 2),
-        "engine": eng_used[0], "commit": commit, "lanes": _active_lanes(),
+        "engine": eng_used[0], "commit": commit,
+        "lanes": _active_lanes(eng_used[0]),
     }), flush=True)
 
     # decode direction (round-2 verdict #5): time the production decode
@@ -225,7 +231,8 @@ def main() -> int:
         "value": round(dmbs, 4),
         "unit": "MB/s",
         "vs_baseline": round(dmbs / BASELINE_DECODE_MBS, 2),
-        "engine": deng_used[0], "commit": commit, "lanes": _active_lanes(),
+        "engine": deng_used[0], "commit": commit,
+        "lanes": _active_lanes(deng_used[0]),
     }), flush=True)
 
     # lane-scaling rows (round-2 verdict #6): each row is a separate
@@ -267,7 +274,7 @@ def main() -> int:
             "unit": "MB/s",
             "vs_baseline": round(smbs / BASELINE_ENCODE_MBS, 2),
             "engine": eng_used[0], "commit": commit,
-            "lanes": _active_lanes(),
+            "lanes": _active_lanes(eng_used[0]),
         }), flush=True)
         # decode direction of the same row (round-3 verdict #5: the
         # scaling story was encode-only)
@@ -289,7 +296,7 @@ def main() -> int:
             "unit": "MB/s",
             "vs_baseline": round(sdmbs / BASELINE_DECODE_MBS, 2),
             "engine": deng_used[0], "commit": commit,
-            "lanes": _active_lanes(),
+            "lanes": _active_lanes(deng_used[0]),
         }), flush=True)
     return 0
 

@@ -375,6 +375,47 @@ def test_vm_window_32k_small_block():
         assert got == spec.encode(b, params), f"block {i}"
 
 
+def test_vm_chunked_scan_bit_exact():
+    """The loop-over-chunks window scan (VMCaps.scan_chunk; compiled in
+    at window > 8 KiB where the flat scan's full unroll crashed the
+    relay compile helper, kernel.py ph_probe_scan) must be
+    stream-identical to the flat scan AND to the spec.  Run at a small
+    window with the chunk width forced tiny so 8 chunks (incl. the
+    masked tail chunk) are exercised cheaply in interpret mode; the
+    derived threshold is covered by test_vm_window_32k_small_block,
+    which now takes the chunked path at its real window."""
+    import dataclasses
+
+    from x3tpu.vm.config import vm_caps
+
+    params = X3Params(max_match_count=4, window=2048)
+    caps = CodecCaps(
+        dict_cap=512, pair_cap=2048, ctx_items_cap=128,
+        ctx0_items_cap=128, ctx_small_cap=16, block_bytes=2048,
+    )
+    vc0 = vm_caps(params, caps)
+    assert vc0.scan_chunk == 0  # default window stays on the flat scan
+    vc = dataclasses.replace(vc0, scan_chunk=256)
+    rng = np.random.default_rng(7)
+    blocks = [
+        b"abcabcabc 0123456789 " * 90,              # window matches
+        (b"the quick brown fox " * 120)[:2048],
+        rng.integers(0, 256, 2048, np.uint8).tobytes(),  # runs die fast
+        (b"x" * 200 + b"abc") * 9,                  # long runs deep scan
+    ]
+    text, tlen = codec.pack_blocks(blocks, params, caps)
+    words, byte_lens, counts, sizes, of = encode_blocks_vm_chunked(
+        text, tlen, params, caps, chunk_steps=4096, interpret=True, vc=vc
+    )
+    words = np.asarray(words)
+    byte_lens = np.asarray(byte_lens)
+    for f in of._fields:
+        assert not np.asarray(getattr(of, f)).any(), f"overflow {f}"
+    for i, b in enumerate(blocks):
+        got = words[i].astype("<u4").tobytes()[: byte_lens[i]]
+        assert got == spec.encode(b, params), f"block {i}"
+
+
 def _huge_tier_data():
     """Input engineered so one non-hub ctx1 row and one ctx0 row collect
     ~230 distinct successor tags.  window=32 makes SCAN <= 0 (no window

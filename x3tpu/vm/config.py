@@ -176,6 +176,18 @@ class VMCaps:
     # D >= 4096 where the dense probe dominates the event budget
     # (measured ~20 us/event at D = 24576, round-3 verdict #3).
     probe_gate: bool = False
+    # Chunked window scan (round-5 queue #2): 0 = flat scan (the whole
+    # [L, SCAN] run computed in one statically-unrolled pass per match
+    # round — program size O(window/128 * MML) vector ops, which at
+    # window = 32 KiB deterministically crashes the relay compile
+    # helper, BENCH_NOTES r4c).  A nonzero value is the chunk width
+    # (multiple of 128): the scan runs as a fori_loop over
+    # ceil(SCAN/chunk) chunks, each chunk reading a rolling copy of the
+    # window (one static-amount roll per iteration), so the PROGRAM is
+    # O(chunk/128 * MML) regardless of window.  Exact by construction:
+    # run offsets are independent across chunks, tail positions are
+    # masked.  Static so default configs compile byte-identical kernels.
+    scan_chunk: int = 0
 
     @property
     def s1(self) -> int:
@@ -245,6 +257,9 @@ class VMCaps:
             # scan_scr (~wbuf) + models (+ mlen_scr when probe_gate)
             + (3 * (self.wbuf // 128)
                + _round_up(self.wbuf, SEG_ALIGN) // 128 + 12) * 128
+            # chunked scan: + the wchk rolling window copy (scan_scr
+            # shrinks from ~wbuf to chunk width, roughly cancelling)
+            + (self.wbuf // 128 * 128 if self.scan_chunk else 0)
             + (self.pb2_0 + 2 * self.pb2_1 + 3 * PB + 16) * 128
         )
 
@@ -315,6 +330,11 @@ def vm_caps(params: X3Params, caps: CodecCaps) -> VMCaps:
         out_words=_round_up(caps.out_words, FLUSH_WORDS),
         h2_0=h2_0, h2_1=h2_1, nr2_0=nr2_0, nr2_1=nr2_1,
         probe_gate=(d >= 4096),
+        # windows past the 8 KiB default get the loop-over-chunks scan
+        # (program size stays bounded; the flat scan at w32 crashed the
+        # compile helper deterministically, round-4 BENCH_NOTES)
+        scan_chunk=(4096 if params.window - MAX_MATCH_LEN - 1 > 8192
+                    else 0),
     )
     # VMEM budget for one 8-lane sub-batch.  The per-kernel scoped-VMEM
     # limit can be raised to ~120 MiB (prims.vmem_compiler_params; v5e has

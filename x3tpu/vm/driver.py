@@ -266,6 +266,31 @@ def _enc_caps_adaptive(params: X3Params, caps: CodecCaps) -> VMCaps:
         return vm_caps(params, caps)
 
 
+_VMEM_BUDGET = 14 << 20  # single-sub-batch resident cap (vm/config.py)
+
+
+def _set_enc_lanes_checked(vc: VMCaps) -> None:
+    """Explicit-vc encode entry: switch to the encoder width, then
+    re-validate the VMEM budget at that width (VMCaps.resident_bytes
+    reads the ACTIVE lane count) — the same try-wide-fallback-8 rule as
+    _enc_caps_adaptive, for callers that built ``vc`` while a different
+    width was active (e.g. right after a decode at a large-D config)."""
+    set_active_lanes(enc_lanes())
+    if vc.resident_bytes <= _VMEM_BUDGET:
+        return
+    if enc_lanes() == 8:
+        raise VMUnsupported(
+            f"VMEM-resident state ~{vc.resident_bytes >> 20} MiB "
+            "exceeds budget"
+        )
+    set_active_lanes(8)
+    if vc.resident_bytes > _VMEM_BUDGET:
+        raise VMUnsupported(
+            f"VMEM-resident state ~{vc.resident_bytes >> 20} MiB "
+            "exceeds budget even at 8 lanes"
+        )
+
+
 @functools.lru_cache(maxsize=8)
 def _get_step(vc: VMCaps, params: X3Params, nsteps: int, G: int,
               interpret: bool, ablate: frozenset = frozenset(),
@@ -307,7 +332,7 @@ def encode_blocks_vm_chunked(
     if vc is None:
         vc = _enc_caps_adaptive(params, caps)
     else:
-        set_active_lanes(enc_lanes())
+        _set_enc_lanes_checked(vc)
     if seeds is not None and seeds[0].shape[0] > vc.dict_cap:
         raise VMUnsupported("more dictionary seeds than dict_cap")
     L_in, tb_in = text.shape
@@ -558,7 +583,13 @@ def decode_blocks_vm_chunked(
         # round trip.  Fixed batches of 4 cost bound/4 syncs (~64 at a
         # 4 MiB block — the measured 2.3x wave-vs-kernel decode gap at
         # 1-lane MB configs); exponential growth costs O(log bound).
-        for _ in range(max(1, min(batch, bound - done_launches))):
+        # max_launches (bisect harnesses) caps the INNER batch too —
+        # otherwise chunk_steps=1 probes asking for k events run 4, 12,
+        # 28, ... and misreport the first-divergence position.
+        n = max(1, min(batch, bound - done_launches))
+        if max_launches:
+            n = min(n, max_launches - done_launches)
+        for _ in range(n):
             flat = step(*srcs, *flat)
             done_launches += 1
         batch = min(2 * batch, 256)
@@ -620,7 +651,7 @@ def encode_blocks_vm_sharded(
     if vc is None:
         vc = _enc_caps_adaptive(params, caps)
     else:
-        set_active_lanes(enc_lanes())
+        _set_enc_lanes_checked(vc)
     if seeds is not None and seeds[0].shape[0] > vc.dict_cap:
         raise VMUnsupported("more dictionary seeds than dict_cap")
     nd = mesh.devices.size

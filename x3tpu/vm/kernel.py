@@ -49,7 +49,7 @@ from x3tpu.config import (
 from x3tpu.vm import prims
 from x3tpu.vm import rows as rw
 from x3tpu.vm.config import (
-    FLUSH_WORDS, LANES, OF_CTX0, OF_CTX1, OF_DICT, OF_OUT, OF_PAIRS, PB,
+    FLUSH_WORDS, OF_CTX0, OF_CTX1, OF_DICT, OF_OUT, OF_PAIRS, PB,
     R_AC_HIGH, R_AC_LOW, R_AC_SCALE, R_C1, R_COUNTS, R_DICT_N, R_HUB0_N,
     R_HUB1_N, R_HUGE0_N, R_HUGE1_N, R_NBITS, R_OFLOW, R_P, R_PAIR_N,
     R_PREV_C1, R_PROMO0_N, R_PROMO1_N, R_SEG_BASE, R_TLEN, R_WIN_BASE,
@@ -60,11 +60,12 @@ from x3tpu.vm.prims import col_iota, get_col, set_col, vmem_compiler_params
 I32 = jnp.int32
 U32 = jnp.uint32
 F32 = jnp.float32
-L = LANES
+from x3tpu.vm import config as _vmc
+L = _vmc.LANES  # re-poked by set_active_lanes; never use bare LANES here
 MML = MAX_MATCH_LEN
 
 N_STATE = 19   # carried state arrays per sub-batch (16 VMEM + 3 HBM)
-N_SCR = 23     # scratch refs per sub-batch (19 VMEM + 4 DMA semaphores)
+N_SCR = 24     # scratch refs per sub-batch (20 VMEM + 4 DMA semaphores)
 
 # xfer scratch columns (vector -> scalar handoffs for DMA addressing)
 XC_NEED, XC_ROW0, XC_RPREV, XC_RCUR, XC_BPREV, XC_BCUR = 0, 1, 2, 3, 4, 5
@@ -219,7 +220,7 @@ STATE_NAMES = (
 SCR_NAMES = (
     "tseg", "seg32", "c0in", "c0big", "c1pin", "c1pbig", "c1cin", "c1cbig",
     "c0hug", "c1phug", "c1chug", "stage", "rem_scr", "xfer",
-    "acw", "acwf", "winlo", "scan_scr", "mlen_scr",
+    "acw", "acwf", "winlo", "scan_scr", "mlen_scr", "wchk",
     "sem_seg", "sem_row", "sem_wb", "sem_out",
 )
 
@@ -238,6 +239,7 @@ def encoder_kernel(
     R0, R1 = vc.r0, vc.r1
     SCAN = params.window - MML - 1
     SCANP = max((SCAN + 127) // 128 * 128, 128)
+    CH = vc.scan_chunk  # chunked-scan width (0 = flat; see ph_probe_scan)
     # huge tier (statics; when a family's tier is off its hug scratch is a
     # 1-row dummy and the rows functions compile the 3-tier code exactly)
     NR2_0, NR2_1 = vc.nr2_0, vc.nr2_1
@@ -505,7 +507,81 @@ def encoder_kernel(
                 e.dictw_v, e.dlens_v, e.d_n, e.tw, D
             )
 
-        if SCAN > 0 and "noscan" not in ablate:
+        if SCAN > 0 and "noscan" not in ablate and CH:
+            # Loop-over-chunks scan (vc.scan_chunk; round-5 queue #2):
+            # identical run/counts semantics to the flat scan below, but
+            # the window is walked in NCH chunks of CH offsets by a
+            # fori_loop, so the PROGRAM is O(CH * MML) instead of
+            # O(window * MML) — the flat scan's full unroll at 32 KiB
+            # windows deterministically crashed the relay compile helper
+            # (BENCH_NOTES r4c).  Offsets are independent across chunks
+            # (each run bitmap restarts per chunk), so chunking is exact;
+            # tail positions past SCAN are masked via `valid`.  The
+            # chunk's window bytes come from ``wchk``, a rolling copy of
+            # winlo left-rotated CH per iteration (one static-amount
+            # roll; reads are static column slices — no dynamic lane
+            # indexing, which Mosaic lacks).  Wrapped tail content is
+            # only ever read at masked positions.  Counts ACCUMULATE
+            # into rem_scr across chunks; the same 8-round group gating
+            # as the flat scan applies per chunk (runs die fast, and a
+            # dead chunk skips 3/4 of its compare work).
+            GR = 8
+            NCH = -(-SCAN // CH)
+            iota_ch = col_iota(CH)
+            b.wchk[:, :] = b.winlo[:, :]
+            b.rem_scr[:, :] = jnp.zeros((L, 128), I32)
+
+            def scan_chunk_body(k, carry):
+                valid = (k * CH + iota_ch) < SCAN
+                cs = b.wchk[:, :]
+                win0 = b.winlo[:, :]
+                run = valid
+                cl = []
+                for i in range(GR):
+                    run = run & (
+                        cs[:, 1 + i : 1 + i + CH] == win0[:, i : i + 1]
+                    )
+                    cl.append(jnp.sum(run.astype(I32), axis=1,
+                                      keepdims=True))
+                b.scan_scr[:, :] = run.astype(I32)
+                seg0 = jnp.concatenate(
+                    cl + [jnp.zeros((L, 128 - GR), I32)], axis=1
+                )
+                b.rem_scr[:, :] = b.rem_scr[:, :] + jnp.where(
+                    iota128 < GR, seg0, 0
+                )
+                for gi in range(1, MML // GR):
+                    @pl.when(jnp.sum(b.scan_scr[:, :]) > 0)
+                    def _(gi=gi):
+                        csg = b.wchk[:, :]     # fresh ref reads
+                        wing = b.winlo[:, :]
+                        rung = b.scan_scr[:, :] != 0
+                        clg = []
+                        for i in range(gi * GR, (gi + 1) * GR):
+                            rung = rung & (
+                                csg[:, 1 + i : 1 + i + CH]
+                                == wing[:, i : i + 1]
+                            )
+                            clg.append(jnp.sum(rung.astype(I32), axis=1,
+                                               keepdims=True))
+                        b.scan_scr[:, :] = rung.astype(I32)
+                        segg = jnp.concatenate(
+                            [jnp.zeros((L, gi * GR), I32)] + clg
+                            + [jnp.zeros((L, 128 - (gi + 1) * GR), I32)],
+                            axis=1,
+                        )
+                        sel = (iota128 >= gi * GR) & (
+                            iota128 < (gi + 1) * GR
+                        )
+                        b.rem_scr[:, :] = b.rem_scr[:, :] + jnp.where(
+                            sel, segg, 0
+                        )
+                b.wchk[:, :] = pltpu.roll(b.wchk[:, :], WBUF - CH, axis=1)
+                return carry
+
+            jax.lax.fori_loop(0, NCH, scan_chunk_body, jnp.int32(0))
+            e.counts = b.rem_scr[:, 0:MML]
+        elif SCAN > 0 and "noscan" not in ablate:
             # The scan is the largest per-event term at the 8 KiB default
             # window (round-3 ablation: ~14 of ~32 us/event-group).  Two
             # structural choices against that:
@@ -1570,10 +1646,13 @@ def build_encoder_call(vc: VMCaps, params: X3Params, nsteps: int, G: int,
         pltpu.VMEM((L, 128), I32),              # acw
         pltpu.VMEM((L, 128), jnp.float32),      # acwf
         pltpu.VMEM((L, vc.wbuf), I32),          # winlo (see ph_window)
-        pltpu.VMEM((L, SCANP_, ), I32),         # scan_scr (run bitmap)
+        # scan_scr (run bitmap): chunk-wide in chunked-scan mode
+        pltpu.VMEM((L, vc.scan_chunk or SCANP_), I32),
         # mlen_scr: gated-probe staging ([L, D] when the tier is on;
         # 128-wide unused dummy otherwise so the ref count is static)
         pltpu.VMEM((L, D if vc.probe_gate else 128), I32),
+        # wchk: rolling window copy for the chunked scan (dummy if flat)
+        pltpu.VMEM((L, vc.wbuf if vc.scan_chunk else 128), I32),
         # Fetch semaphores are PER LANE: the fetched scratch is read
         # right after the wait loop, and a shared counting semaphore is
         # racy there (lane 0's wait can be satisfied by lane 3's

@@ -42,7 +42,7 @@ from x3tpu.config import (
 from x3tpu.vm import prims
 from x3tpu.vm import rows as rw
 from x3tpu.vm.config import (
-    FLUSH_WORDS, LANES, OBF, OBW, OF_CTX0, OF_CTX1, OF_DICT, OF_OUT,
+    FLUSH_WORDS, OBF, OBW, OF_CTX0, OF_CTX1, OF_DICT, OF_OUT,
     OF_PAIRS, PB, R_AC_BUF, R_AC_HIGH, R_AC_LOW, R_C1, R_COUNTS, R_DICT_N,
     R_DONE, R_HUB0_N, R_HUB1_N, R_HUGE0_N, R_HUGE1_N, R_NBITS, R_OFLOW,
     R_OPOS, R_OUT_BASE, R_PAIR_N, R_PREV_C1, R_PROMO0_N, R_PROMO1_N,
@@ -54,7 +54,8 @@ from x3tpu.vm.prims import col_iota, get_col, set_col, vmem_compiler_params
 I32 = jnp.int32
 U32 = jnp.uint32
 F32 = jnp.float32
-L = LANES
+from x3tpu.vm import config as _vmc
+L = _vmc.LANES  # re-poked by set_active_lanes; never use bare LANES here
 MML = MAX_MATCH_LEN
 FW = FLUSH_WORDS
 FWROWS = FLUSH_WORDS // 128
