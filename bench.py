@@ -171,13 +171,21 @@ def main() -> int:
     _ = np.asarray(out[1])
     log(f"compile + warmup done (engine: {eng_used[0]})")
 
-    t0 = time.time()
-    words, byte_lens, counts, sizes, overflow = _encode_one_device(
-        text_j, tlen_j, params, caps, None
-    )
-    jax.block_until_ready(byte_lens)
-    dt = time.time() - t0
-    log(f"timed encode: {dt:.2f}s")
+    # N=3 timed runs, median reported (round-4 verdict weak #4: the
+    # 32-lane default rows are dispatch-bound with ±6% day variance, so
+    # a single run can't resolve the +2-3% kernel effects; the medians
+    # plus the @128 rows below are the regression instruments)
+    enc_times = []
+    for _ in range(3):
+        t0 = time.time()
+        words, byte_lens, counts, sizes, overflow = _encode_one_device(
+            text_j, tlen_j, params, caps, None
+        )
+        _ = np.asarray(byte_lens)  # value-read sync (probe9 rule)
+        enc_times.append(time.time() - t0)
+    dt = sorted(enc_times)[1]
+    log(f"timed encode: {dt:.2f}s (3 runs: "
+        f"{', '.join(f'{t:.2f}' for t in enc_times)})")
 
     codec._check_overflow(overflow)  # names the lane and capacity if hit
 
@@ -201,6 +209,7 @@ def main() -> int:
         "vs_baseline": round(mbs / BASELINE_ENCODE_MBS, 2),
         "engine": eng_used[0], "commit": commit,
         "lanes": _active_lanes(eng_used[0]),
+        "runs_s": [round(t, 3) for t in enc_times],
     }), flush=True)
 
     # decode direction (round-2 verdict #5): time the production decode
@@ -217,15 +226,20 @@ def main() -> int:
                                        None, deng_used)
     _ = np.asarray(opos)
     log(f"decode compile + warmup done (engine: {deng_used[0]})")
-    t0 = time.time()
-    out, opos, *_ = _decode_one_device(words_in, lens_in, params, caps, None)
-    opos_np = np.asarray(opos)
-    ddt = time.time() - t0
+    dec_times = []
+    for _ in range(3):  # N=3, median (see the encode rows)
+        t0 = time.time()
+        out, opos, *_ = _decode_one_device(words_in, lens_in, params, caps,
+                                           None)
+        opos_np = np.asarray(opos)
+        dec_times.append(time.time() - t0)
+    ddt = sorted(dec_times)[1]
     out_np = np.asarray(out)
     for i, b in enumerate(blocks):
         assert out_np[i, : opos_np[i]].tobytes() == b, f"decode fail lane {i}"
     dmbs = len(data) / ddt / 1e6
-    log(f"timed decode: {ddt:.2f}s")
+    log(f"timed decode: {ddt:.2f}s (3 runs: "
+        f"{', '.join(f'{t:.2f}' for t in dec_times)})")
     print(json.dumps({
         "metric": "decode_throughput_default_params",
         "value": round(dmbs, 4),
@@ -233,6 +247,7 @@ def main() -> int:
         "vs_baseline": round(dmbs / BASELINE_DECODE_MBS, 2),
         "engine": deng_used[0], "commit": commit,
         "lanes": _active_lanes(deng_used[0]),
+        "runs_s": [round(t, 3) for t in dec_times],
     }), flush=True)
 
     # lane-scaling rows (round-2 verdict #6): each row is a separate

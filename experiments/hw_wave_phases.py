@@ -15,7 +15,15 @@ on a 4 MiB-block config (binary-4mb twin).  If final dominates, the
 "gap" is state-plumbing, not kernel speed, and the fix is aliasing /
 avoiding the split-merge reshapes at SB=1.
 
-Usage: python experiments/hw_wave_phases.py [block_mib]
+Usage: python experiments/hw_wave_phases.py [block_mib] [corpus] [perlaunch]
+  corpus: "frag" (default; repeated 4 KiB random fragment) or "so"
+          (site-packages shared objects — the bench_matrix binary-4mb
+          twin, the corpus behind the 0.1873 MB/s config-#3 number)
+  perlaunch: any third arg -> run 2 adds a VALUE-READ SYNC AFTER EVERY
+          LAUNCH and prints each launch's wall time + live lanes, so
+          fixed per-launch overhead separates from in-kernel event cost
+          (round-4 falsified the sync-loop theory; run 1 here falsified
+          init/finalize — the gap lives inside the launches)
 """
 
 import sys
@@ -54,11 +62,19 @@ def sync(x):
 
 def main():
     mib = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    corpus = sys.argv[2] if len(sys.argv) > 2 else "frag"
+    perlaunch = len(sys.argv) > 3
     bb = mib << 20
-    rng = np.random.default_rng(3)
-    # binary-ish redundant block (the config-#3 regime)
-    frag = rng.integers(0, 256, 4096, np.uint8).tobytes()
-    data = (frag * (bb // 4096 + 1))[:bb]
+    if corpus == "so":
+        import pathlib
+        SP = pathlib.Path("/opt/venv/lib/python3.12/site-packages")
+        sos = sorted(SP.rglob("*.so"), key=lambda p: -p.stat().st_size)
+        data = b"".join(p.read_bytes() for p in sos[:16])[:bb]
+    else:
+        rng = np.random.default_rng(3)
+        # hyper-redundant block (ratio ~90; few, long events)
+        frag = rng.integers(0, 256, 4096, np.uint8).tobytes()
+        data = (frag * (bb // 4096 + 1))[:bb]
     params = X3Params()
     caps = caps_for_block(bb)
     log(f"block {mib} MiB, caps dict={caps.dict_cap}")
@@ -94,12 +110,30 @@ def main():
         t0 = time.time()
         bound = max(1, -(-(vc.block_bytes + 1) // 16384))
         done, batch = 0, 4
-        while bool(dv._any_active_dec_subs(flat, sb)):
-            assert done <= bound + 2, "no progress"
-            for _ in range(max(1, min(batch, bound - done))):
+        if perlaunch and it == 1:
+            # per-launch dissection: sync EVERY launch by a value read of
+            # the done flags; prints (launch, seconds, live lanes).  The
+            # extra ~33 ms/launch tunnel sync is visible but small next
+            # to the ~0.4 s/launch being investigated.
+            while True:
+                regs = np.asarray(flat[13])
+                live = int((regs[:, 22] == 0).sum())  # R_DONE
+                if live == 0:
+                    break
+                assert done <= bound + 2, "no progress"
+                tl = time.time()
                 flat = step(*srcs, *flat)
+                _ = np.asarray(flat[13][0, 0])  # value-read sync
+                log(f"  launch {done}: {time.time()-tl:6.3f}s "
+                    f"live={live}")
                 done += 1
-            batch = min(2 * batch, 256)
+        else:
+            while bool(dv._any_active_dec_subs(flat, sb)):
+                assert done <= bound + 2, "no progress"
+                for _ in range(max(1, min(batch, bound - done))):
+                    flat = step(*srcs, *flat)
+                    done += 1
+                batch = min(2 * batch, 256)
         t_launch = time.time() - t0
 
         t0 = time.time()

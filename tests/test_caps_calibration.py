@@ -47,3 +47,31 @@ def test_caps_for_block_cover_usr_bin_corpus(mib):
     # auto-retry covers tails, but the common case must not rely on it
     assert m["pairs"] <= 0.8 * caps.pair_cap, m
     assert m["ctx1_max"] <= 0.8 * caps.ctx_items_cap, m
+
+
+@pytest.mark.parametrize("mib", [8, 16])
+def test_caps_for_block_cover_large_text_blocks(mib):
+    """The 8-16 MiB regime (round-5: ratio-at-scale lever) is text-class
+    only — diverse binary at these sizes exceeds the VM dictionary
+    ceiling (measured 38K entries at 8 MiB) and lands on the XLA retry
+    path by design.  Assert the heuristics cover measured TEXT growth
+    (host.measure_state 2026-08-20: 16 MiB text = dict 11914, pairs
+    517K, ctx1 max 2821, ctx0 max 2506) and that vm_caps hosts the
+    config at 8 lanes."""
+    from bench import build_corpus
+    from x3tpu.vm.config import set_active_lanes, vm_caps
+
+    block = mib << 20
+    data = build_corpus(block)
+    m = host.measure_state(data, X3Params())
+    caps = caps_for_block(block)
+
+    assert m["dict"] <= caps.dict_cap, m
+    assert m["pairs"] <= 0.8 * caps.pair_cap, m
+    assert m["ctx1_max"] <= 0.8 * caps.ctx_items_cap, m
+    assert m["ctx0_max"] <= 0.8 * caps.ctx0_items_cap, m
+
+    set_active_lanes(8)
+    vc = vm_caps(X3Params(), caps)
+    assert vc.block_bytes == block
+    assert vc.resident_bytes <= 14 << 20

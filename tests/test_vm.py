@@ -479,6 +479,56 @@ def test_vm_huge_rows_bit_exact():
 
 
 @_subprocess_isolated
+def test_vm_huge_wide_sections_bit_exact():
+    """nr2_0 in the newly-allowed 17..32 range (round 5: the 8-16 MiB
+    text regime needs ctx0 huge spans of 20 sections, measured max 2506
+    items at 16 MiB).  Same lowered-trigger recipe as
+    test_vm_huge_rows_bit_exact, but with 2560-item caps so BOTH
+    families compile 20-section spans."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from x3tpu.vm import driver as vmdrv
+    from x3tpu.vm.config import R_HUGE0_N, R_HUGE1_N, vm_caps
+
+    params = X3Params(max_match_count=15, window=32)
+    caps = CodecCaps(
+        dict_cap=384, pair_cap=2048, ctx_items_cap=2560,
+        ctx0_items_cap=2560, ctx_small_cap=16, block_bytes=1024,
+    )
+    data = _huge_tier_data()
+    vc = vm_caps(params, caps)
+    assert vc.nr2_1 == 20 and vc.nr2_0 == 20
+    vc = dataclasses.replace(vc, big_trig0=200, big_trig1=160)
+
+    text, tlen = codec.pack_blocks([data], params, caps)
+    text_flat = vmdrv._prep_text(
+        jnp.asarray(text, jnp.uint8), vc, 1, text.shape[1]
+    )
+    tlen_p = jnp.pad(jnp.asarray(tlen, jnp.int32), (0, 7))
+    state = vmdrv._init_state(text_flat, tlen_p, vc, 1)
+    step = vmdrv._get_step(vc, params, 4096, 1, True)
+    while bool(vmdrv._any_active(state[13])):
+        state = step(text_flat, *state)
+    regs = np.asarray(state[13])
+    assert regs[0, R_HUGE1_N] > 0, "no ctx1 huge promotion"
+    assert regs[0, R_HUGE0_N] > 0, "no ctx0 huge promotion"
+    words, byte_lens, counts, sizes, of = vmdrv._finalize(state, vc)
+    words, byte_lens = np.asarray(words), np.asarray(byte_lens)
+    for f in of._fields:
+        assert not np.asarray(getattr(of, f))[0], f"overflow {f}"
+    got = words[0].astype("<u4").tobytes()[: byte_lens[0]]
+    assert got == spec.encode(data, params)
+
+    out, opos, _, _, dof = vmdrv.decode_blocks_vm_chunked(
+        words[:1], byte_lens[:1], params, caps, vc=vc, interpret=True
+    )
+    assert not any(np.asarray(getattr(dof, f))[0] for f in dof._fields)
+    assert np.asarray(out)[0, : np.asarray(opos)[0]].tobytes() == data
+
+
+@_subprocess_isolated
 def test_vm_huge_prev_priming_across_launches():
     """chunk_steps smaller than the event count forces many launches, so
     the pre-loop prev-row priming runs with HUGE prev rows (the in-loop

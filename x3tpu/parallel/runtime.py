@@ -108,20 +108,32 @@ def caps_for_block(block_bytes: int, ratio_hint: float = 1.0) -> CodecCaps:
     # block sizes is far below 640 and the overflow auto-retry covers tails
     if d <= 8192:
         items = min(items, 640)
-    else:
+    elif block_bytes <= 4 << 20:
         # MB-block regime: rows grow to thousands of items (measured 7449
         # max at 4 MB); the VM huge-row tier hosts up to nr2*128 = 8192
         items = 8192
+    else:
+        # 8-16 MiB regime is text-class only (host.measure_state
+        # 2026-08-20: ctx1 max 2821 at 16 MiB text; diverse binary at
+        # these sizes exceeds the VM dictionary ceiling anyway and lands
+        # on the XLA retry path) — 4096 keeps the huge spans, and with
+        # them the VMEM-resident budget, half the 4 MiB config's size
+        items = 4096
     # tiered context storage: the small pool costs pair_cap*16*8B/lane and
     # promoted rows (pair_cap/8)*items*8B/lane — measured growth at 4 MB
     # diverse binary is 391K pairs / 7.4K max items (the 32x multiplier
     # applies only in the MB-block regime; smaller blocks keep the round-1
-    # sizing so their compile caches stay valid)
-    pair = min((32 if d > 8192 else 16) * d, 1 << 19)
+    # sizing so their compile caches stay valid).  Blocks past 4 MiB get
+    # the 1M pair cap (16 MiB text measures 517K pairs,
+    # host.measure_state 2026-08-20); 4 MiB and below keep 512K so their
+    # compile caches stay valid.
+    pair = min((32 if d > 8192 else 16) * d,
+               1 << (20 if block_bytes > 4 << 20 else 19))
     # ctx0 (pair-context) rows stay an order smaller than ctx1 rows
-    # (measured 1257 vs 7449 max at 4 MB); the VM ctx0 huge tier caps at
-    # nr2_0*128 = 2048 items
-    items0 = items if items <= 2048 else 2048
+    # (measured 1257 vs 7449 max at 4 MB; 2506 at 16 MiB text); the VM
+    # ctx0 huge tier caps at nr2_0*128 = 2048 items through 4 MiB
+    # blocks, 4096 above
+    items0 = min(items, 2048 if block_bytes <= 4 << 20 else 4096)
     return CodecCaps(
         dict_cap=d,
         pair_cap=pair,

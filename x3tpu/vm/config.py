@@ -275,11 +275,14 @@ def vm_caps(params: X3Params, caps: CodecCaps) -> VMCaps:
         # dense VMEM dictionary planes: any 128-multiple works; 32K entries
         # covers the measured 4 MB-block regime (21770, /tmp/ref4mb.log)
         raise VMUnsupported(f"dict_cap {d} outside VM range [128, 32768]/128")
-    if caps.block_bytes > 4 << 20:
-        # 4 MiB blocks measured on the binary-class proxy: dict 5838
-        # entries, 119K pairs, ~755K events — all within VM capacities
-        # (dict_cap 8192, s0 128K HBM rows/lane); bigger blocks untested
-        raise VMUnsupported(f"block_bytes {caps.block_bytes} > 4 MiB")
+    if caps.block_bytes > 16 << 20:
+        # 16 MiB is the measured text-class envelope (host.measure_state
+        # 2026-08-20: 16 MiB text needs dict 11914, pairs 517K, ctx1 max
+        # 2821, ctx0 max 2506 — all VM-hostable).  Diverse BINARY blocks
+        # >= 8 MiB exceed the VMEM dictionary ceiling (38K entries
+        # measured at 8 MiB vs the 24576 resident cap) — those overflow
+        # OF_DICT and the host auto-retry lands them on the XLA path.
+        raise VMUnsupported(f"block_bytes {caps.block_bytes} > 16 MiB")
     if params.window > 32 * 1024:
         # 32 KiB verified bit-exact on hardware (probe_w32k 2026-08-17;
         # an earlier-round compile crash no longer reproduces); the
@@ -304,17 +307,22 @@ def vm_caps(params: X3Params, caps: CodecCaps) -> VMCaps:
         nr2_1, h2_1 = 0, 0
     if caps.ctx0_items_cap > BIG0:
         nr2_0 = _round_up(caps.ctx0_items_cap, 128) // 128
-        if nr2_0 > 16:
-            raise VMUnsupported(f"ctx0_items_cap {caps.ctx0_items_cap} > 2048")
+        # 32 sections = 4096 items covers the 16 MiB text-class need
+        # (measured ctx0 max 2506; the 4 MiB regime needs 1257)
+        if nr2_0 > 32:
+            raise VMUnsupported(f"ctx0_items_cap {caps.ctx0_items_cap} > 4096")
         h2_0 = 32
     else:
         nr2_0, h2_0 = 0, 0
-    if caps.pair_cap > 1 << 19:
+    if caps.pair_cap > 1 << 20:
         # a silent clamp here would make a pairs-overflow retry (which
         # doubles pair_cap) re-select the VM at an unchanged effective
         # capacity and re-run into the identical overflow; raising lets
-        # the engine dispatch fall back to the XLA path immediately
-        raise VMUnsupported(f"pair_cap {caps.pair_cap} > 512K")
+        # the engine dispatch fall back to the XLA path immediately.
+        # 1M pairs = 512 MB of ctx0 HBM rows per lane; 16 MiB text
+        # measures 517K (the 4 MiB regime keeps its 512K-capped caps,
+        # so existing compile caches stay valid)
+        raise VMUnsupported(f"pair_cap {caps.pair_cap} > 1M")
     s0 = caps.pair_cap
     m0 = min(max(s0 // 32, 64), 1024)
     m1 = min(max(d // 4, 64), 1024)
