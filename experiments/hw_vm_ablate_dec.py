@@ -96,6 +96,8 @@ ABLATIONS = [
     frozenset({"mtf2"}),      # dictionary MTF / insert vector ops
     frozenset({"emit2"}),     # output extraction + barrel shift
     frozenset({"row2"}),      # ctx row find/stats (ph_payload side)
+    frozenset({"ev2"}),       # event + length AC decode chains (round 5)
+    frozenset({"lit2"}),      # literal-byte AC chain, per loop iteration
 ]
 
 _sel = __import__("os").environ.get("X3TPU_ABLATE_SET")

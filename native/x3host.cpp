@@ -463,17 +463,32 @@ class Codec {
     out[0] = int64_t(dict_.size());
     out[1] = int64_t(pairs_.size());
     size_t hub0 = ctx0_.empty() ? 0 : ctx0_[0].size();
-    size_t max0 = 0;
-    for (size_t i = 1; i < ctx0_.size(); ++i)
-      if (ctx0_[i].size() > max0) max0 = ctx0_[i].size();
+    size_t max0 = 0, big0 = 0, huge0 = 0;
+    for (size_t i = 1; i < ctx0_.size(); ++i) {
+      size_t n = ctx0_[i].size();
+      if (n > max0) max0 = n;
+      if (n > 63) ++big0;    // VM inline ctx0 capacity (vm/config.py IN0)
+      if (n > 896) ++huge0;  // big-span capacity (BIG0)
+    }
     size_t hub1 = ctx1_.empty() ? 0 : ctx1_[0].size();
-    size_t max1 = 0;
-    for (size_t i = 1; i < ctx1_.size(); ++i)
-      if (ctx1_[i].size() > max1) max1 = ctx1_[i].size();
+    size_t max1 = 0, big1 = 0, huge1 = 0;
+    for (size_t i = 1; i < ctx1_.size(); ++i) {
+      size_t n = ctx1_[i].size();
+      if (n > max1) max1 = n;
+      if (n > 42) ++big1;    // IN1
+      if (n > 640) ++huge1;  // BIG1
+    }
     out[2] = int64_t(hub0);
     out[3] = int64_t(max0);
     out[4] = int64_t(hub1);
     out[5] = int64_t(max1);
+    // promotion-pool usage (round 5: the 8 MiB hardware probe hit a
+    // ctx1 overflow that item caps alone could not explain — the span
+    // POOLS are per-lane resources that must be sized too)
+    out[6] = int64_t(big0);
+    out[7] = int64_t(huge0);
+    out[8] = int64_t(big1);
+    out[9] = int64_t(huge1);
   }
 
  private:

@@ -75,3 +75,10 @@ def test_caps_for_block_cover_large_text_blocks(mib):
     vc = vm_caps(X3Params(), caps)
     assert vc.block_bytes == block
     assert vc.resident_bytes <= 14 << 20
+    # promotion POOLS are per-lane resources: a pool-exhausted promotion
+    # raises the family overflow even when every row fits its tier (the
+    # first 8 MiB hardware probe failed exactly there, round 5)
+    assert m["ctx1_big"] <= 0.8 * vc.m1, m
+    assert m["ctx0_big"] <= 0.8 * vc.m0, m
+    assert m["ctx1_huge"] <= 0.8 * vc.h2_1, m
+    assert m["ctx0_huge"] <= 0.8 * vc.h2_0, m

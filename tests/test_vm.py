@@ -190,12 +190,13 @@ def test_vm_unsupported_configs():
     caps = CodecCaps(dict_cap=1024, ctx_items_cap=16384, block_bytes=2048)
     with pytest.raises(VMUnsupported):
         _encode_vm([b"x"], PARAMS, caps)
-    caps = CodecCaps(dict_cap=1024, block_bytes=8 << 20)
+    # blocks beyond the (round-5) 16 MiB text-class envelope
+    caps = CodecCaps(dict_cap=1024, block_bytes=32 << 20)
     with pytest.raises(VMUnsupported):
         _encode_vm([b"x"], X3Params(window=1024), caps)
     # pair capacity beyond the VM ceiling must raise (NOT silently clamp:
     # a pairs-overflow retry doubles pair_cap and needs the XLA fallback)
-    caps = CodecCaps(dict_cap=1024, pair_cap=1 << 20, block_bytes=2048)
+    caps = CodecCaps(dict_cap=1024, pair_cap=1 << 21, block_bytes=2048)
     with pytest.raises(VMUnsupported):
         _encode_vm([b"x"], PARAMS, caps)
 

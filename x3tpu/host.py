@@ -300,13 +300,17 @@ def train_tape(data: bytes, params: X3Params = X3Params(), k: int = 256,
 def measure_state(data: bytes, params: X3Params = X3Params()):
     """Encode on the host and report state growth for capacity tuning:
     dict entries, pairs, ctx0 hub items, max non-hub ctx0 items, ctx1 hub
-    items, max non-hub ctx1 items."""
+    items, max non-hub ctx1 items, plus the VM promotion-pool usage
+    (rows past the inline/big capacities per family — the per-lane big
+    and huge span pools must cover these counts, vm/config.py m0/m1 and
+    h2_0/h2_1; round-5 lesson from the 8 MiB ctx1 overflow)."""
     lib = _load()
-    out = (ctypes.c_int64 * 6)()
+    out = (ctypes.c_int64 * 10)()
     lib.x3h_measure(
         data, len(data), params.max_match_count, params.window,
         params.magic_factor1, params.magic_factor2,
         1 if params.nl_remap else 0, out,
     )
-    keys = ("dict", "pairs", "ctx0_hub", "ctx0_max", "ctx1_hub", "ctx1_max")
+    keys = ("dict", "pairs", "ctx0_hub", "ctx0_max", "ctx1_hub",
+            "ctx1_max", "ctx0_big", "ctx0_huge", "ctx1_big", "ctx1_huge")
     return dict(zip(keys, [int(v) for v in out]))

@@ -243,21 +243,27 @@ def _encode_one_device(text, tlen, params, caps, seeds, engine_out=None,
 
             # the relay-side compile helper crashes intermittently on
             # large programs (HTTP 500; BENCH_NOTES rounds 3-4) and the
-            # same config often compiles on a second attempt — retry
-            # ONCE after a short pause before demoting
-            print(f"x3tpu: VM compile infrastructure failure, retrying "
-                  f"once: {str(e)[:120]}", file=sys.stderr)
-            _time.sleep(20)
-            try:
-                out = _retry()
-                if engine_out is not None:
-                    engine_out.append(engine)
-                return out
-            except Exception as e2:
-                if not _vm_compile_infra_failure(e2):
-                    raise
-                print(f"x3tpu: VM compile retry failed, using the XLA "
-                      f"path: {str(e2)[:160]}", file=sys.stderr)
+            # same config often compiles on a later attempt — a matrix
+            # row's engine is a 15-30x throughput difference, so retry
+            # TWICE with backoff before demoting (round-4 weak #3)
+            last = e
+            for pause in (20, 60):
+                print(f"x3tpu: VM compile infrastructure failure, "
+                      f"retrying in {pause}s: {str(last)[:120]}",
+                      file=sys.stderr)
+                _time.sleep(pause)
+                try:
+                    out = _retry()
+                    if engine_out is not None:
+                        engine_out.append(engine)
+                    return out
+                except Exception as e2:
+                    if not _vm_compile_infra_failure(e2):
+                        raise
+                    last = e2
+            if True:
+                print(f"x3tpu: VM compile retries failed, using the XLA "
+                      f"path: {str(last)[:160]}", file=sys.stderr)
     if engine_out is not None:
         engine_out.append("xla")
     return codec.encode_blocks_chunked(
@@ -295,21 +301,27 @@ def _decode_one_device(words, byte_lens, params, caps, seeds,
 
             # the relay-side compile helper crashes intermittently on
             # large programs (HTTP 500; BENCH_NOTES rounds 3-4) and the
-            # same config often compiles on a second attempt — retry
-            # ONCE after a short pause before demoting
-            print(f"x3tpu: VM compile infrastructure failure, retrying "
-                  f"once: {str(e)[:120]}", file=sys.stderr)
-            _time.sleep(20)
-            try:
-                out = _retry()
-                if engine_out is not None:
-                    engine_out.append(engine)
-                return out
-            except Exception as e2:
-                if not _vm_compile_infra_failure(e2):
-                    raise
-                print(f"x3tpu: VM compile retry failed, using the XLA "
-                      f"path: {str(e2)[:160]}", file=sys.stderr)
+            # same config often compiles on a later attempt — a matrix
+            # row's engine is a 15-30x throughput difference, so retry
+            # TWICE with backoff before demoting (round-4 weak #3)
+            last = e
+            for pause in (20, 60):
+                print(f"x3tpu: VM compile infrastructure failure, "
+                      f"retrying in {pause}s: {str(last)[:120]}",
+                      file=sys.stderr)
+                _time.sleep(pause)
+                try:
+                    out = _retry()
+                    if engine_out is not None:
+                        engine_out.append(engine)
+                    return out
+                except Exception as e2:
+                    if not _vm_compile_infra_failure(e2):
+                        raise
+                    last = e2
+            if True:
+                print(f"x3tpu: VM compile retries failed, using the XLA "
+                      f"path: {str(last)[:160]}", file=sys.stderr)
     if engine_out is not None:
         engine_out.append("xla")
     return codec.decode_blocks_chunked(

@@ -324,8 +324,16 @@ def vm_caps(params: X3Params, caps: CodecCaps) -> VMCaps:
         # so existing compile caches stay valid)
         raise VMUnsupported(f"pair_cap {caps.pair_cap} > 1M")
     s0 = caps.pair_cap
-    m0 = min(max(s0 // 32, 64), 1024)
-    m1 = min(max(d // 4, 64), 1024)
+    # Promotion-pool sizes are PER-LANE resources, not item caps: a
+    # pool-exhausted promotion raises the family's overflow flag even
+    # when every row fits its tier (the round-5 8 MiB probe failed
+    # exactly there).  Measured big-span usage on text
+    # (host.measure_state ctx*_big, 2026-08-20): 4 MiB 1120/176,
+    # 8 MiB 1758/554, 16 MiB 2633/1058 — the old 1024 cap was too small
+    # for MB-blocks in BOTH families.  Huge usage stays tiny (<= 73).
+    mb = caps.block_bytes >= 4 << 20
+    m0 = min(max(s0 // 32, 64), 2048 if mb else 1024)
+    m1 = min(max(d // 4, 64), 4096 if mb else 1024)
     vc = VMCaps(
         dict_cap=d,
         s0=s0,

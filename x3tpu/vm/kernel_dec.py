@@ -75,8 +75,12 @@ XC_WB1G, XC_WB1GS, XC_WB0G, XC_WB0GS = 19, 20, 21, 22
 # gated dup-probe columns (only written when vc.probe_gate)
 XC_DUP, XC_NLEN = 23, 24
 XC_DUP2 = 25  # duplicated-phase ablation staging (hw_vm_ablate_dec.py)
-# acw scratch columns (AC state bridge across the literal while-loop)
+# acw scratch columns (AC state bridge across the literal while-loop).
+# Cols 4-7 stage each decode's range-division result between the symbol
+# search and the interval update (prims.ac_decode_value `stage` hook —
+# the L=16 step-remat miscompile fix, hw_l16_dec_inspect 2026-08-20).
 AC_LOW, AC_HIGH, AC_BUF, AC_BITPOS = 0, 1, 2, 3
+AC_ESTEP, AC_LSTEP, AC_PSTEP, AC_BSTEP = 4, 5, 6, 7
 
 STATE_NAMES_DEC = (
     "dictw", "dlens", "drank", "dtago", "ixf",
@@ -326,6 +330,18 @@ def decoder_kernel(
                 b.c1r.at[pl.ds(r, 1), :], b.c1cin.at[l], b.sem_row.at[l, 0]
             ).start()
 
+    def _stage_step(b, col):
+        """Store-and-reread hook for ac_decode_value's range division
+        (the L=16 step-remat miscompile fix; see prims.ac_decode_value).
+        acw cols 4-7 stay live until the next event re-stages them -- the
+        bridge/loop writes to acw below only touch cols 0-3 (or base on
+        the current acw content), so a replayed ref read still sees the
+        staged value."""
+        def stage(step):
+            b.acw[:, :] = set_col(b.acw[:, :], col, step.astype(I32))
+            return b.acw[:, col : col + 1].astype(U32)
+        return stage
+
     def ph_evsym(b, e):
         """C: event symbol (x3.c:293) + E_NEW length; bridge AC state for
         the merged literal loop."""
@@ -334,7 +350,8 @@ def decoder_kernel(
         st = dict(_st_of(e.R, b.srcwin[:, :]), src_base=e.src_base2)
         evv = b.ev[:, :]
         e.etot = jnp.sum(evv, axis=1, keepdims=True)
-        estep, evalue = prims.ac_decode_value(st, e.etot)
+        estep, evalue = prims.ac_decode_value(
+            st, e.etot, stage=_stage_step(b, AC_ESTEP))
         esym, elow, espan = prims.model_decode(evv, evalue, 128)
         e.esym = jnp.where(e.active, esym, E_EOF)
         st = prims.ac_decode_update(st, estep, elow, espan, e.active)
@@ -348,7 +365,8 @@ def decoder_kernel(
         # ---- D: E_NEW length
         msv = b.ms[:, :]
         e.mstot = jnp.sum(msv, axis=1, keepdims=True)
-        lstep, lvalue = prims.ac_decode_value(st, e.mstot)
+        lstep, lvalue = prims.ac_decode_value(
+            st, e.mstot, stage=_stage_step(b, AC_LSTEP))
         lsym, lslow, lsspan = prims.model_decode(msv, lvalue, 128)
         st = prims.ac_decode_update(st, lstep, lslow, lsspan, e.is_new)
         b.ms[:, :] = msv + jnp.where((iota128 == lsym) & e.is_new, 1, 0)
@@ -356,10 +374,12 @@ def decoder_kernel(
         e.lsspan = lsspan
 
         # literal bytes: AC state bridged via scratch
+        # bridge write bases on the CURRENT acw (not zeros) so the
+        # staged step columns 4-7 survive any replayed ref read
         b.acw[:, :] = set_col(
             set_col(
                 set_col(
-                    set_col(jnp.zeros((L, 128), I32), AC_LOW,
+                    set_col(b.acw[:, :], AC_LOW,
                             st["low"].astype(I32)),
                     AC_HIGH, st["high"].astype(I32)),
                 AC_BUF, st["buf"].astype(I32)),
@@ -380,6 +400,20 @@ def decoder_kernel(
                     127, e.length_new)
         )
         e.st_base = st  # src_base/nwords carried; low/high/buf via acw
+
+        if "ev2" in ablate:  # duplicate the event+length AC decode chains
+            pz = _dup_pred(b, e)
+            pzi = pz.astype(I32)
+            st_d = dict(_st_of(e.R, b.srcwin[:, :]), src_base=e.src_base2)
+            es_d, val_d = prims.ac_decode_value(st_d, e.etot + pzi)
+            sy_d, lo_d, sp_d = prims.model_decode(evv + pzi, val_d, 128)
+            st_d = prims.ac_decode_update(st_d, es_d, lo_d, sp_d, pz)
+            ls_d, lv_d = prims.ac_decode_value(st_d, e.mstot + pzi)
+            sy2, lo2, sp2 = prims.model_decode(msv + pzi, lv_d, 128)
+            st_d = prims.ac_decode_update(st_d, ls_d, lo2, sp2, pz)
+            _dup_fold(b, e, sy_d + lo_d + sp_d + sy2 + lo2 + sp2
+                      + es_d.astype(I32) + ls_d.astype(I32)
+                      + st_d["low"].astype(I32) + st_d["bitpos"])
 
     def ph_lit_all(E):
         """Merged early-exit literal loop across sub-batches (see
@@ -407,7 +441,8 @@ def decoder_kernel(
                 act = e.active & (esr == E_NEW) & (k < lnr)
                 chv = b.ch[:, :]
                 btot = jnp.sum(chv, axis=1, keepdims=True)
-                bstep, bvalue = prims.ac_decode_value(st2, btot)
+                bstep, bvalue = prims.ac_decode_value(
+                    st2, btot, stage=_stage_step(b, AC_BSTEP))
                 bsym, blow, bspan = prims.model_decode(chv, bvalue, 256)
                 st2 = prims.ac_decode_update(st2, bstep, blow, bspan, act)
                 b.ch[:, :] = chv + jnp.where(
@@ -429,6 +464,18 @@ def decoder_kernel(
                         AC_BUF, st2["buf"].astype(I32)),
                     AC_BITPOS, st2["bitpos"],
                 )
+                if "lit2" in ablate:  # duplicate the literal AC chain
+                    pz = _dup_pred(b, e)
+                    pzi = pz.astype(I32)
+                    st_d = dict(st2)
+                    bs_d, bv_d = prims.ac_decode_value(st_d, btot + pzi)
+                    by_d, bl_d, bp_d = prims.model_decode(
+                        chv + pzi, bv_d, 256)
+                    st_d = prims.ac_decode_update(st_d, bs_d, bl_d, bp_d,
+                                                  pz)
+                    _dup_fold(b, e, by_d + bl_d + bp_d
+                              + bs_d.astype(I32)
+                              + st_d["low"].astype(I32))
             return k + 1
 
         jax.lax.while_loop(lambda k: k < kmax, lit_step, jnp.int32(0))
@@ -627,7 +674,8 @@ def decoder_kernel(
         ixtot = ixv[:, D - 1 : D]
         ptot = jnp.where(is0, tot0, jnp.where(is1, tot1, ixtot))
         ptot = jnp.maximum(ptot, 1)
-        pstep, pvalue = prims.ac_decode_value(e.st, ptot)
+        pstep, pvalue = prims.ac_decode_value(
+            e.st, ptot, stage=_stage_step(b, AC_PSTEP))
         pos0d, tag0d, low0d, span0d = rw.row_decode_pos(
             rw.FAM0, e.v0, pvalue, b.c0in, b.c0big, b.h0f[:, :],
             b.h0t[:, :], hug_scr=b.c0hug if NR2_0 else None, nr2=NR2_0,

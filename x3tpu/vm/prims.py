@@ -255,13 +255,26 @@ def cumsum_excl(x):
     return jnp.where(iota >= 1, rolled, 0)
 
 
-def ac_decode_value(st, total):
+def ac_decode_value(st, total, stage=None):
     """(step, value) of the pending symbol (ac.c:128-131, 183-185;
     ops/ac.py:ac_decode_value).  ``st`` carries u32 [8,1] ``low``/``high``/
-    ``buf``."""
+    ``buf``.
+
+    ``stage``, when given, is applied to ``step`` right after the range
+    division and its result is used for BOTH the value division and the
+    returned step.  The decoder kernel passes a store-to-scratch-and-
+    reread here: ``step`` is a long f32-division + correction chain, and
+    at LANES=16 Mosaic rematerialized it between the symbol search and
+    ac_decode_update with a different (wrong) schedule — caught by
+    hw_l16_dec_inspect 2026-08-20 as low/high diverging by exactly
+    step_diff*plow / step_diff*(plow+span) at event 2, lane 1, with
+    buf/bitpos/models all identical.  A ref store is a hard
+    materialization point (the `_pack_words`/winlo rule)."""
     total_u = total.astype(U32)
     total_s = jnp.where(total_u == 0, jnp.uint32(1), total_u)
     step, _ = udiv_u32_fast(st["high"] - st["low"] + 1, total_s)
+    if stage is not None:
+        step = stage(step)
     step_s = jnp.where(step == 0, jnp.uint32(1), step)
     value, _ = udiv_u32_fast(st["buf"] - st["low"], step_s)
     return step, value
