@@ -81,6 +81,8 @@ XC_DUP2 = 25  # duplicated-phase ablation staging (hw_vm_ablate_dec.py)
 # the L=16 step-remat miscompile fix, hw_l16_dec_inspect 2026-08-20).
 AC_LOW, AC_HIGH, AC_BUF, AC_BITPOS = 0, 1, 2, 3
 AC_ESTEP, AC_LSTEP, AC_PSTEP, AC_BSTEP = 4, 5, 6, 7
+# cols 8-15: per-decode-point udiv qh staging (2 per decode, see
+# _stage_seq: ev 8-9, length 10-11, payload 12-13, literal 14-15)
 
 STATE_NAMES_DEC = (
     "dictw", "dlens", "drank", "dtago", "ixf",
@@ -342,6 +344,26 @@ def decoder_kernel(
             return b.acw[:, col : col + 1].astype(U32)
         return stage
 
+    def _stage_seq(b, base):
+        """Factory of single-use staging hooks on consecutive acw
+        columns, for ac_decode_value's INNER division intermediates
+        (udiv_u32_fast qh): the L=16 miscompile proved the remat hazard
+        lives inside the division chain, so the step-level staging alone
+        is not enough — each udiv's high-quotient is staged too."""
+        state = {"i": 0}
+
+        def factory():
+            col = base + state["i"]
+            state["i"] += 1
+
+            def hook(x):
+                b.acw[:, :] = set_col(b.acw[:, :], col, x.astype(I32))
+                return b.acw[:, col : col + 1].astype(U32)
+
+            return hook
+
+        return factory
+
     def ph_evsym(b, e):
         """C: event symbol (x3.c:293) + E_NEW length; bridge AC state for
         the merged literal loop."""
@@ -351,7 +373,8 @@ def decoder_kernel(
         evv = b.ev[:, :]
         e.etot = jnp.sum(evv, axis=1, keepdims=True)
         estep, evalue = prims.ac_decode_value(
-            st, e.etot, stage=_stage_step(b, AC_ESTEP))
+            st, e.etot, stage=_stage_step(b, AC_ESTEP),
+            stage_qh=_stage_seq(b, 8))
         esym, elow, espan = prims.model_decode(evv, evalue, 128)
         e.esym = jnp.where(e.active, esym, E_EOF)
         st = prims.ac_decode_update(st, estep, elow, espan, e.active)
@@ -366,7 +389,8 @@ def decoder_kernel(
         msv = b.ms[:, :]
         e.mstot = jnp.sum(msv, axis=1, keepdims=True)
         lstep, lvalue = prims.ac_decode_value(
-            st, e.mstot, stage=_stage_step(b, AC_LSTEP))
+            st, e.mstot, stage=_stage_step(b, AC_LSTEP),
+            stage_qh=_stage_seq(b, 10))
         lsym, lslow, lsspan = prims.model_decode(msv, lvalue, 128)
         st = prims.ac_decode_update(st, lstep, lslow, lsspan, e.is_new)
         b.ms[:, :] = msv + jnp.where((iota128 == lsym) & e.is_new, 1, 0)
@@ -442,7 +466,8 @@ def decoder_kernel(
                 chv = b.ch[:, :]
                 btot = jnp.sum(chv, axis=1, keepdims=True)
                 bstep, bvalue = prims.ac_decode_value(
-                    st2, btot, stage=_stage_step(b, AC_BSTEP))
+                    st2, btot, stage=_stage_step(b, AC_BSTEP),
+                    stage_qh=_stage_seq(b, 14))
                 bsym, blow, bspan = prims.model_decode(chv, bvalue, 256)
                 st2 = prims.ac_decode_update(st2, bstep, blow, bspan, act)
                 b.ch[:, :] = chv + jnp.where(
@@ -675,7 +700,8 @@ def decoder_kernel(
         ptot = jnp.where(is0, tot0, jnp.where(is1, tot1, ixtot))
         ptot = jnp.maximum(ptot, 1)
         pstep, pvalue = prims.ac_decode_value(
-            e.st, ptot, stage=_stage_step(b, AC_PSTEP))
+            e.st, ptot, stage=_stage_step(b, AC_PSTEP),
+            stage_qh=_stage_seq(b, 12))
         pos0d, tag0d, low0d, span0d = rw.row_decode_pos(
             rw.FAM0, e.v0, pvalue, b.c0in, b.c0big, b.h0f[:, :],
             b.h0t[:, :], hug_scr=b.c0hug if NR2_0 else None, nr2=NR2_0,

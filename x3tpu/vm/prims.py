@@ -159,14 +159,22 @@ def bitrev32(x):
     return (x << 16) | (x >> 16)
 
 
-def ac_encode(st, low_f, span, total, active):
+def ac_encode(st, low_f, span, total, active, stage_qh=None):
     """Code one interval [low_f, low_f+span)/total per active lane and
     renormalize (ops/ac.py:ac_encode).  ``st`` is a dict with u32 [8,1]
     ``low``/``high``, i32 ``scale``/``nbits``/``win_base``/``oflow`` and
-    the i32 [8, 2FW] ``win`` value; returns the updated dict."""
+    the i32 [8, 2FW] ``win`` value; returns the updated dict.
+
+    ``stage_qh``: factory of single-use staging hooks (see
+    ac_decode_value) — materializes the division's inner high quotient
+    AND the final step, each of which feeds two consumers (the decoder's
+    L=16 remat miscompile class; prophylactic here for L > 16)."""
     total_u = total.astype(U32)
     total_s = jnp.where(total_u == 0, jnp.uint32(1), total_u)
-    step, _ = udiv_u32_fast(st["high"] - st["low"] + 1, total_s)
+    step, _ = udiv_u32_fast(st["high"] - st["low"] + 1, total_s,
+                            stage=stage_qh() if stage_qh else None)
+    if stage_qh is not None:
+        step = stage_qh()(step)
     high = st["low"] + imul_u32(step, (low_f + span).astype(U32)) - 1
     low = st["low"] + imul_u32(step, low_f.astype(U32))
 
@@ -255,7 +263,7 @@ def cumsum_excl(x):
     return jnp.where(iota >= 1, rolled, 0)
 
 
-def ac_decode_value(st, total, stage=None):
+def ac_decode_value(st, total, stage=None, stage_qh=None):
     """(step, value) of the pending symbol (ac.c:128-131, 183-185;
     ops/ac.py:ac_decode_value).  ``st`` carries u32 [8,1] ``low``/``high``/
     ``buf``.
@@ -272,11 +280,14 @@ def ac_decode_value(st, total, stage=None):
     materialization point (the `_pack_words`/winlo rule)."""
     total_u = total.astype(U32)
     total_s = jnp.where(total_u == 0, jnp.uint32(1), total_u)
-    step, _ = udiv_u32_fast(st["high"] - st["low"] + 1, total_s)
+    hook = stage_qh() if stage_qh is not None else None
+    step, _ = udiv_u32_fast(st["high"] - st["low"] + 1, total_s,
+                            stage=hook)
     if stage is not None:
         step = stage(step)
     step_s = jnp.where(step == 0, jnp.uint32(1), step)
-    value, _ = udiv_u32_fast(st["buf"] - st["low"], step_s)
+    hook2 = stage_qh() if stage_qh is not None else None
+    value, _ = udiv_u32_fast(st["buf"] - st["low"], step_s, stage=hook2)
     return step, value
 
 
@@ -349,7 +360,7 @@ def model_decode_cum(cum, value, width):
     return sym, low, ci - low
 
 
-def udiv_u32_fast(a, b):
+def udiv_u32_fast(a, b, stage=None):
     """(floor(a / b), a % b) for u32 a <= 2^31, b in [1, 2^31] via two-stage
     f32 division with exact integer correction (~45 ops vs the restoring
     loop's ~200).  Stage quotients are < 2^16, where f32 division is exact
@@ -384,6 +395,17 @@ def udiv_u32_fast(a, b):
     qh_est = jnp.floor(af / bfB).astype(I32)
     a_cur = [a]
     qh, rh = correct(qh_est, bh, None)
+    if stage is not None:
+        # qh feeds TWO consumers: the low-quotient remainder chain and
+        # the (qh << 16) pack.  At LANES=16 Mosaic rematerialized the
+        # est+correction chain between them with a WRONG replay —
+        # hw_l16_dec_inspect + a spec-oracle division trace caught
+        # udiv(1991389184, 2) packing qh=15195 against a remainder from
+        # qh=15193 (q off by exactly 2<<16).  Stage qh through a ref and
+        # recompute rh from the staged value so both consumers read ONE
+        # materialized copy.
+        qh = stage(qh)
+        rh = a - imul_u32(qh, bh)
     rhf = f32_of_u32(rh)
     ql_est = jnp.floor(rhf / bfA).astype(I32)
     a_cur = [rh]
