@@ -17,7 +17,7 @@ set -u
 cd /root/repo
 LOG=/tmp/hw_queue_r5d
 mkdir -p $LOG
-want="${*:-big8 b4mb abd3 enc32}"
+want="${*:-bench16r big8 w32bis2 b4mb abd3 enc32}"
 
 run() { # name timeout cmd...
   local name=$1 to=$2; shift 2
@@ -30,6 +30,12 @@ run() { # name timeout cmd...
   return $rc
 }
 
+case " $want " in *" bench16r "*)
+  # retry of pass-3 bench16 (it crashed rc=136 infra-side right after
+  # the encode rows): decode at L=16 on the qh-staged kernel — THE
+  # validation gating the decode default flip
+  run bench16r 3600 env X3TPU_VM_LANES_DEC=16 python bench.py ;;
+esac
 case " $want " in *" big8 "*)
   run big8 3600 python experiments/hw_8mib.py 8 ;;
 esac
@@ -40,6 +46,11 @@ case " $want " in *" abd3 "*)
   run abd3 7200 env X3TPU_ABLATE_CORPUS=so \
       X3TPU_ABLATE_SET="full,pay2,ev2,lit2,emit2,row2,dup2,mtf2" \
       python experiments/hw_vm_ablate_dec.py 1 4096 8192 ;;
+esac
+case " $want " in *" w32bis2 "*)
+  # w32 region bisect RERUN with the helper-health control (pass-3 run
+  # crashed on every set incl. noscan — indistinguishable from weather)
+  run w32bis2 3600 python experiments/hw_w32_bisect.py ;;
 esac
 case " $want " in *" enc32 "*)
   run enc32 3600 env X3TPU_VM_LANES_ENC=32 \

@@ -57,6 +57,30 @@ def main():
 
     import dataclasses
 
+    # CONTROL first: the w32/d1024 config compiled on hardware this
+    # morning (hw_w32_compile).  If the control crashes too, the helper
+    # is globally degraded (weather) and the ablate results below are
+    # void for program-size conclusions.
+    caps_ctl = caps_for_block(16 << 10)
+    vc_ctl = vm_caps(params, caps_ctl)
+    trows_c = vc_ctl.text_bytes // 128
+    text_c = jnp.zeros((8 * trows_c, 128), jnp.int32)
+    state_c = dv._init_state(text_c, jnp.zeros((8,), jnp.int32), vc_ctl, G)
+    # nsteps 16381: dodge the persistent-cache hit from this
+    # morning's successful compile (a cache hit skips the helper
+    # and would prove nothing about its health)
+    call_c = build_encoder_call(vc_ctl, params, 16381, G, SB=sb)
+    t0 = time.time()
+    try:
+        jax.jit(lambda t, *s: call_c((t,), *s)).lower(
+            text_c, *state_c).compile()
+        log(f"{'control-d1024':12s} COMPILED in {time.time()-t0:6.1f}s "
+            "(helper healthy)")
+    except Exception as e:
+        log(f"{'control-d1024':12s} CRASH after {time.time()-t0:6.1f}s — "
+            f"HELPER DEGRADED, results below are weather: "
+            f"{str(e)[:120]}")
+
     for ab in sets:
         tag = "+".join(sorted(ab)) or "full"
         vck = vc
