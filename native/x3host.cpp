@@ -183,7 +183,14 @@ class Decoder {
     for (int i = 0; i < 31; ++i) buf_ = (buf_ << 1) | in_->get();  // ac.c:133-140
   }
   size_t decode_sym(const Model& m) {
-    uint64_t step = (high_ - low_ + 1) / m.total();
+    // guards: on a VALID stream total <= range and step >= 1 always
+    // (ac.c invariants), so the clamps never fire; on a CORRUPT stream
+    // they turn a SIGFPE div-by-zero into a normal bad-symbol path that
+    // the caller's bounds checks catch (round 5: a corrupt VM stream
+    // crashed the bench round-trip with rc=136 instead of reporting)
+    uint64_t tot = m.total() ? m.total() : 1;
+    uint64_t step = (high_ - low_ + 1) / tot;
+    if (step == 0) step = 1;
     uint64_t value = (buf_ - low_) / step;
     uint64_t lo;
     size_t s = m.find(value, &lo);
@@ -672,6 +679,13 @@ std::vector<uint8_t> Codec::decode(const uint8_t* data, size_t size,
       prev_c1 = 0;
       c1 = 0;
     } else {
+      // bounds guards: never fire on a valid stream (every id the
+      // decoder stores is in range by construction) but a CORRUPT
+      // stream can leave stale out-of-range ids here — surface the
+      // normal corrupt-stream error instead of UB (round-5 corrupt
+      // fuzz: a null Ctx reference segfaulted through the C ABI)
+      if (c1 >= ctx1_.size())
+        throw std::runtime_error("x3host: corrupt stream (bad context)");
       Ctx& c0 = resolve_ctx0(prev_c1, c1);
       Ctx& c1t = ctx1_[c1];
       size_t tag;
@@ -684,6 +698,8 @@ std::vector<uint8_t> Codec::decode(const uint8_t* data, size_t size,
         index1_.inc(rank);
         tag = dict_.tag_at(rank);
       }
+      if (tag >= dict_.size())  // see the corrupt-stream guard above
+        throw std::runtime_error("x3host: corrupt stream (bad tag)");
       update_contexts(c0, c1, tag);
       size_t len = dict_.len_of(tag);
       if (out.size() + len > max_output)

@@ -99,3 +99,27 @@ def test_host_seeded_matches_jax_and_roundtrips():
 
     s_jax = np.asarray(w)[0].astype("<u4").tobytes()[: int(np.asarray(bl)[0])]
     assert s_jax == seeded
+
+
+def test_host_decode_corrupt_stream_raises():
+    """Corrupt streams must surface RuntimeError through the C ABI, not
+    UB (round 5: a corrupt stream segfaulted via an out-of-range context
+    id, and a div-by-zero SIGFPE'd the whole process before that)."""
+    import random
+
+    data = b"corrupt robustness: the quick brown fox " * 40
+    s = host.encode(data)
+    assert host.decode(s) == data
+    rng = random.Random(7)
+    crashes = 0
+    for _ in range(60):
+        b = bytearray(s)
+        for _ in range(8):
+            b[rng.randrange(len(b))] ^= rng.randrange(1, 256)
+        try:
+            host.decode(bytes(b), max_output=1 << 16)
+        except RuntimeError:
+            crashes += 1
+    # most corruptions must be detected (a few may decode to garbage
+    # within the cap without tripping a guard — that is permitted)
+    assert crashes > 0
