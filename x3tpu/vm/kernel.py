@@ -248,29 +248,13 @@ def encoder_kernel(
     # perf-ablation gates (hardware budget dissection ONLY -- any non-empty
     # ablate set produces WRONG output; see experiments/hw_vm_ablate.py)
     DO_DMA = "nodma" not in ablate
-    ac_step = ((lambda st, *a, **k: st) if "noac" in ablate
-               else prims.ac_encode)
-
-    def _stage_seq(b, base):
-        """Factory of single-use staging hooks on consecutive acw
-        columns (>= 5; the AC bridge uses 0-4 and every acw write bases
-        on the current content, so staged columns survive the event).
-        Materializes ac_encode's division intermediates — the decoder's
-        L=16 remat miscompile lived exactly there (prims.udiv_u32_fast
-        qh note); prophylactic on the encode side for L > 16."""
-        state = {"i": 0}
-
-        def factory():
-            col = base + state["i"]
-            state["i"] += 1
-
-            def hook(x):
-                b.acw[:, :] = set_col(b.acw[:, :], col, x.astype(I32))
-                return b.acw[:, col : col + 1].astype(U32)
-
-            return hook
-
-        return factory
+    # NB: the decoder's division staging (prims.ac_decode_value
+    # stage hooks) is NOT applied on the encode side: a prophylactic
+    # attempt broke the hardware-validated L=16 encoder (bench16
+    # rc=136, corrupt streams, 2026-08-20) and was reverted — the
+    # encoder's step feeds adjacent consumers in one expression group,
+    # which has never miscompiled at L <= 16.
+    ac_step = (lambda st, *a: st) if "noac" in ablate else prims.ac_encode
 
     # ---- unpack the per-sub-batch argument groups
     texts = args[:SB]
@@ -1070,8 +1054,7 @@ def encoder_kernel(
         )
         e.esym = jnp.where(e.hit, e.mode, E_NEW)
         elow, espan, _et = _model_stats(e.evv, e.esym, 128)
-        acst = ac_step(acst, elow, espan, e.etot, e.active,
-                       stage_qh=_stage_seq(b, 5))
+        acst = ac_step(acst, elow, espan, e.etot, e.active)
         b.ev[:, :] = e.evv + jnp.where((iota128 == e.esym) & e.active, 1, 0)
         e.espan = espan
 
@@ -1087,22 +1070,19 @@ def encoder_kernel(
                  jnp.where(isx, e.ixspan, msspan)))
         ptot = jnp.where(is0, e.tot0, jnp.where(is1, e.tot1,
                 jnp.where(isx, e.ixtot, mstot)))
-        acst = ac_step(acst, plow, pspan, ptot, e.active,
-                       stage_qh=_stage_seq(b, 7))
+        acst = ac_step(acst, plow, pspan, ptot, e.active)
         # cumulative ixf: freq[rank] += 1 is +1 on every column >= rank
         b.ixf[:, :] = b.ixf[:, :] + jnp.where((iotaD >= e.rank) & isx, 1, 0)
         b.ms[:, :] = msv + jnp.where((iota128 == e.mlen - 1) & e.miss, 1, 0)
         e.msspan, e.mstot = msspan, mstot
 
-        # literal bytes (x3.c:263-267): AC state bridged through scratch.
-        # The bridge bases on the CURRENT acw (not zeros) so the staged
-        # division columns (>= 5, _stage_seq) survive replayed ref reads.
+        # literal bytes (x3.c:263-267): AC state bridged through scratch
         e.frag32 = b.winlo[:, :MML]  # fresh ref read (see ph_window)
         b.acw[:, :] = set_col(
             set_col(
                 set_col(
                     set_col(
-                        set_col(b.acw[:, :], AC_LOW,
+                        set_col(jnp.zeros((L, 128), I32), AC_LOW,
                                 acst["low"].astype(I32)),
                         AC_HIGH, acst["high"].astype(I32)),
                     AC_SCALE, acst["scale"]),
@@ -1148,8 +1128,7 @@ def encoder_kernel(
                 bspan = jnp.sum(jnp.where(i256 == byte, chv, 0), axis=1,
                                 keepdims=True)
                 btot = jnp.sum(chv, axis=1, keepdims=True)
-                st2 = ac_step(st2, blow, bspan, btot, act,
-                              stage_qh=_stage_seq(b, 9))
+                st2 = ac_step(st2, blow, bspan, btot, act)
                 b.ch[:, :] = chv + jnp.where((i256 == byte) & act, 1, 0)
                 b.acwf[:, :] = b.acwf[:, :] + jnp.where(
                     (col_iota(128) == 0) & act,
