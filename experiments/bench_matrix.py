@@ -133,7 +133,7 @@ def run_ours(data, params, block_bytes, caps=None):
     from x3tpu.parallel import runtime
 
     if caps is None:
-        caps = runtime.caps_for_block(block_bytes)
+        caps = runtime.caps_for_block(block_bytes, window=params.window)
     blocks = [data[i : i + block_bytes]
               for i in range(0, len(data), block_bytes)]
     # warmup/compile on first block set

@@ -15,7 +15,7 @@ set -u
 cd /root/repo
 LOG=/tmp/hw_queue_r5e
 mkdir -p $LOG
-want="${*:-l16id bench16b}"
+want="${*:-l16id bench16b bench32 w32bis3}"
 
 run() { # name timeout cmd...
   local name=$1 to=$2; shift 2
@@ -33,5 +33,16 @@ case " $want " in *" l16id "*)
 esac
 case " $want " in *" bench16b "*)
   run bench16b 3600 env X3TPU_VM_LANES_DEC=16 python bench.py ;;
+esac
+case " $want " in *" w32bis3 "*)
+  # deeper w32/d8192 bisect: minimal kernel, D-sweep, window-sweep
+  run w32bis3 3600 python experiments/hw_w32_bisect.py \
+      noscan+nosweep+noprobe+nodma d=2048 d=4096 d=6144 w=16384 \
+      w=16384+noscan ;;
+esac
+case " $want " in *" bench32 "*)
+  # L=32 encode throughput (enc32 identity probe: all 24 streams
+  # byte-identical at enc lanes 32 — the L>16 miscompile healed)
+  run bench32 3600 env X3TPU_VM_LANES_ENC=32 python bench.py ;;
 esac
 echo "QUEUE R5E DONE $(date +%H:%M:%S)" | tee -a $LOG/queue.log

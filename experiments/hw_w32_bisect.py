@@ -37,6 +37,8 @@ def log(m):
 
 
 def main():
+    # argv sets may carry config tokens: d=<dict_cap> and w=<window>
+    # (e.g. "d=4096+nogate", "w=16384") — the rest are kernel ablates
     sets = ([frozenset() if s == "full" else frozenset(s.split("+"))
              for s in sys.argv[1:]] or
             [frozenset(), frozenset({"noscan"}), frozenset({"nosweep"}),
@@ -83,20 +85,32 @@ def main():
 
     for ab in sets:
         tag = "+".join(sorted(ab)) or "full"
-        vck = vc
+        pk, ck = params, caps
+        for tok in [t for t in ab if t.startswith(("d=", "w="))]:
+            k, v = tok.split("=")
+            if k == "d":
+                ck = dataclasses.replace(ck, dict_cap=int(v))
+            else:
+                pk = dataclasses.replace(pk, window=int(v))
+        ab = frozenset(t for t in ab
+                       if not t.startswith(("d=", "w=")))
+        vck = vm_caps(pk, ck)
         if "nogate" in ab:  # config knob, not a kernel ablate: dense probe
-            vck = dataclasses.replace(vc, probe_gate=False)
+            vck = dataclasses.replace(vck, probe_gate=False)
             ab = ab - {"nogate"}
-        call = build_encoder_call(vck, params, 16384, G, ablate=ab, SB=sb)
+        trows_k = vck.text_bytes // 128
+        text_k = jnp.zeros((8 * trows_k, 128), jnp.int32)
+        state_k = dv._init_state(text_k, jnp.zeros((8,), jnp.int32), vck, G)
+        call = build_encoder_call(vck, pk, 16384, G, ablate=ab, SB=sb)
         f = jax.jit(lambda t, *s: call((t,), *s))
         t0 = time.time()
         try:
-            lowered = f.lower(text, *state)
+            lowered = f.lower(text_k, *state_k)
             compiled = lowered.compile()
-            log(f"{tag:12s} COMPILED in {time.time()-t0:6.1f}s")
+            log(f"{tag:28s} COMPILED in {time.time()-t0:6.1f}s")
         except Exception as e:
-            log(f"{tag:12s} CRASH after {time.time()-t0:6.1f}s: "
-                f"{type(e).__name__}: {str(e)[:160]}")
+            log(f"{tag:28s} CRASH after {time.time()-t0:6.1f}s: "
+                f"{type(e).__name__}: {str(e)[:120]}")
     return 0
 
 

@@ -190,6 +190,12 @@ def test_vm_unsupported_configs():
     caps = CodecCaps(dict_cap=1024, ctx_items_cap=16384, block_bytes=2048)
     with pytest.raises(VMUnsupported):
         _encode_vm([b"x"], PARAMS, caps)
+    # big-window + big-dictionary: past the additive compile-size cliff
+    # (hw_w32_bisect round 5: w32/d6144 compiles, w32/d8192 crashes the
+    # compile service even on a healthy relay)
+    caps = CodecCaps(dict_cap=8192, block_bytes=2048)
+    with pytest.raises(VMUnsupported):
+        _encode_vm([b"x"], X3Params(window=32 * 1024), caps)
     # blocks beyond the (round-5) 16 MiB text-class envelope
     caps = CodecCaps(dict_cap=1024, block_bytes=32 << 20)
     with pytest.raises(VMUnsupported):

@@ -88,10 +88,16 @@ def _pow2(n: int) -> int:
     return 1 << max(0, (n - 1)).bit_length()
 
 
-def caps_for_block(block_bytes: int, ratio_hint: float = 1.0) -> CodecCaps:
+def caps_for_block(block_bytes: int, ratio_hint: float = 1.0,
+                   window: int = 8192) -> CodecCaps:
     """Heuristic capacities for a block size, from measured state growth on
     text (17 KB source text -> dict 372, pairs 2522, hub ctx ~150 items;
-    see SURVEY.md §7 hard part #2).  Overflow auto-retry covers the tail."""
+    see SURVEY.md §7 hard part #2).  Overflow auto-retry covers the tail.
+    ``window`` (params.window) caps the dictionary for big-window
+    configs: the w32 compile cliff is additive in window + dictionary
+    program terms (hw_w32_bisect round 5: w32/d6144 compiles,
+    w32/d8192 crashes the compile service; measured per-128KiB-block
+    needs on the xml/tabular corpora are <= 1422 entries, 4x margin)."""
     # measured dictionary growth is ~block/20 entries on text; block/16
     # with pow2 rounding plus overflow auto-retry covers the tail
     d = int(np.clip(_pow2(block_bytes // 16), 1 << 10, 1 << 16))
@@ -101,6 +107,9 @@ def caps_for_block(block_bytes: int, ratio_hint: float = 1.0) -> CodecCaps:
     # a genuine overflow auto-retries at 49152 on the XLA path
     if d > 24576:
         d = 24576
+    if window > 8192:
+        d = min(d, 6144)  # w32 compile cliff (docstring); retry doubles
+        # past this and vm_caps rejects it -> XLA, no silent-clamp loop
     items = int(np.clip(_pow2(d // 4), 256, 2048))
     # at VM-hostable dictionary sizes (<= 8192), keep the per-context item
     # cap within the VM's promoted-row capacity (rows.py BIG1 = 640) so the
@@ -549,7 +558,8 @@ def compress(
     parts = blk.split_blocks(data, block_bytes)
     if caps is None:
         caps = caps_for_block(
-            min(block_bytes, max(len(max(parts, key=len)), 1024))
+            min(block_bytes, max(len(max(parts, key=len)), 1024)),
+            window=params.window,
         )
     wave = _wave_lanes(len(parts), mesh, lanes_per_device)
     journal = None

@@ -288,6 +288,16 @@ def vm_caps(params: X3Params, caps: CodecCaps) -> VMCaps:
         # an earlier-round compile crash no longer reproduces); the
         # segment barrel shift covers any window (off <= 768 by refill)
         raise VMUnsupported(f"window {params.window} > 32 KiB")
+    if params.window - MAX_MATCH_LEN - 1 > 8192 and d > 6144:
+        # the compile cliff is additive in window + dictionary program
+        # terms: w32/d6144 compiles, w32/d8192 kills the compile helper
+        # on a HEALTHY relay (hw_w32_bisect, round 5).  caps_for_block
+        # sizes big-window configs at <= 6144; a dict-overflow retry
+        # doubling past this lands on the XLA path instead of crashing
+        # the compile service again.
+        raise VMUnsupported(
+            f"dict_cap {d} > 6144 at window {params.window} "
+            "(compile-size cliff)")
     # hub items are distinct tags, hence <= dict entries <= D: sizing the
     # hub planes to D removes the hub-overflow failure mode entirely
     # (measured: 4 MB binary block grows the hub past the old 1024 cap).
