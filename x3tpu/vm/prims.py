@@ -280,6 +280,20 @@ def ac_decode_value(st, total, stage=None, stage_qh=None):
     materialization point (the `_pack_words`/winlo rule)."""
     total_u = total.astype(U32)
     total_s = jnp.where(total_u == 0, jnp.uint32(1), total_u)
+    if LANES > 8:
+        # Integer-exact division at wide decode lane counts.  The
+        # f32-estimate chain in udiv_u32_fast is remat-hazardous at
+        # L=16: a replayed f32_of_u32/divide can be reassociated and
+        # round differently, yielding two INCONSISTENT copies of the
+        # quotient (the round-5 decode miscompile; staging the copies
+        # through refs was necessary but not sufficient).  The
+        # restoring loop is pure i32 — any replay is bit-identical —
+        # at ~4x the op count on [L,1] vectors.  The L=8 default path
+        # keeps the fast divider and its byte-identical kernels.
+        step, _ = udiv_u32(st["high"] - st["low"] + 1, total_s)
+        step_s = jnp.where(step == 0, jnp.uint32(1), step)
+        value, _ = udiv_u32(st["buf"] - st["low"], step_s)
+        return step, value
     hook = stage_qh() if stage_qh is not None else None
     step, _ = udiv_u32_fast(st["high"] - st["low"] + 1, total_s,
                             stage=hook)
