@@ -35,7 +35,7 @@ def log(m):
 
 
 def main():
-    log(f"kernel group widths enc={vmc.enc_lanes()} dec={vmc.LANES_DEC}")
+    log(f"kernel group widths enc={vmc.enc_lanes()} dec={vmc.dec_lanes()}")
     from bench import build_corpus
 
     params = X3Params(max_match_count=4, window=1024)

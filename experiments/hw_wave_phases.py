@@ -42,7 +42,7 @@ from x3tpu.config import X3Params
 from x3tpu.parallel.runtime import caps_for_block
 from x3tpu.vm import driver as dv
 from x3tpu.vm import encode_blocks_vm_chunked
-from x3tpu.vm.config import LANES_DEC, set_active_lanes, vm_caps
+from x3tpu.vm.config import dec_lanes, set_active_lanes, vm_caps
 
 T0 = time.time()
 
@@ -87,11 +87,11 @@ def main():
 
     # phase-timed decode, twice (first run may compile)
     for it in range(2):
-        set_active_lanes(LANES_DEC)
+        set_active_lanes(dec_lanes())
         vc = vm_caps(params, caps)
         L_in, IW = w_np.shape
         sb = 1
-        G = max(1, -(-L_in // (sb * LANES_DEC)))
+        G = max(1, -(-L_in // (sb * dec_lanes())))
         srows = dv._dec_srows(vc, IW)
         obrows = dv._dec_obrows(vc)
         hbm_rows = (obrows, vc.r0, vc.r1)
@@ -106,7 +106,7 @@ def main():
         t_init = time.time() - t0
 
         step = dv._get_step_dec(vc, params, 16384, G, srows, obrows,
-                                False, SB=sb, lanes=LANES_DEC)
+                                False, SB=sb, lanes=dec_lanes())
         t0 = time.time()
         bound = max(1, -(-(vc.block_bytes + 1) // 16384))
         done, batch = 0, 4

@@ -37,20 +37,42 @@ import os
 from x3tpu.config import CodecCaps, MAX_MATCH_LEN, X3Params
 
 _LANES_DEFAULT = int(os.environ.get("X3TPU_VM_LANES", "8"))
-# Per-DIRECTION lane widths (round 4): the L>8 Mosaic miscompile healed
-# for the ENCODER at L=16 (hw_lanes16_identity: byte-identical streams
-# on 24 diverse blocks, +19.5% bench encode) but the DECODER still
-# corrupts at L=16 (first event, lane 1; probe10_l16 shows every
-# primitive exact in isolation — a kernel-scale scheduling bug).  The
-# two directions never share a kernel, so the lane width is switched
-# per direction at driver entry (set_active_lanes).  DO NOT raise the
-# decode default until hw_l16_dec_bisect comes back clean; L=32 still
-# miscompiles in BOTH directions (hw_vm_bench 2026-08-17).  Interpret
-# mode is exact at any L.
-LANES_DEC = int(os.environ.get("X3TPU_VM_LANES_DEC", str(_LANES_DEFAULT)))
+# Per-DIRECTION lane widths (rounds 4-5).  The encoder runs L=16 on TPU
+# since round 4 (hw_lanes16_identity byte-identical; +19.5% encode; L=32
+# is identity-validated too but compile-cliff-marginal — opt-in via
+# X3TPU_VM_LANES_ENC=32).  The DECODER runs L=16 on TPU since round 5:
+# the L>8 decode miscompile was root-caused to Mosaic rematerializing
+# the f32-estimate division chain with reassociated (differently
+# rounding) replays, and decode at LANES > 8 now uses the integer-exact
+# restoring divider (prims.ac_decode_value) — replay-proof by
+# construction.  Validation: 16-block cross-implementation decode EXACT
+# (hw_queue_r5g l16dec2), bench round trips at 32 and 128 lanes, decode
+# 1.1395 / 1.4245 MB/s (+20% / +14% over L=8).  The two directions
+# never share a kernel; the width switches per direction at driver
+# entry (set_active_lanes).  Interpret mode is exact at any L.
 LANES = _LANES_DEFAULT  # ACTIVE lane width (see set_active_lanes)
 
 _enc_lanes_cached: int | None = None
+_dec_lanes_cached: int | None = None
+
+
+def dec_lanes() -> int:
+    """Decoder lane width, resolved lazily on first decode entry:
+    X3TPU_VM_LANES_DEC > X3TPU_VM_LANES > backend default (16 on TPU —
+    hardware-validated round 5 with the integer-exact divider — 8 on
+    CPU, where interpret-mode suite parity stays narrow)."""
+    global _dec_lanes_cached
+    if _dec_lanes_cached is None:
+        env = os.environ.get("X3TPU_VM_LANES_DEC")
+        if env is not None:
+            _dec_lanes_cached = int(env)
+        elif "X3TPU_VM_LANES" in os.environ:
+            _dec_lanes_cached = _LANES_DEFAULT
+        else:
+            import jax
+
+            _dec_lanes_cached = 16 if jax.default_backend() != "cpu" else 8
+    return _dec_lanes_cached
 
 
 def enc_lanes() -> int:

@@ -20,10 +20,10 @@ from x3tpu.models import adaptive as am
 from x3tpu.ops import ac as acm
 from x3tpu.ops import bitio
 from x3tpu.vm.config import (
-    LANES, LANES_DEC, OF_CTX0, OF_CTX1, OF_DICT, OF_OUT,
+    LANES, OF_CTX0, OF_CTX1, OF_DICT, OF_OUT,
     OF_PAIRS, R_AC_HIGH, R_AC_LOW, R_AC_SCALE, R_COUNTS, R_DICT_N,
     R_HUB0_N, R_HUB1_N, R_NBITS, R_OFLOW, R_P, R_PAIR_N, R_TLEN,
-    R_WIN_BASE, VMCaps, VMUnsupported, enc_lanes, pick_subs,
+    R_WIN_BASE, VMCaps, VMUnsupported, dec_lanes, enc_lanes, pick_subs,
     set_active_lanes, vm_caps,
 )
 from x3tpu.vm.kernel import N_STATE, build_encoder_call
@@ -535,7 +535,7 @@ def decode_blocks_vm_chunked(
     """Chunked codec-VM decode; same contract as
     codec.decode_blocks_chunked: returns (out u8 [L, block_bytes],
     out_lens, counts, sizes, Overflow)."""
-    set_active_lanes(LANES_DEC)
+    set_active_lanes(dec_lanes())
     if vc is None:
         vc = vm_caps(params, caps)
     if seeds is not None and seeds[0].shape[0] > vc.dict_cap:
@@ -728,7 +728,7 @@ def decode_blocks_vm_sharded(
     """Mesh-sharded codec-VM decode (see encode_blocks_vm_sharded)."""
     from x3tpu.parallel.mesh import MeshHolder
 
-    set_active_lanes(LANES_DEC)
+    set_active_lanes(dec_lanes())
     if vc is None:
         vc = vm_caps(params, caps)
     if seeds is not None and seeds[0].shape[0] > vc.dict_cap:
